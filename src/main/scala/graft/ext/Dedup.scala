@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.9): exact, n-gram Jaccard (inverted index), MinHash+LSH
+  * banding, SimHash with chunk blocking.
+  *
+  * Scale design: nothing here ever does an unblocked all-pairs
+  * comparison. Exact dedup is a hash groupBy; n-gram Jaccard joins
+  * through an inverted shingle index; MinHash compares only
+  * band-bucket collisions; SimHash compares only pairs sharing one of
+  * four 16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ some chunk equal).
+  */
+object Dedup {
+
+  /** Exact dedup groups: hash-groupBy on content (md5 keeps the oracle
+    * twin expressible — DuckDB md5 matches Spark's).
+    */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingles) — distinct word n-gram shingles per document.
+    * Tokenization is a plain single-space split (matches the oracle's
+    * `string_split(text, ' ')`).
+    */
+  def shingleSets(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(0, size(w) - $n), " +
+          s"i -> concat_ws(' ', slice(w, i + 1, $n))))").as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Exact n-gram Jaccard pairs via inverted index: explode shingles,
+    * self-join on shingle (only docs sharing ≥1 shingle ever meet — the
+    * blocked alternative to a crossJoin), count intersections, then
+    * |A∩B| / (|A|+|B|−|A∩B|). Jaccard of small ints is exact in IEEE
+    * double, so it hash-matches the oracle bit-for-bit.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, n).cache()
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val inv = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k independent hash functions simulated as
+    * xxhash64 salted with the permutation index; one exploded pass,
+    * k partial-aggregated mins — no per-doc loops.
+    */
+  def minhashSignatures(sets: DataFrame, numPerms: Int): DataFrame = {
+    val inv = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mins = (0 until numPerms).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    inv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerms).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numPerms), hash each band, join docs colliding in any band.
+    * With b=16, r=4: P(candidate | j=0.9) ≈ 1−(1−0.9⁴)¹⁶ ≈ 1−10⁻⁸.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band_id"), xxhash64(parts: _*).as("band_hash"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id"), col("bb.band_hash"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, exactly verified: LSH prunes the pair
+    * space, then true Jaccard (array_intersect on the shingle sets)
+    * filters candidates — so output = { pairs with J ≥ threshold } ∩
+    * candidates, which at threshold 0.8 with b=16,r=4 is the exact
+    * pair set with probability ≈ 1 (hence the DuckDB oracle twin).
+    */
+  def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, n).cache()
+    val cands = lshCandidates(minhashSignatures(sets, numPerms), bands, numPerms / bands)
+    cands
+      .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
+          size(array_union(col("sa.shingles"), col("sb.shingles")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over tokens: per bit, majority vote of token-hash
+    * bits (+1/−1), computed as 64 conditional sums in ONE aggregation
+    * pass over the exploded tokens — no UDF, fully codegen'd.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16):
+    * blocked by four 16-bit chunks — a pair within Hamming 3 must agree
+    * on at least one chunk, so only chunk-collisions are compared.
+    */
+  def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = simhash(docs, textCol, idCol)
+    val chunks = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.chunk_id"), col("ch.chunk_val"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

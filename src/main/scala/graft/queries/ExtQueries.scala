@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** North-star LLM-data-pipeline queries (SURVEY.md §2.9, §7 step 4):
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+  * search (brute-force + LSH ANN), and text analysis over `documents` /
+  * `embeddings`.
+  *
+  * Oracle policy: hash-based ops whose hash functions DuckDB cannot
+  * reproduce (SimHash, LSH ANN, rolling hash, HLL approx-distinct) have
+  * no `oracles` entry — the driver records a rows-only check; their
+  * semantics are asserted in the ScalaTest suite instead (e.g. ANN
+  * recall vs the exact baseline).
+  */
+object ExtQueries {
+
+  private def queryVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: hash-groupBy on content (md5 ⇒ oracle-expressible).
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("content_hash"))),
+
+    // n-gram Jaccard near-dup via inverted shingle index (no crossJoin).
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, threshold = 0.6)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // MinHash+LSH banding, exactly verified at J ≥ 0.8 (recall ≈ 1 ⇒
+    // equals the exact pair set the oracle computes).
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, numPerms = 64, bands = 16, threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // SimHash near-dup, chunk-blocked (rows-only check: xxhash64-based).
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // embedding-cosine near-dup pairs (ids only: scores are float-rep
+    // sensitive across engines; the pair SET is stable).
+    "q_neardup_cosine" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // brute-force cosine top-k (exact ANN baseline).
+    "q_similarity_topk" -> ((s, d) =>
+      Similarity.topKCosine(Tables.embeddings(s, d), queryVecs(s, d), k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // sign-LSH ANN with Hamming-1 probes (rows-only; recall asserted in
+    // SimilaritySpec against the brute-force baseline).
+    "q_similarity_ann" -> ((s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), queryVecs(s, d), k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // A4: HLL++ approximate distinct (rows-only: HLL impls differ).
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    // term frequency: explode → count → top-20.
+    "q_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
+    // per-language quality rollup (int-exact ratios).
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, d), "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          (sum(col("n_stop")).cast("double") / sum(col("n_tokens"))).as("stop_ratio"))
+        .orderBy(col("lang"))),
+
+    // language-ID heuristic (marker-word argmax).
+    "q_text_langid" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    // canonical bag-of-words fingerprint (md5 ⇒ oracle-expressible).
+    "q_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // order-sensitive rolling-hash fingerprint (rows-only: xxhash64).
+    "q_text_rollhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val ShingleCte =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM d WHERE len(w) >= 3)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |COUNT(*) AS n_copies FROM documents
+        |GROUP BY text ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""$ShingleCte,
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""$ShingleCte,
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_neardup_cosine" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_similarity_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(q.qv, e.embedding) AS c
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, vec_id) AS INT) AS rank FROM s)
+        |SELECT query_id, rank, vec_id FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM
+        |(SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH f AS (SELECT lang, n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> list_contains(['the','a','of','and','to'], t))) AS n_stop
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stop_ratio
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_distinct(string_split(text, ' ')) AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(list_contains(w,'window') AS INT) + CAST(list_contains(w,'batch') AS INT) AS s_de,
+        |  CAST(list_contains(w,'the') AS INT) + CAST(list_contains(w,'a') AS INT) AS s_en,
+        |  CAST(list_contains(w,'data') AS INT) + CAST(list_contains(w,'row') AS INT) AS s_es,
+        |  CAST(list_contains(w,'table') AS INT) + CAST(list_contains(w,'join') AS INT) AS s_fr,
+        |  CAST(list_contains(w,'vector') AS INT) + CAST(list_contains(w,'hash') AS INT) AS s_zh
+        |  FROM d)
+        |SELECT doc_id, CASE
+        |  WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |  WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |  WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.{Archive, Scalar}
+
+/** Queries covering every [REF]/[DEL] operator of the reference
+  * (SURVEY.md §2.1-2.8): the archival pipeline of pg-archiver `main.go`
+  * re-expressed as declarative Spark plans over the `events` table (which
+  * plays the reference's `iot_data` — FIXTURES.md role mapping).
+  *
+  * Determinism contract (SURVEY §5.1): fixed cutoff literals (never
+  * `now()`), explicit ORDER BY with tiebreakers, UTC session timezone.
+  */
+object RefQueries {
+
+  /** The retention cutoff used by every verified archival query — a fixed
+    * literal standing in for the reference's `now() - 90 days`
+    * (main.go:177); events span 2024-01-01..2024-01-30 at every SF.
+    */
+  val Cutoff = "2024-01-20 00:00:00"
+
+  /** events → the reference's IoT record shape (main.go:20-26):
+    * id, timestamp, device_id, value.
+    */
+  def eventsAsIot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id").as("id"),
+      col("ts").as("timestamp"),
+      col("user_id").cast("string").as("device_id"),
+      col("value"))
+
+  /** DuckDB twin of `Tables.events`'s ns→µs truncation: the driver's
+    * DuckDB view sees `ts` as TIMESTAMP_NS; floor-divide nanos to µs
+    * exactly like Spark's `ts div 1000`.
+    */
+  private val EventsCte =
+    """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |  user_id, event_type, value, props FROM events)""".stripMargin
+  private val IotCte =
+    EventsCte + """, iot AS (SELECT event_id AS id, ts AS timestamp,
+      |  CAST(user_id AS VARCHAR) AS device_id, value FROM e)""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1+P2 (main.go:89,91): projection + retention range filter —
+    // both reach the parquet scan (ReadSchema pruning + PushedFilters).
+    "q_retention_filter" -> ((s, d) =>
+      eventsAsIot(s, d)
+        .transform(Archive.retentionFilter("timestamp", Cutoff))
+        .orderBy(col("id"))),
+
+    // O1+O2+O3 (main.go:88-93): newest batchSize rows older than cutoff.
+    // Catalyst fuses to TakeOrderedAndProject (distributed top-k heap).
+    "q_topk_newest" -> ((s, d) =>
+      eventsAsIot(s, d)
+        .transform(Archive.retentionFilter("timestamp", Cutoff))
+        .transform(Archive.topKNewest("timestamp", "id", 100))),
+
+    // P3+U1 (main.go:114,180-187): per-table stamp + n-ary union-all.
+    "q_union_stamp" -> ((s, d) => {
+      val iot = eventsAsIot(s, d)
+      val a = iot.filter(col("id") % 2 === 0).transform(Archive.stampTableName("iot_data"))
+      val b = iot.filter(col("id") % 2 === 1).transform(Archive.stampTableName("iot_metrics"))
+      Archive.unionAll(Seq(a, b)).orderBy(col("table_name"), col("id"))
+    }),
+
+    // A1+A2 (main.go:194-200,104): batch max-timestamp + row count as
+    // plan nodes (partial agg per partition + single merge).
+    "q_max_ts" -> ((s, d) =>
+      eventsAsIot(s, d)
+        .transform(Archive.retentionFilter("timestamp", Cutoff))
+        .agg(max(col("timestamp")).as("max_ts"), count(lit(1)).as("n"))),
+
+    // A2 grouped variant: row counts per discriminator.
+    "q_row_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // P4+F3 (main.go:36-44,39): archive row shape — timestamp → epoch
+    // nanos INT64 (µs*1000; Spark has no ns precision).
+    "q_archive_shape" -> ((s, d) =>
+      eventsAsIot(s, d)
+        .transform(Archive.retentionFilter("timestamp", Cutoff))
+        .select(
+          col("id"),
+          Scalar.epochNanos(col("timestamp")).as("timestamp"),
+          col("device_id"), col("value"),
+          lit("events").as("table_name"))
+        .orderBy(col("id"))),
+
+    // S4 (main.go:220-223): hive time-partition derivation, per-row
+    // (fixing the reference's lossy batch-max placement, SURVEY §2.1 S4).
+    "q_time_partitions" -> ((s, d) =>
+      eventsAsIot(s, d)
+        .transform(Archive.withTimePartitions("timestamp"))
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("year"), col("month"))),
+
+    // §3.1 flagship: the whole archival pipeline — per-table
+    // filter→top-k→stamp, union, partition-derive — one Catalyst plan.
+    "q_archive_pipeline" -> ((s, d) => {
+      val iot = eventsAsIot(s, d)
+      Archive.archivePipeline(
+        Seq("iot_data" -> iot.filter(col("id") % 2 === 0),
+            "iot_metrics" -> iot.filter(col("id") % 2 === 1)),
+        "timestamp", "id", Cutoff, 100)
+        .withColumn("year", col("year").cast("int"))
+        .withColumn("month", col("month").cast("int"))
+        .orderBy(col("table_name"), col("id"))
+    }),
+
+    // P5+F6 (README.md:93-101): equality / IN / range predicates over
+    // the archive read path.
+    "q_eq_in_filter" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").isin("error", "signup") &&
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("value") > 50.0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_retention_filter" ->
+      s"""$IotCte SELECT id, timestamp, device_id, value FROM iot
+         |WHERE timestamp < TIMESTAMP '$Cutoff' ORDER BY id""".stripMargin,
+
+    "q_topk_newest" ->
+      s"""$IotCte SELECT id, timestamp, device_id, value FROM iot
+         |WHERE timestamp < TIMESTAMP '$Cutoff'
+         |ORDER BY timestamp DESC, id ASC LIMIT 100""".stripMargin,
+
+    "q_union_stamp" ->
+      s"""$IotCte, u AS (
+         |  SELECT *, 'iot_data' AS table_name FROM iot WHERE id % 2 = 0
+         |  UNION ALL
+         |  SELECT *, 'iot_metrics' AS table_name FROM iot WHERE id % 2 = 1)
+         |SELECT id, timestamp, device_id, value, table_name FROM u
+         |ORDER BY table_name, id""".stripMargin,
+
+    "q_max_ts" ->
+      s"""$IotCte SELECT max(timestamp) AS max_ts, count(*) AS n FROM iot
+         |WHERE timestamp < TIMESTAMP '$Cutoff'""".stripMargin,
+
+    "q_row_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_archive_shape" ->
+      s"""$IotCte SELECT id, epoch_us(timestamp) * 1000 AS timestamp,
+         |device_id, value, 'events' AS table_name FROM iot
+         |WHERE timestamp < TIMESTAMP '$Cutoff' ORDER BY id""".stripMargin,
+
+    "q_time_partitions" ->
+      s"""$IotCte SELECT CAST(year(timestamp) AS INT) AS year,
+         |CAST(month(timestamp) AS INT) AS month, count(*) AS n,
+         |min(id) AS min_id, max(id) AS max_id FROM iot
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_archive_pipeline" ->
+      s"""$IotCte, u AS (
+         |  (SELECT *, 'iot_data' AS table_name FROM iot
+         |   WHERE id % 2 = 0 AND timestamp < TIMESTAMP '$Cutoff'
+         |   ORDER BY timestamp DESC, id ASC LIMIT 100)
+         |  UNION ALL
+         |  (SELECT *, 'iot_metrics' AS table_name FROM iot
+         |   WHERE id % 2 = 1 AND timestamp < TIMESTAMP '$Cutoff'
+         |   ORDER BY timestamp DESC, id ASC LIMIT 100))
+         |SELECT id, timestamp, device_id, value, table_name,
+         |CAST(year(timestamp) AS INT) AS year,
+         |CAST(month(timestamp) AS INT) AS month FROM u
+         |ORDER BY table_name, id""".stripMargin,
+
+    "q_eq_in_filter" ->
+      """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |  user_id, event_type, value FROM events)
+        |SELECT event_id, ts, user_id, event_type, value FROM e
+        |WHERE event_type IN ('error','signup')
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND value > 50.0
+        |ORDER BY event_id""".stripMargin
+  )
+}
