@@ -44,7 +44,11 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val sets = shingleSets(docs, textCol, idCol, n).cache()
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val inv = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // join on 8-byte shingle hashes, not strings: ~4x smaller shuffle;
+    // a 64-bit collision among ~10^6 distinct shingles is ~1e-7 — far
+    // below the bit-exactness bar of everything else here.
+    val inv = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
     val inter = inv.as("a").join(inv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters — the
+  * supported way for libraries to lift custom Catalyst expressions
+  * (e.g. graft.functions.DotProductFloat) into the public Column API
+  * on Spark 4, where `Column.expr`/`new Column(expr)` are gone.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
