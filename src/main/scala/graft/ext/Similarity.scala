@@ -78,27 +78,45 @@ object Similarity {
       when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** ANN top-k via sign-LSH: corpus bucketed once (in practice: written
-    * bucketed/partitioned), queries probe only their own bucket's rows
-    * plus Hamming-1 neighbor buckets for recall. Brute-force within
-    * buckets. Approximate — recall measured against `topKCosine` in the
-    * test suite.
+  /** ANN top-k via MULTI-TABLE sign-LSH (the FAISS/classic-LSH design):
+    * L independent tables of r hyperplanes each; a vector lands in one
+    * r-bit bucket per table, and a query scans only its own bucket in
+    * each table. Union over tables drives recall: with per-bit
+    * collision prob p = 1 − θ/π, recall ≈ 1 − (1 − pʳ)ᴸ — tunable
+    * without touching the data layout (raise L for recall, raise r for
+    * speed). At 100 TB the (table_id, bucket) pair is the partition
+    * key, so a probe touches L partitions instead of the corpus.
+    *
+    * Approximate — recall vs `topKCosine` asserted in SimilaritySpec
+    * (random 64-dim vectors, the hardest case: ~0.6 at L=6, r=4).
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
-    val qb = queries.withColumn("qbucket", lshBucket(col("query_vec"), planes))
-    // probe set: own bucket + all Hamming-1 buckets (flip each bit)
-    val probes = qb.withColumn("bucket",
-      explode(array((col("qbucket") +:
-        (0 until numPlanes).map(i => col("qbucket").bitwiseXOR(lit(1L << i)))): _*)))
-    val scored = bucketed.withColumn("nrm", norm(col("embedding"))).as("c")
-      .join(broadcast(probes.withColumn("qnrm", norm(col("query_vec"))).as("q")),
-        col("q.bucket") === col("c.bucket") && col("q.query_id") =!= col("c.vec_id"))
+      numTables: Int = 6, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val tables = (0 until numTables).map(t =>
+      hyperplanes(planesPerTable, dim, seed = 42L + t))
+    def bucketsFor(vec: Column): Column = array(tables.zipWithIndex.map {
+      case (planes, t) =>
+        struct(lit(t).as("table_id"), lshBucket(vec, planes).as("bucket"))
+    }: _*)
+    val bucketed = corpus
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("tb", explode(bucketsFor(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.table_id"), col("tb.bucket"))
+    val probes = queries
+      .withColumn("qnrm", norm(col("query_vec")))
+      .withColumn("tb", explode(bucketsFor(col("query_vec"))))
+      .select(col("query_id"), col("query_vec"), col("qnrm"),
+        col("tb.table_id"), col("tb.bucket"))
+    val scored = bucketed.as("c")
+      .join(broadcast(probes.as("q")),
+        col("q.table_id") === col("c.table_id") &&
+          col("q.bucket") === col("c.bucket") &&
+          col("q.query_id") =!= col("c.vec_id"))
       .select(col("q.query_id"), col("c.vec_id"),
         (dot(col("q.query_vec"), col("c.embedding")) /
           (col("q.qnrm") * col("c.nrm"))).as("score"))
+      .distinct() // a pair may collide in several tables
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -18,7 +18,8 @@ object TextAnalysis {
     * BPE vocab — the regex is the part Spark must execute at scale).
     */
   def bpeishTokenCount(textCol: Column): Column =
-    size(filter(split(textCol, """\s+|(?<=\p{L})(?=\d)|(?<=\d)(?=\p{L})|(?=\p{Punct})"""),
+    size(filter(split(textCol,
+      """\s+|(?<=\p{L})(?=\d)|(?<=\d)(?=\p{L})|(?=\p{Punct})|(?<=\p{Punct})"""),
       t => length(t) > 0))
 
   /** Per-document quality features: token count, distinct-token ratio,

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming surface (SURVEY.md §2.10): the reference's
+  * "real-time archival" future-work note (reference README.md:124) plus
+  * the standard streaming analytics a telemetry pipeline needs.
+  *
+  * Every transform here is defined `DataFrame => DataFrame` so the SAME
+  * code runs in batch and streaming — the batch twins are verified
+  * against the DuckDB oracle (q_window_tumbling, q_sessionize), and the
+  * streaming tests assert stream-mode output equals batch-mode output
+  * on the same files.
+  */
+object Streaming {
+
+  /** events schema for file-stream reads (ts pre-converted to µs
+    * timestamp by the batch loader; the streaming source reads the raw
+    * nanos long and converts identically).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch nanos (parquet TIMESTAMP(NANOS))
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over an events-shaped parquet
+    * directory — the incremental version of the reference's batch
+    * re-scan loop. maxFilesPerTrigger bounds per-batch work.
+    */
+  def readEventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts+sums per event type, watermarked 1 hour —
+    * late rows beyond the watermark are dropped, state is bounded.
+    * Works identically on a batch frame (watermark is a no-op there).
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).getField("start").as("bucket_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"))
+
+  /** Sliding-window (hopping) aggregation. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).getField("start").as("bucket_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows (30-min inactivity gap) — native session_window,
+    * the streaming twin of the batch q_sessionize query.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Stateful streaming dedup on event_id within the watermark horizon —
+    * exactly-once-per-key delivery for the archival sink.
+    */
+  def dedupedStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** The reference's archival loop as an incremental streaming sink:
+    * filter → shape → partitioned parquet append (reference
+    * main.go:88-93,220-223, done continuously instead of by re-running
+    * the container).
+    */
+  def archiveSink(events: DataFrame, outDir: String, checkpointDir: String):
+      DataStreamWriter[Row] = {
+    val shaped = events
+      .select(col("event_id").as("id"), col("ts").as("timestamp"),
+        col("user_id").cast("string").as("device_id"), col("value"))
+      .withColumn("year", year(col("timestamp")))
+      .withColumn("month", month(col("timestamp")))
+    shaped.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("year", "month")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** Drive a streaming query over already-present files to completion
+    * (test/backfill helper): processes everything available, then stops.
+    */
+  def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+  }
+}

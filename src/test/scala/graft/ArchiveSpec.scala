@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Archive
+
+/** Unit + property coverage of the [REF] archival operators
+  * (SURVEY.md §5.2-5.3): cutoff boundary, empty-input short-circuit,
+  * union stamping, top-k = sorted prefix, per-row partition derivation
+  * across a month boundary, archival partition invariants.
+  */
+class ArchiveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def iotDf(rows: Seq[(Long, String, String, Double)]) =
+    rows.toDF("id", "ts_str", "device_id", "value")
+      .select(col("id"), to_timestamp(col("ts_str")).as("timestamp"),
+        col("device_id"), col("value"))
+
+  private val sample = iotDf(Seq(
+    (1L, "2024-01-31 23:59:59", "d1", 1.0),
+    (2L, "2024-02-01 00:00:00", "d1", 2.0), // exactly at cutoff
+    (3L, "2024-02-01 00:00:01", "d2", 3.0),
+    (4L, "2023-12-15 12:00:00", "d2", 4.0)))
+
+  test("retention filter is strict < (reference main.go:91 boundary)") {
+    val out = sample.transform(Archive.retentionFilter("timestamp", "2024-02-01 00:00:00"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("empty extraction short-circuits to zero rows (main.go:189-192)") {
+    val out = sample.transform(Archive.retentionFilter("timestamp", "2000-01-01 00:00:00"))
+    assert(out.isEmpty)
+  }
+
+  test("top-k newest equals sorted-prefix semantics (main.go:88-93)") {
+    val out = sample.transform(Archive.topKNewest("timestamp", "id", 2))
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(3L, 2L))
+  }
+
+  test("union stamps distinct table_name per source (main.go:114,180-187)") {
+    val a = sample.transform(Archive.stampTableName("t_a"))
+    val b = sample.transform(Archive.stampTableName("t_b"))
+    val u = Archive.unionAll(Seq(a, b))
+    assert(u.count() == 8)
+    assert(u.groupBy("table_name").count().as[(String, Long)].collect().toMap ==
+      Map("t_a" -> 4L, "t_b" -> 4L))
+  }
+
+  test("per-row partition derivation splits a month-spanning batch " +
+      "(fixes main.go:195-200 single-partition placement)") {
+    val parts = sample.transform(Archive.withTimePartitions("timestamp"))
+      .select("year", "month").distinct().as[(Int, Int)].collect().toSet
+    assert(parts == Set((2024, 1), (2024, 2), (2023, 12)))
+  }
+
+  test("epoch-nanos shape is µs*1000 (main.go:39 with documented truncation)") {
+    val ns = sample.transform(Archive.toArchiveShape("timestamp"))
+      .select("timestamp").as[Long].collect()
+    assert(ns.forall(_ % 1000L == 0L))
+    val expect = java.time.LocalDateTime.parse("2024-01-31T23:59:59")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    assert(ns.contains(expect))
+  }
+
+  test("archive pipeline invariants: archived ∪ retained = all, disjoint, " +
+      "every archived ts < cutoff") {
+    val cutoff = "2024-02-01 00:00:00"
+    val archived = Archive.archivePipeline(
+      Seq("t" -> sample), "timestamp", "id", cutoff, 10)
+    val archIds = archived.select("id").as[Long].collect().toSet
+    val allIds = sample.select("id").as[Long].collect().toSet
+    val retained = allIds -- archIds
+    assert(archIds.subsetOf(allIds))
+    assert((archIds ++ retained) == allIds && (archIds & retained).isEmpty)
+    val maxArchived = archived.agg(max("timestamp")).as[java.sql.Timestamp].head()
+    assert(maxArchived.before(java.sql.Timestamp.valueOf(cutoff)))
+  }
+
+  test("writeArchive produces hive year=/month= layout, snappy parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_arch").toString
+    val df = sample.transform(Archive.withTimePartitions("timestamp"))
+    Archive.writeArchive(df, dir)
+    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("year=")).sorted
+    assert(sub.toSeq == Seq("year=2023", "year=2024"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4)
+    assert(back.columns.toSet.contains("month"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.JdbcRetention
+
+/** Retention write-back (SURVEY.md §7 step 6): the delete set must be
+  * keyed to the actually-archived rows — NOT the reference's wider
+  * `timestamp < cutoff` predicate (main.go:134), which can delete rows
+  * it never archived. No live PG in the sandbox: range derivation is
+  * tested directly, delete execution through a recording stub
+  * Connection.
+  */
+class RetentionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("archivedKeyRanges collapses contiguous ids into ranges per table") {
+    val archived = Seq(
+      ("t1", 1L), ("t1", 2L), ("t1", 3L), ("t1", 7L), ("t1", 8L),
+      ("t2", 10L)).toDF("table_name", "id")
+    val ranges = JdbcRetention.archivedKeyRanges(archived).toSet
+    assert(ranges == Set(("t1", 1L, 3L), ("t1", 7L, 8L), ("t2", 10L, 10L)))
+  }
+
+  test("deleteArchived issues one bounded DELETE per range with bind params " +
+      "and rejects non-allowlisted tables") {
+    val archived = Seq(("iot_data", 1L), ("iot_data", 2L), ("iot_data", 9L))
+      .toDF("table_name", "id")
+
+    val executed = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val conn = stubConnection((sql, lo, hi) => executed += ((sql, lo, hi)))
+
+    val counts = JdbcRetention.deleteArchived(archived, Set("iot_data"), () => conn)
+    assert(counts == Map("iot_data" -> 2L)) // stub reports 1 row per executeUpdate
+    assert(executed.toSet ==
+      Set(("""DELETE FROM "iot_data" WHERE id BETWEEN ? AND ?""", 1L, 2L),
+        ("""DELETE FROM "iot_data" WHERE id BETWEEN ? AND ?""", 9L, 9L)))
+
+    val bad = intercept[IllegalArgumentException] {
+      JdbcRetention.deleteArchived(archived, Set("other"), () => conn)
+    }
+    assert(bad.getMessage.contains("iot_data"))
+  }
+
+  /** Minimal dynamic-proxy JDBC stub: records (sql, lo, hi) per
+    * executeUpdate, returns 1 affected row each.
+    */
+  private def stubConnection(record: (String, Long, Long) => Unit): java.sql.Connection = {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    def proxy[T](cls: Class[T])(h: (Object, Method, Array[Object]) => Object): T =
+      Proxy.newProxyInstance(cls.getClassLoader, Array(cls),
+        new InvocationHandler {
+          override def invoke(p: Object, m: Method, a: Array[Object]): Object = h(p, m, a)
+        }).asInstanceOf[T]
+    proxy(classOf[java.sql.Connection]) { (_, m, args) =>
+      m.getName match {
+        case "prepareStatement" =>
+          val sql = args(0).asInstanceOf[String]
+          var lo, hi = 0L
+          proxy(classOf[java.sql.PreparedStatement]) { (_, pm, pa) =>
+            pm.getName match {
+              case "setLong" =>
+                if (pa(0).asInstanceOf[Integer] == 1) lo = pa(1).asInstanceOf[java.lang.Long]
+                else hi = pa(1).asInstanceOf[java.lang.Long]
+                null
+              case "executeUpdate" => record(sql, lo, hi); Integer.valueOf(1)
+              case "close" => null
+              case _ => null
+            }
+          }
+        case "close" => null
+        case _ => null
+      }
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Similarity
+import graft.functions.ArrayMath
+import graft.model.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, TestSpark.Sf0001).cache()
+  private def queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  test("native dot_f32 equals the interpreted zip_with+aggregate fold bit-for-bit") {
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.4f))).toDF("a", "b")
+    val rows = df.select(ArrayMath.dotF(col("a"), col("b")).as("native"), hof.as("hof"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("dot_f32 is registered for SQL and codegen-evaluable") {
+    ArrayMath.register(spark)
+    val r = spark.sql(
+      "SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").as[Double].head()
+    assert(r == 11.0)
+  }
+
+  test("cosine: self-similarity is 1, symmetry holds") {
+    val df = emb.limit(20).select(col("vec_id"), col("embedding"))
+    val self = df.select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .as[Double].collect()
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+    val pairAb = Similarity.cosine(col("a.embedding"), col("b.embedding"))
+    val pairBa = Similarity.cosine(col("b.embedding"), col("a.embedding"))
+    val sym = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(pairAb.as("ab"), pairBa.as("ba")).as[(Double, Double)].collect()
+    assert(sym.forall { case (ab, ba) => ab == ba })
+  }
+
+  test("brute-force top-k: k rows per query, scores non-increasing") {
+    val tk = Similarity.topKCosine(emb, queries, 10)
+      .select("query_id", "rank", "score").as[(Long, Int, Double)].collect()
+    assert(tk.length == 50)
+    tk.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("sign-LSH ANN reaches >=40% recall@10 vs brute force on random vectors") {
+    val exact = Similarity.topKCosine(emb, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(emb, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("IVF assigns every vector to exactly one cell") {
+    val cents = Similarity.ivfCentroids(emb, 8)
+    val assigned = Similarity.ivfAssign(
+      emb.select(col("vec_id"), col("embedding")), "embedding", cents)
+    assert(assigned.count() == emb.count())
+    assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streaming
+import graft.model.Tables
+
+/** Streaming ≡ batch equivalence: the same `DataFrame => DataFrame`
+  * transforms produce identical results when driven incrementally from
+  * files as when run in one batch (SURVEY.md §7 step 5).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def eventsDir: String = {
+    // one-file parquet dir of raw events (ts still nanos long)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    Tables.eventsRawNanos(spark, TestSpark.Sf0001).coalesce(2)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("tumbling-window streaming agg equals batch agg on same files") {
+    val dir = eventsDir
+    val stream = Streaming.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = Streaming.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumble_out")
+      .select("bucket_start", "event_type", "n", "val_sum")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = Streaming.tumblingCounts(Tables.events(spark, TestSpark.Sf0001))
+      .select("bucket_start", "event_type", "n", "val_sum")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming archive sink writes the hive year=/month= layout incrementally") {
+    val dir = eventsDir
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val stream = Streaming.readEventsStream(spark, dir)
+    val q = Streaming.archiveSink(stream, out, ckpt).start()
+    q.awaitTermination(120000)
+    val back = spark.read.parquet(out)
+    assert(back.count() == Tables.events(spark, TestSpark.Sf0001).count())
+    assert(back.select("year", "month").distinct().as[(Int, Int)].collect()
+      .toSet == Set((2024, 1)))
+  }
+
+  test("stateful dedup drops duplicate event_ids within watermark") {
+    val dir = eventsDir
+    // duplicate the source: same rows twice -> dedup must halve them
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_stream_dup").toString
+    val raw = spark.read.parquet(dir)
+    raw.union(raw).coalesce(1).write.mode("overwrite").parquet(dupDir)
+    val stream = Streaming.readEventsStream(spark, dupDir)
+    val q = Streaming.dedupedStream(stream)
+      .select("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("dedup_out").count()
+    assert(n == raw.count())
+  }
+}

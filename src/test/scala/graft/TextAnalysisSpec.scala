@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quality features: counts and ratios on a known doc") {
+    val df = Seq((1L, "the quick the lazy dog")).toDF("doc_id", "text")
+    val f = TextAnalysis.qualityFeatures(df, "text")
+      .select("n_tokens", "n_distinct_tokens", "n_stop", "stop_ratio", "uniq_ratio")
+      .as[(Int, Int, Int, Double, Double)].head()
+    assert(f == ((5, 4, 2, 0.4, 0.8)))
+  }
+
+  test("langId picks the marker-richest language, ties alphabetical") {
+    val df = Seq(
+      (1L, "the a filter"),        // en markers x2
+      (2L, "vector hash filter"),  // zh markers x2
+      (3L, "nomatch words only")   // all scores 0 -> alphabetical 'de'
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "zh", 3L -> "de"))
+  }
+
+  test("canonical fingerprint is order- and repetition-invariant; rolling hash is not") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha alpha"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    val rh = df.select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
+      .as[(Long, Long)].collect().toMap
+    assert(rh(1L) != rh(2L)) // order-sensitive
+    assert(rh.values.forall(v => v >= 0 && v < 2147483647L))
+  }
+
+  test("bpe-ish token count splits punctuation and digit boundaries") {
+    val df = Seq((1L, "hello,world x9y")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.bpeishTokenCount(col("text")).as("n"))
+      .as[Int].head()
+    // hello | ,world -> ,world splits at punct => hello , world x 9 y
+    assert(n == 6)
+  }
+}
