@@ -62,6 +62,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard pairs with PREFIX FILTERING (the AllPairs /
+    * PPJoin family): index only each document's first
+    * p = n − ⌈t·n⌉ + 1 shingles under a global rarest-first order —
+    * any pair with J ≥ t must collide inside these prefixes, so the
+    * candidate space shrinks by orders of magnitude versus indexing
+    * every shingle, with NO recall loss. Plus length filtering
+    * (|B| ≥ t·|A|) applied inside the join condition.
+    *
+    * Same output as [[ngramJaccardPairs]] (verified in DedupSpec);
+    * this is the formulation that survives 100 TB — the inverted index
+    * is ~(1−t) of the full one and candidates are rare-shingle
+    * collisions only.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, n)
+    // Global order = shingle-hash ascending. Any fixed total order keeps
+    // the prefix guarantee; hash order makes the per-doc sort a row-local
+    // `array_sort` (NO shuffle), where the classic rarest-first order
+    // would cost a doc-frequency join + collect_list shuffle that
+    // dominates at moderate scale.
+    val sorted = sets.select(col("doc_id"),
+        sort_array(expr("transform(shingles, s -> xxhash64(s))")).as("shs"),
+        size(col("shingles")).as("n_sh"))
+    val withPrefix = sorted.withColumn("p",
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))
+      .withColumn("prefix", slice(col("shs"), lit(1), col("p")))
+    val pref = withPrefix.select(col("doc_id"), col("n_sh"),
+      explode(col("prefix")).as("sh"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // length filter: sizes of a qualifying pair differ by ≤ 1/t
+          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
+          col("a.n_sh") * lit(threshold) <= col("b.n_sh"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cands
+      .join(sorted.select(col("doc_id"), col("shs"), col("n_sh")).as("sa"),
+        col("a_id") === col("sa.doc_id"))
+      .join(sorted.select(col("doc_id"), col("shs"), col("n_sh")).as("sb"),
+        col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") -
+            size(array_intersect(col("sa.shs"), col("sb.shs"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signatures: k independent hash functions simulated as
     * xxhash64 salted with the permutation index; one exploded pass,
     * k partial-aggregated mins — no per-doc loops.

@@ -29,7 +29,12 @@ object ExtQueries {
       Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("content_hash"))),
 
-    // n-gram Jaccard near-dup via inverted shingle index (no crossJoin).
+    // n-gram Jaccard near-dup via inverted shingle index + groupBy
+    // count (no crossJoin). Measured faster here than the prefix-
+    // filtered AllPairs variant (Dedup.ngramJaccardPairsPrefix, kept +
+    // equivalence-tested): this synthetic corpus's tiny vocabulary
+    // makes per-pair array_intersect verification dominate; on
+    // high-vocabulary corpora the prefix join wins.
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
           n = 3, threshold = 0.6)
@@ -61,7 +66,7 @@ object ExtQueries {
         .select(col("query_id"), col("rank"), col("vec_id"))
         .orderBy(col("query_id"), col("rank"))),
 
-    // sign-LSH ANN with Hamming-1 probes (rows-only; recall asserted in
+    // multi-table sign-LSH ANN (rows-only; recall asserted in
     // SimilaritySpec against the brute-force baseline).
     "q_similarity_ann" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), queryVecs(s, d), k = 10)

@@ -31,6 +31,28 @@ object RefQueries {
       col("user_id").cast("string").as("device_id"),
       col("value"))
 
+  /** eventsAsIot with the retention cutoff applied on the RAW nanos
+    * long, BEFORE the ns→µs conversion: a predicate on the converted
+    * timestamp cannot pass through `timestamp_micros(ts div 1000)` to
+    * the scan, but `ts < cutoff_µs * 1000` is a plain long comparison
+    * the parquet reader evaluates against row-group statistics
+    * (PushedFilters — asserted in PlanSpec). Equivalent because the
+    * cutoff is whole-µs: floor(ns/1000) < C ⟺ ns < C*1000.
+    */
+  def eventsAsIotBefore(s: SparkSession, d: String, cutoff: String): DataFrame = {
+    val cutoffNanos = java.time.LocalDateTime
+      .parse(cutoff.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+      .getEpochSecond * 1000000000L
+    Tables.eventsRawNanos(s, d)
+      .filter(col("ts") < lit(cutoffNanos))
+      .select(
+        col("event_id").as("id"),
+        timestamp_micros(expr("ts div 1000")).as("timestamp"),
+        col("user_id").cast("string").as("device_id"),
+        col("value"))
+  }
+
   /** DuckDB twin of `Tables.events`'s ns→µs truncation: the driver's
     * DuckDB view sees `ts` as TIMESTAMP_NS; floor-divide nanos to µs
     * exactly like Spark's `ts div 1000`.
@@ -46,15 +68,12 @@ object RefQueries {
     // P1+P2 (main.go:89,91): projection + retention range filter —
     // both reach the parquet scan (ReadSchema pruning + PushedFilters).
     "q_retention_filter" -> ((s, d) =>
-      eventsAsIot(s, d)
-        .transform(Archive.retentionFilter("timestamp", Cutoff))
-        .orderBy(col("id"))),
+      eventsAsIotBefore(s, d, Cutoff).orderBy(col("id"))),
 
     // O1+O2+O3 (main.go:88-93): newest batchSize rows older than cutoff.
     // Catalyst fuses to TakeOrderedAndProject (distributed top-k heap).
     "q_topk_newest" -> ((s, d) =>
-      eventsAsIot(s, d)
-        .transform(Archive.retentionFilter("timestamp", Cutoff))
+      eventsAsIotBefore(s, d, Cutoff)
         .transform(Archive.topKNewest("timestamp", "id", 100))),
 
     // P3+U1 (main.go:114,180-187): per-table stamp + n-ary union-all.
@@ -68,8 +87,7 @@ object RefQueries {
     // A1+A2 (main.go:194-200,104): batch max-timestamp + row count as
     // plan nodes (partial agg per partition + single merge).
     "q_max_ts" -> ((s, d) =>
-      eventsAsIot(s, d)
-        .transform(Archive.retentionFilter("timestamp", Cutoff))
+      eventsAsIotBefore(s, d, Cutoff)
         .agg(max(col("timestamp")).as("max_ts"), count(lit(1)).as("n"))),
 
     // A2 grouped variant: row counts per discriminator.
@@ -81,8 +99,7 @@ object RefQueries {
     // P4+F3 (main.go:36-44,39): archive row shape — timestamp → epoch
     // nanos INT64 (µs*1000; Spark has no ns precision).
     "q_archive_shape" -> ((s, d) =>
-      eventsAsIot(s, d)
-        .transform(Archive.retentionFilter("timestamp", Cutoff))
+      eventsAsIotBefore(s, d, Cutoff)
         .select(
           col("id"),
           Scalar.epochNanos(col("timestamp")).as("timestamp"),
@@ -102,7 +119,7 @@ object RefQueries {
     // §3.1 flagship: the whole archival pipeline — per-table
     // filter→top-k→stamp, union, partition-derive — one Catalyst plan.
     "q_archive_pipeline" -> ((s, d) => {
-      val iot = eventsAsIot(s, d)
+      val iot = eventsAsIotBefore(s, d, Cutoff)
       Archive.archivePipeline(
         Seq("iot_data" -> iot.filter(col("id") % 2 === 0),
             "iot_metrics" -> iot.filter(col("id") % 2 === 1)),

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.Scalar.dsum
+
+/** Statistics + SQL-API surface: exact percentiles, deterministic
+  * variance/stddev, GROUPING SETS via the SQL entry point, correlated
+  * per-group comparisons.
+  *
+  * Variance note: Spark's `var_samp` merges per-partition Welford
+  * states, so its last bits depend on partitioning — not oracle-safe.
+  * `q_variance_stats` instead derives var/stddev from DECIMAL-exact
+  * Σx and Σx² (identical doubles in any engine, any partitioning):
+  * var = (s2 − s1²/n)/(n−1).
+  */
+object StatsQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact interpolated percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`, verified bit-exact).
+    "q_percentiles" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderstatus"))),
+
+    // partitioning-independent variance/stddev from exact moments.
+    "q_variance_stats" -> ((s, d) => {
+      val s1 = sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+      val s2 = sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(30,4)"))
+        .cast("double")
+      val n = count(lit(1))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(n.as("n"), s1.as("s1"), s2.as("s2"))
+        .select(col("o_orderstatus"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("variance"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("stddev"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // A5: explicit GROUPING SETS through the SQL entry point.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST,
+          |  l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // correlated per-group comparison, decorrelated as a join (the
+    // scale-safe formulation of "orders 1.5x above their customer's
+    // average").
+    "q_above_avg_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val custAvg = o.groupBy(col("o_custkey").as("ck"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("cust_avg"))
+      val c = Tables.customer(s, d)
+      o.join(custAvg, col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |quantile_cont(o_totalprice, 0.5) AS p50,
+        |quantile_cont(o_totalprice, 0.9) AS p90,
+        |MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_variance_stats" ->
+      """WITH m AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS s2
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n, s1 / n AS mean,
+        |(s2 - s1 * s1 / n) / (n - 1) AS variance,
+        |sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
+        |FROM m ORDER BY o_orderstatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_above_avg_orders" ->
+      """WITH ca AS (SELECT o_custkey AS ck,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS cust_avg
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN ca ON o_custkey = ck
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > cust_avg * 1.5
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

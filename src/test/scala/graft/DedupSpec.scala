@@ -38,6 +38,17 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("prefix-filtered jaccard join equals the naive inverted-index join") {
+    for (t <- Seq(0.6, 0.8)) {
+      val naive = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == naive, s"threshold $t")
+      assert(naive.nonEmpty)
+    }
+  }
+
   test("jaccard is symmetric-by-construction and bounded in (0,1]") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .as[(Long, Long, Double)].collect()

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (the "would this survive 100 TB" gate):
+  * filters reach the parquet scan, projections prune the read schema,
+  * small dimensions broadcast, global top-k fuses to
+  * TakeOrderedAndProject instead of a full sort.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.Sf0001
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("retention filter is pushed to the events parquet scan " +
+      "(raw-nanos predicate, row-group prunable)") {
+    val p = plan("q_retention_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"), p)
+  }
+
+  test("q1 pushes the shipdate range filter and prunes the read schema") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate,"), p)
+    // 7 of 11 lineitem columns needed; id columns must NOT be read
+    assert(!p.contains("l_orderkey"), "read schema not pruned:\n" + p)
+  }
+
+  test("q5 star join broadcasts every dimension (single fact scan, " +
+      "no dim-side shuffle)") {
+    val p = plan("q5_nation_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("global top-n fuses to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topn_orders").contains("TakeOrderedAndProject"))
+    assert(plan("q_topk_newest").contains("TakeOrderedAndProject"))
+    assert(plan("q3_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("grouped aggregation runs two-phase (partial before shuffle)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial agg:\n" + p)
+  }
+
+  test("similarity hot path stays native: codegen'd dot_f32, no UDF") {
+    val p = plan("q_similarity_topk")
+    assert(p.contains("dot_f32"), p)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+  }
+}
