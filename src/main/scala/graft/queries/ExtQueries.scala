@@ -110,6 +110,28 @@ object ExtQueries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // TF-IDF: term frequency joined with document frequency — the
+    // classic two-aggregation + broadcast-join shape. Top-30 terms by
+    // tfidf within doc 0..9 (bounded output, deterministic ties).
+    "q_text_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df_ = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(broadcast(df_), "token")
+        .crossJoin(broadcast(nDocs))
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("token"),
+          // round(9): Math.log vs libm log differ by 1 ulp across engines
+          round(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df")), 9).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+        .limit(30)
+    }),
+
     // order-sensitive rolling-hash fingerprint (rows-only: xxhash64).
     "q_text_rollhash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -200,6 +222,19 @@ object ExtQueries {
         |  WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
         |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, token FROM toks) t GROUP BY token),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, token,
+        |round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN nd
+        |WHERE doc_id < 10
+        |ORDER BY tfidf DESC, doc_id, token LIMIT 30""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(

@@ -236,6 +236,21 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // 2.3 range/interval join: lineitems shipped within 120 days of
+    // their order date — equi key + range predicate, so Catalyst plans
+    // a hash/sort-merge join on the key with the range as a post-filter
+    // (NOT a nested loop).
+    "q_range_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // 2.3 as-of join: each purchase ↔ most recent prior signup of the
     // same user. Window-based (one shuffle by user), not a nested-loop —
     // the 100 TB-safe formulation; ties (equal ts) count the signup.
@@ -403,6 +418,14 @@ object RelationalQueries {
         |  FROM g)
         |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 120 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_asof_join" ->
       s"""$EventsCte SELECT p.event_id, p.user_id, p.ts,

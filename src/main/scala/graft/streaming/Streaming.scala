@@ -106,6 +106,31 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Custom streaming state via flatMapGroupsWithState: per-user
+    * running totals emitted on every update — the escape hatch for
+    * stateful logic windowed aggregates can't express (reference's
+    * NOTIFY/LISTEN note, done with bounded state + timeouts).
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame):
+      org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong),
+      col("value").as[Double](org.apache.spark.sql.Encoders.scalaDouble))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          Iterator((user, n, v))
+      }
+  }
+
   /** Drive a streaming query over already-present files to completion
     * (test/backfill helper): processes everything available, then stops.
     */

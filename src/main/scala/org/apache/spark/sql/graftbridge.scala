@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to an existing
+    * session's registry (testing hook; production uses
+    * `spark.sql.extensions` at session build time).
+    */
+  def applyFunctionExtensions(ext: SparkSessionExtensions,
+      spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Tables
+import graft.ops.Scale
+
+/** Scale mechanics: salted joins preserve semantics while spreading hot
+  * keys; bucketed tables join with zero shuffle (no Exchange in plan).
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows under heavy skew") {
+    // 10k rows of one hot key + scattered keys, joined to a small dim
+    val left = spark.range(10000)
+      .select(when(col("id") % 10 === 0, -1L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = Seq((-1L, "hot"), (77L, "warm"), (12345L, "cold"))
+      .toDF("rk", "tag")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "payload", "tag").as[(Long, Long, String)].collect().toSet
+    val salted = Scale.saltedJoin(left, right, "k", "rk", 8)
+      .select("k", "payload", "tag").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == -1L) == 1000)
+  }
+
+  test("bucketed tables join without a shuffle (no Exchange above the scans)") {
+    val o = Tables.orders(spark, TestSpark.Sf0001)
+    val l = Tables.lineitem(spark, TestSpark.Sf0001)
+    val (bo, bl) = Scale.writeBucketedPair(spark,
+      o, "orders_b", "o_orderkey", l, "lineitem_b", "l_orderkey", 8)
+    val joined = bo.join(bl, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "orders side shuffled:\n" + plan)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      "lineitem side shuffled:\n" + plan)
+    // results still correct vs the unbucketed join
+    val expect = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(joined.as[(String, Long)].collect().toSet == expect)
+  }
+
+  test("GraftExtensions injects dot_f32 into a session function registry") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyFunctionExtensions(ext, spark)
+    val r = spark.sql(
+      "SELECT dot_f32(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
+      .collect()(0).getDouble(0)
+    assert(r == 6.0)
+  }
+}

@@ -52,6 +52,27 @@ class StreamingSpec extends AnyFunSuite {
       .toSet == Set((2024, 1)))
   }
 
+  test("flatMapGroupsWithState running totals: final state equals batch totals") {
+    val dir = eventsDir
+    val stream = Streaming.readEventsStream(spark, dir)
+    val q = Streaming.runningUserTotals(spark, stream)
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // last emitted row per user == batch aggregate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
+    val finalState = spark.table("state_out")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n").as[(Long, Long)].collect().toMap
+    val batch = Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(finalState == batch)
+  }
+
   test("stateful dedup drops duplicate event_ids within watermark") {
     val dir = eventsDir
     // duplicate the source: same rows twice -> dedup must halve them
