@@ -22,7 +22,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
-    val iot = RefQueries.eventsAsIot(spark, d)
+    val iot = RefQueries.eventsAsIotBefore(spark, d, RefQueries.Cutoff)
     Archive.archivePipeline(
       Seq("iot_data" -> iot.filter(col("id") % 2 === 0),
           "iot_metrics" -> iot.filter(col("id") % 2 === 1)),
@@ -31,12 +31,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.defs ++ RelationalQueries.defs ++ ExtQueries.defs ++ StatsQueries.defs
+    RefQueries.defs ++ RelationalQueries.defs ++ ExtQueries.defs ++ StatsQueries.defs ++ ShapeQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops) get
     * the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    RefQueries.oracles ++ RelationalQueries.oracles ++ ExtQueries.oracles ++ StatsQueries.oracles
+    RefQueries.oracles ++ RelationalQueries.oracles ++ ExtQueries.oracles ++ StatsQueries.oracles ++ ShapeQueries.oracles
 }

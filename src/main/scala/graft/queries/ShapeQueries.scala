@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.Scalar.dsum
+
+/** Reshaping + remaining analytic surface: pivot, ordered array
+  * aggregation, dense_rank/ntile/lead, arg-max aggregates, EXCEPT ALL.
+  */
+object ShapeQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // pivot: one column per event_type (schema fixed by explicit value
+    // list — never let pivot scan for values at scale).
+    "q_pivot_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("day", dayofmonth(col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("day"))),
+
+    // ordered array aggregation (collect_list is unordered by contract;
+    // sort_array pins it).
+    "q_collect_ordered" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .groupBy(col("l_orderkey"))
+        .agg(concat_ws(",",
+            sort_array(collect_list(col("l_linenumber")))).as("lines"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_orderkey"))),
+
+    // dense_rank / ntile / lead in one pass over one window spec.
+    "q_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("drk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .filter(col("drk") <= 20)
+        .orderBy(col("o_orderpriority"), col("drk"), col("o_orderkey"))
+    }),
+
+    // arg-max/arg-min aggregates (max_by/min_by).
+    "q_argmax" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("biggest_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("smallest_order"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy(col("o_orderstatus"))),
+
+    // multiset difference: EXCEPT ALL keeps duplicate cardinalities.
+    "q_set_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.select(col("o_custkey"))
+        .exceptAll(o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_pivot_events" ->
+      """WITH e AS (SELECT CAST(day(make_timestamp(epoch_ns(ts) // 1000)) AS INT) AS day,
+        |  event_type FROM events)
+        |SELECT day,
+        |COUNT(*) FILTER (event_type = 'click') AS click,
+        |COUNT(*) FILTER (event_type = 'error') AS error,
+        |COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM e GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_collect_ordered" ->
+      """SELECT l_orderkey,
+        |array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS lines,
+        |COUNT(*) AS n FROM lineitem WHERE l_orderkey <= 100
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drk,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE drk <= 20
+        |ORDER BY o_orderpriority, drk, o_orderkey""".stripMargin,
+
+    "q_argmax" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rs
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |MAX(CASE WHEN rb = 1 THEN o_orderkey END) AS biggest_order,
+        |MAX(CASE WHEN rs = 1 THEN o_orderkey END) AS smallest_order,
+        |MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_set_except_all" ->
+      """WITH x AS (SELECT o_custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |SELECT o_custkey, COUNT(*) AS n FROM x
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  )
+}

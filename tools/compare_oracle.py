@@ -52,8 +52,16 @@ for q in spark_dirs:
         n_fail += 1
         continue
     import pandas as pd
-    sp = sdf.select(scols).to_pandas().sort_values(scols).reset_index(drop=True)
-    op = odf.select(ocols).to_pandas().sort_values(ocols).reset_index(drop=True)
+    import numpy as np
+    def normalize(df):
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(
+                    lambda v: isinstance(v, (np.ndarray, list))).any():
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (np.ndarray, list)) else v)
+        return df
+    sp = normalize(sdf.select(scols).to_pandas()).sort_values(scols).reset_index(drop=True)
+    op = normalize(odf.select(ocols).to_pandas()).sort_values(ocols).reset_index(drop=True)
     ok = True
     for c in scols:
         a, b = sp[c], op[c]
