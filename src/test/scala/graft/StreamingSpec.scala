@@ -52,6 +52,13 @@ class StreamingSpec extends AnyFunSuite {
       .toSet == Set((2024, 1)))
   }
 
+  test("sliding-window counts: each event lands in exactly window/slide buckets") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val slid = Streaming.slidingCounts(ev, "1 hour", "30 minutes")
+    val totalAssignments = slid.agg(sum(col("n"))).as[Long].head()
+    assert(totalAssignments == ev.count() * 2) // 1h window / 30m slide = 2
+  }
+
   test("flatMapGroupsWithState running totals: final state equals batch totals") {
     val dir = eventsDir
     val stream = Streaming.readEventsStream(spark, dir)
