@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Archive
+import graft.ext.{Dedup, TextAnalysis}
+import graft.functions.Aggregators
+
+/** Property-based coverage (SURVEY.md §5.3): archival invariants over
+  * generated batches, dedup/fingerprint invariances, partitioning-
+  * independence of the typed aggregator.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic generator sampling (no scalatestplus bridge in the
+    * offline cache): n samples from fixed seeds.
+    */
+  private def forAllSampled[T](g: Gen[T], n: Int)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i))
+        .foreach(v => body(v))
+    }
+
+  private val tsGen = Gen.choose(
+    java.sql.Timestamp.valueOf("2023-11-01 00:00:00").getTime,
+    java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime)
+  private val rowsGen = Gen.listOfN(60,
+    Gen.zip(Gen.choose(0L, 1000L), tsGen, Gen.choose(0.0, 100.0)))
+
+  test("property: archived ∪ retained = all, disjoint, archived < cutoff, " +
+      "top-k = sorted prefix") {
+    forAllSampled(rowsGen, 8) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((_, ts, v), i) => (i.toLong, new java.sql.Timestamp(ts), v) }
+        .toDF("id", "timestamp", "value")
+      val cutoff = "2024-01-15 00:00:00"
+      val k = 10
+      val archived = df
+        .transform(Archive.retentionFilter("timestamp", cutoff))
+        .transform(Archive.topKNewest("timestamp", "id", k))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+      val all = df.collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+      val cutoffTs = java.sql.Timestamp.valueOf(cutoff)
+      val eligible = all.filter(_._2.before(cutoffTs))
+      // archived = the k newest eligible rows (ties by id asc)
+      val expect = eligible.sortBy { case (id, ts) => (-ts.getTime, id) }.take(k)
+      assert(archived.toSet.subsetOf(all.toSet))
+      assert(archived.forall(_._2.before(cutoffTs)))
+      assert(archived.toSet == expect.toSet)
+    }
+  }
+
+  test("property: canonical fingerprint invariant under token permutation " +
+      "and duplication") {
+    val wordGen = Gen.oneOf("spark", "join", "merge", "sort", "batch", "row")
+    val docGen = Gen.nonEmptyListOf(wordGen)
+    forAllSampled(docGen, 10) { words =>
+      val shuffled = new scala.util.Random(7).shuffle(words)
+      val duplicated = words ++ words.take(words.size / 2)
+      val df = Seq((1L, words.mkString(" ")), (2L, shuffled.mkString(" ")),
+        (3L, duplicated.mkString(" "))).toDF("doc_id", "text")
+      val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+      assert(fps.distinct.length == 1)
+    }
+  }
+
+  test("property: exact dedup keeps one representative per distinct text, " +
+      "copies sum to input size") {
+    val textGen = Gen.listOfN(40, Gen.oneOf("a b c", "x y z", "p q r", "a b d"))
+    forAllSampled(textGen, 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val groups = Dedup.exactGroups(df, "text", "doc_id")
+        .as[(String, Long, Long)].collect()
+      assert(groups.map(_._3).sum == texts.size)
+      assert(groups.length == texts.distinct.size)
+    }
+  }
+
+  test("property: ExactMoneyMean is partitioning-independent and exact") {
+    val pricesGen = Gen.listOfN(50, Gen.choose(1, 10000000)
+      .map(c => c / 100.0))
+    forAllSampled(pricesGen, 4) { prices =>
+      val expected = prices.map(p => math.round(p * 100)).sum / 100.0 / prices.size
+      val results = Seq(1, 3, 7).map { parts =>
+        prices.toDS().repartition(parts)
+          .select(Aggregators.ExactMoneyMean.toColumn)
+          .head()
+      }
+      assert(results.forall(_ == expected))
+    }
+  }
+}
