@@ -46,11 +46,17 @@ object Dedup {
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     // join on 8-byte shingle hashes, not strings: ~4x smaller shuffle;
     // a 64-bit collision among ~10^6 distinct shingles is ~1e-7 — far
-    // below the bit-exactness bar of everything else here.
-    val inv = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    // below the bit-exactness bar of everything else here. Each inverted
+    // row carries its doc's set size so the LENGTH FILTER (J ≥ t ⇒
+    // t·|B| ≤ |A| ≤ |B|/t) prunes pairs inside the join, before the
+    // aggregation shuffle ever sees them.
+    val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh"))
     val inter = inv.as("a").join(inv.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
+          col("a.n_sh") * lit(threshold) <= col("b.n_sh"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter

@@ -136,7 +136,22 @@ object ExtQueries {
     "q_text_rollhash" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // multimodal plumbing end-to-end (rows-only: binary payloads +
+    // partition-wise stubbed decode have no SQL twin; values are
+    // deterministic and pinned by MultimodalSpec): per-kind feature
+    // rollup over the synthetic media table.
+    "q_multimodal_features" -> ((s, d) => {
+      import graft.ext.Multimodal
+      Multimodal.extractFeatures(
+          Multimodal.syntheticMedia(s, 300).repartition(4), dim = 16)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("mean_intensity")), 6).as("avg_intensity"))
+        .orderBy(col("kind"))
+    })
   )
 
   private val ShingleCte =
