@@ -31,14 +31,27 @@ object StatsQueries {
         .orderBy(col("o_orderstatus"))),
 
     // partitioning-independent variance/stddev from exact moments.
+    // Money is integer CENTS; the second moment Σcents² (~10²⁰) is
+    // carried as TWO exact int64 sums (hi = Σ c²÷10⁶, lo = Σ c²mod10⁶)
+    // because a single huge decimal differs across engines at the
+    // int128→double cast (DuckDB's is not correctly rounded — caught
+    // by the sf0.1 robustness sweep). hi, lo < 2⁵³ convert exactly;
+    // the recombination is the same IEEE arithmetic everywhere.
     "q_variance_stats" -> ((s, d) => {
       val s1 = sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-      val s2 = sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(30,4)"))
-        .cast("double")
       val n = count(lit(1))
       Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+        .withColumn("c2", col("cents") * col("cents"))
+        .withColumn("c2_hi", expr("c2 div 1000000"))
+        .withColumn("c2_lo", col("c2") % 1000000L)
         .groupBy(col("o_orderstatus"))
-        .agg(n.as("n"), s1.as("s1"), s2.as("s2"))
+        .agg(n.as("n"), s1.as("s1"),
+          sum(col("c2_hi")).as("hi"),
+          sum(col("c2_lo")).as("lo"))
+        .select(col("o_orderstatus"), col("n"), col("s1"),
+          ((col("hi").cast("double") * 1000000.0 + col("lo").cast("double")) / 10000.0)
+            .as("s2"))
         .select(col("o_orderstatus"), col("n"),
           (col("s1") / col("n")).as("mean"),
           ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("variance"),
@@ -86,14 +99,20 @@ object StatsQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_variance_stats" ->
-      """WITH m AS (SELECT o_orderstatus, COUNT(*) AS n,
+      """WITH c AS (SELECT o_orderstatus, o_totalprice,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |m AS (SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-        |  CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS s2
-        |  FROM orders GROUP BY o_orderstatus)
+        |  CAST(SUM((cents * cents) // 1000000) AS BIGINT) AS hi,
+        |  CAST(SUM((cents * cents) % 1000000) AS BIGINT) AS lo
+        |  FROM c GROUP BY o_orderstatus),
+        |m2 AS (SELECT o_orderstatus, n, s1,
+        |  (CAST(hi AS DOUBLE) * 1000000.0 + CAST(lo AS DOUBLE)) / 10000.0 AS s2
+        |  FROM m)
         |SELECT o_orderstatus, n, s1 / n AS mean,
         |(s2 - s1 * s1 / n) / (n - 1) AS variance,
         |sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
-        |FROM m ORDER BY o_orderstatus""".stripMargin,
+        |FROM m2 ORDER BY o_orderstatus""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
