@@ -138,6 +138,15 @@ object ExtQueries {
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
         .orderBy(col("doc_id"))),
 
+    // the north-star composition: quality gate → exact dedup →
+    // near-dup dedup, as ONE verified pipeline (each stage already
+    // verified alone; this pins the composition).
+    "q_curation_pipeline" -> ((s, d) =>
+      graft.ext.Curation.curate(Tables.documents(s, d), "text", "doc_id",
+          minTokens = 20, nearDupThreshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"))
+        .orderBy(col("doc_id"))),
+
     // multimodal plumbing end-to-end (rows-only: binary payloads +
     // partition-wise stubbed decode have no SQL twin; values are
     // deterministic and pinned by MultimodalSpec): per-kind feature
@@ -202,6 +211,30 @@ object ExtQueries {
         |    ORDER BY c DESC, vec_id) AS INT) AS rank FROM s)
         |SELECT query_id, rank, vec_id FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_curation_pipeline" ->
+      """WITH f AS (SELECT doc_id, lang, text,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> list_contains(['the','a','of','and','to'], t))) AS n_stop
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 20),
+        |ex AS (SELECT f.* FROM f
+        |  JOIN (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text) k
+        |  USING (doc_id)),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2])) AS s
+        |  FROM ex),
+        |drops AS (SELECT DISTINCT b.doc_id FROM g a JOIN g b
+        |  ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
+        |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(n_stop AS INT) AS n_stop
+        |FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT token, COUNT(*) AS n FROM

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Curation, Dedup}
+import graft.model.Tables
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, TestSpark.Sf0001).cache()
+
+  test("curation output: subset of input, quality-gated, dup-free, idempotent") {
+    val out = Curation.curate(docs, "text", "doc_id", 20, 0.8).cache()
+    val outIds = out.select("doc_id").as[Long].collect().toSet
+    val inIds = docs.select("doc_id").as[Long].collect().toSet
+    assert(outIds.subsetOf(inIds) && outIds.nonEmpty)
+    // quality gate held
+    assert(out.filter(col("n_tokens") < 20).isEmpty)
+    // no surviving near-dup pairs at the threshold
+    val survivors = docs.join(out.select("doc_id"), "doc_id")
+    assert(Dedup.ngramJaccardPairs(survivors, "text", "doc_id", 3, 0.8).isEmpty)
+    // idempotent: curating the survivors changes nothing
+    val again = Curation.curate(survivors, "text", "doc_id", 20, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == outIds)
+  }
+
+  test("near-dup drop keeps the lower id of each pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    val out = Curation.curate(docs, "text", "doc_id", 0, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    pairs.foreach { case (a, b, _) =>
+      assert(!out.contains(b), s"higher id $b of pair ($a,$b) survived")
+    }
+  }
+}
