@@ -106,6 +106,29 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Stream-stream inner join with watermarks: purchases joined to the
+    * same user's signups within `horizon` BEFORE the purchase. Both
+    * sides carry watermarks and the join condition bounds event time on
+    * both sides, so state is provably bounded — the join Spark refuses
+    * to run unbounded. Works identically in batch (the equivalence
+    * test's oracle).
+    */
+  def purchaseSignupJoin(events: DataFrame, watermark: String = "1 hour",
+      horizon: String = "INTERVAL 7 DAYS"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(horizon))
+  }
+
   /** Custom streaming state via flatMapGroupsWithState: per-user
     * running totals emitted on every update — the escape hatch for
     * stateful logic windowed aggregates can't express (reference's

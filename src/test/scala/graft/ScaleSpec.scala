@@ -46,6 +46,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.as[(String, Long)].collect().toSet == expect)
   }
 
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val df = Tables.lineitem(spark, TestSpark.Sf0001)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      df.collect() // materialize so AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead coalesced"),
+        "expected runtime partition coalescing:\n" + plan)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
   test("GraftExtensions injects dot_f32 into a session function registry") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

@@ -52,6 +52,22 @@ class StreamingSpec extends AnyFunSuite {
       .toSet == Set((2024, 1)))
   }
 
+  test("stream-stream purchase-signup join equals the batch join") {
+    val dir = eventsDir
+    val stream = Streaming.readEventsStream(spark, dir)
+    val q = Streaming.purchaseSignupJoin(stream)
+      .select("p_id", "s_id")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+    val batch = Streaming.purchaseSignupJoin(Tables.events(spark, TestSpark.Sf0001))
+      .select("p_id", "s_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sliding-window counts: each event lands in exactly window/slide buckets") {
     val ev = Tables.events(spark, TestSpark.Sf0001)
     val slid = Streaming.slidingCounts(ev, "1 hour", "30 minutes")
