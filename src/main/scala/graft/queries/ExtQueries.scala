@@ -221,12 +221,11 @@ object ExtQueries {
         |ex AS (SELECT f.* FROM f
         |  JOIN (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text) k
         |  USING (doc_id)),
+        |ww AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
         |g AS (SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, len(string_split(text, ' ')) - 2),
-        |    i -> string_split(text, ' ')[i] || ' ' ||
-        |         string_split(text, ' ')[i+1] || ' ' ||
-        |         string_split(text, ' ')[i+2])) AS s
-        |  FROM ex),
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM ww),
         |drops AS (SELECT DISTINCT b.doc_id FROM g a JOIN g b
         |  ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
