@@ -79,6 +79,45 @@ object Archive {
       .partitionBy("year", "month")
       .parquet(path)
 
+  /** Idempotent (exactly-once-per-row) archive append — SURVEY §3.1:
+    * the reference re-archives rows when a run crashes between upload
+    * and delete (duplicate objects). Here the archive itself is the
+    * dedup state: the incoming batch is anti-joined against the
+    * already-archived (table_name, id) keys before appending, so
+    * re-running an interrupted archival writes only missing rows.
+    *
+    * Scale note: the anti-join reads ONLY the archive partitions the
+    * batch can touch — the batch's year/month set is pushed as a
+    * partition-pruning filter (derived from the batch min/max
+    * timestamp, a cheap agg), never a full archive scan.
+    */
+  def appendIdempotent(batch: DataFrame, archiveDir: String): Long = {
+    val spark = batch.sparkSession
+    val shaped = batch.transform(withTimePartitions("timestamp"))
+    val existing =
+      try {
+        val arch = spark.read.parquet(archiveDir)
+        val months = shaped.select(col("year"), col("month")).distinct()
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+        val prune = months.map { case (y, m) =>
+          col("year") === y && col("month") === m
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        Some(arch.filter(prune).select(col("table_name"), col("id")))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val fresh = existing match {
+      case Some(keys) =>
+        shaped.join(keys, Seq("table_name", "id"), "left_anti")
+      case None => shaped
+    }
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode("append")
+        .option("compression", "snappy")
+        .partitionBy("year", "month")
+        .parquet(archiveDir)
+    n
+  }
+
   /** The whole §3.1 pipeline as one composed plan: per-source
     * project→filter→top-k→stamp, union, partition-derive. This is the
     * flagship (`SparkEntry.entry`) shape: every [REF] operator in one

@@ -79,6 +79,25 @@ class ArchiveSpec extends AnyFunSuite {
     assert(maxArchived.before(java.sql.Timestamp.valueOf(cutoff)))
   }
 
+  test("idempotent append: crash-rerun writes no duplicates, new rows land") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem").toString + "/arch"
+    val batch1 = sample.transform(Archive.stampTableName("t"))
+    // first run archives everything
+    assert(Archive.appendIdempotent(batch1, dir) == 4)
+    // crash-rerun of the SAME batch (reference would duplicate): no-op
+    assert(Archive.appendIdempotent(batch1, dir) == 0)
+    assert(spark.read.parquet(dir).count() == 4)
+    // overlapping batch: only the genuinely new row lands
+    val batch2 = iotDf(Seq(
+      (3L, "2024-02-01 00:00:01", "d2", 3.0),   // already archived
+      (9L, "2024-02-02 08:00:00", "d9", 9.0)))  // new
+      .transform(Archive.stampTableName("t"))
+    assert(Archive.appendIdempotent(batch2, dir) == 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5)
+    assert(back.groupBy("id").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("writeArchive produces hive year=/month= layout, snappy parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_arch").toString
     val df = sample.transform(Archive.withTimePartitions("timestamp"))
