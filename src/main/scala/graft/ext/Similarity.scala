@@ -59,6 +59,36 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** Scale path for cosine near-dup pairs: candidates = pairs colliding
+    * in ≥1 of L sign-LSH tables (r planes each), exact cosine filter on
+    * candidates only. Replaces the O(n²) self-join of
+    * [[cosineNearDupPairs]] with L bucket-partitioned joins —
+    * approximate (recall 1−(1−pʳ)ᴸ where p = 1−θ/π), measured against
+    * the exact variant in SimilaritySpec.
+    */
+  def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
+      numTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val tables = (0 until numTables).map(t =>
+      hyperplanes(planesPerTable, dim, seed = 1042L + t))
+    val bucketCols = array(tables.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("table_id"), lshBucket(col("embedding"), planes).as("bucket"))
+    }: _*)
+    val banded = corpus
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("tb", explode(bucketCols))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.table_id"), col("tb.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("score"))
+      .distinct()
+      .filter(col("score") >= threshold)
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (fixed seed — no
     * wall-clock or nondeterministic randomness anywhere).
     */

@@ -79,6 +79,19 @@ class ArchiveSpec extends AnyFunSuite {
     assert(maxArchived.before(java.sql.Timestamp.valueOf(cutoff)))
   }
 
+  test("archive reads prune partitions: a year/month filter becomes " +
+      "PartitionFilters, not a data filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Archive.writeArchive(
+      sample.transform(Archive.withTimePartitions("timestamp")), dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("year") === 2024 && col("month") === 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("(year#") && plan.contains("(month#"), plan)
+    assert(q.count() == 2)
+  }
+
   test("idempotent append: crash-rerun writes no duplicates, new rows land") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idem").toString + "/arch"
     val batch1 = sample.transform(Archive.stampTableName("t"))

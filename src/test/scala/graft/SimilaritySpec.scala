@@ -67,6 +67,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("LSH-bucketed near-dup pairs: subset of exact, usable recall") {
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(emb, 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH produced a pair the exact join rejects")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("IVF assigns every vector to exactly one cell") {
     val cents = Similarity.ivfCentroids(emb, 8)
     val assigned = Similarity.ivfAssign(
