@@ -19,6 +19,18 @@ object StatsQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // typed Aggregator in the verified set: exact integer-cents mean
+    // (udaf-wrapped Aggregator[Double,(Long,Long),Double] — merge is
+    // associative/commutative, so any partitioning gives these bits).
+    "q_typed_agg" -> ((s, d) => {
+      val emm = udaf(graft.functions.Aggregators.ExactMoneyMean,
+        org.apache.spark.sql.Encoders.scalaDouble)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(emm(col("o_totalprice")).as("exact_mean"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // exact interpolated percentiles (Spark `percentile` ==
     // DuckDB `quantile_cont`, verified bit-exact).
     "q_percentiles" -> ((s, d) =>
@@ -91,6 +103,12 @@ object StatsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_typed_agg" ->
+      """SELECT o_orderstatus,
+        |CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |  / 100.0 / COUNT(*) AS exact_mean,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         |quantile_cont(o_totalprice, 0.5) AS p50,

@@ -52,6 +52,17 @@ class StreamingSpec extends AnyFunSuite {
       .toSet == Set((2024, 1)))
   }
 
+  test("native session_window agrees with the lag-based sessionization " +
+      "on per-user session counts") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val native = Streaming.sessionCounts(ev)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    val lagBased = SparkEntry.queries("q_sessionize")(spark, TestSpark.Sf0001)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    assert(native == lagBased)
+  }
+
   test("stream-stream purchase-signup join equals the batch join") {
     val dir = eventsDir
     val stream = Streaming.readEventsStream(spark, dir)
