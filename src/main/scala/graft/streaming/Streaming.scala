@@ -154,6 +154,27 @@ object Streaming {
       }
   }
 
+  /** Exactly-once incremental archival: foreachBatch + the idempotent
+    * keyed append (ops/Archive.appendIdempotent). The checkpoint gives
+    * at-least-once batch delivery; the anti-join on archived
+    * (table_name, id) keys makes redelivery a no-op — so a crash
+    * between write and checkpoint commit (the reference's §3.1
+    * duplicate-objects window) produces zero duplicate rows.
+    */
+  def archiveSinkExactlyOnce(events: DataFrame, outDir: String,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    val shaped = events
+      .select(col("event_id").as("id"), col("ts").as("timestamp"),
+        col("user_id").cast("string").as("device_id"), col("value"))
+      .withColumn("table_name", lit("events"))
+    shaped.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        graft.ops.Archive.appendIdempotent(batch.toDF(), outDir): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Drive a streaming query over already-present files to completion
     * (test/backfill helper): processes everything available, then stops.
     */

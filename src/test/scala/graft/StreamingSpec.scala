@@ -52,6 +52,27 @@ class StreamingSpec extends AnyFunSuite {
       .toSet == Set((2024, 1)))
   }
 
+  test("exactly-once archive sink: replay after checkpoint loss writes " +
+      "no duplicates") {
+    val dir = eventsDir
+    val out = java.nio.file.Files.createTempDirectory("graft_eo_out").toString + "/arch"
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_eo_ck1").toString
+    val q1 = Streaming.archiveSinkExactlyOnce(
+      Streaming.readEventsStream(spark, dir), out, ckpt1).start()
+    q1.awaitTermination(120000)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == Tables.events(spark, TestSpark.Sf0001).count())
+    // simulate total checkpoint loss: a fresh checkpoint replays ALL
+    // input — the keyed anti-join must turn the replay into a no-op
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_eo_ck2").toString
+    val q2 = Streaming.archiveSinkExactlyOnce(
+      Streaming.readEventsStream(spark, dir), out, ckpt2).start()
+    q2.awaitTermination(120000)
+    val back = spark.read.parquet(out)
+    assert(back.count() == n1)
+    assert(back.groupBy("id").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("native session_window agrees with the lag-based sessionization " +
       "on per-user session counts") {
     val ev = Tables.events(spark, TestSpark.Sf0001)
