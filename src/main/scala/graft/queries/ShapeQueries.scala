@@ -57,6 +57,30 @@ object ShapeQueries {
           min(col("o_totalprice")).as("min_price"))
         .orderBy(col("o_orderstatus"))),
 
+    // distribution window functions: percent_rank / cume_dist /
+    // first_value over one ordered partition spec.
+    "q_window_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("cheapest", first_value(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("o_orderkey") <= 500)
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    }),
+
+    // set-union with dedup (UNION vs UNION ALL).
+    "q_set_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .union(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+        .distinct()
+        .orderBy(col("o_custkey"))
+    }),
+
     // multiset difference: EXCEPT ALL keeps duplicate cardinalities.
     "q_set_except_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -109,6 +133,44 @@ object ShapeQueries {
         |MAX(CASE WHEN rs = 1 THEN o_orderkey END) AS smallest_order,
         |MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_window_distribution" ->
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd,
+        |  FIRST_VALUE(o_orderkey) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey)) t
+        |WHERE o_orderkey <= 500
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |UNION
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_window_distribution" ->
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd,
+        |  FIRST_VALUE(o_orderkey) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey)) t
+        |WHERE o_orderkey <= 500
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |UNION
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_set_except_all" ->
       """WITH x AS (SELECT o_custkey FROM orders
