@@ -48,7 +48,7 @@ object Similarity {
 
   /** All near-duplicate pairs by cosine ≥ threshold. Exact variant:
     * block-nested self-join (for modest corpora / verification); at
-    * 100 TB use `lshBuckets` + within-bucket pairs instead.
+    * 100 TB use [[cosineNearDupPairsLsh]] instead.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val cn = corpus.withColumn("nrm", norm(col("embedding")))
@@ -104,7 +104,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Array[Array[Float]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
       when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
