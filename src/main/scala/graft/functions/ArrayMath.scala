@@ -68,14 +68,78 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance over float arrays — same codegen shape as
+  * [[DotProductFloat]] (one fused loop beats dot(a,a)−2dot(a,b)+dot(b,b)
+  * three-pass composition). Euclidean metric for IVF / clustering.
+  */
+case class L2SquaredFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2sq_f32 expects two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = math.min(aa.numElements(), bb.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = aa.getFloat(i).toDouble - bb.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SquaredFloat =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayMath {
   /** Column-level handle for [[DotProductFloat]]. */
   def dotF(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductFloat(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  /** Register `dot_f32` for SQL use on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Column-level handle for [[L2SquaredFloat]]. */
+  def l2sqF(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2SquaredFloat(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Register the array-math functions for SQL use on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f32", exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_f32", exprs => L2SquaredFloat(exprs(0), exprs(1)), "built-in")
+  }
 }

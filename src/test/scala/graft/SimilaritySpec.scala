@@ -35,6 +35,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("l2sq_f32: matches ||a||^2 - 2<a,b> + ||b||^2 identity and is zero on self") {
+    val df = emb.limit(30).select(col("vec_id"), col("embedding"))
+    val self = df.select(ArrayMath.l2sqF(col("embedding"), col("embedding")).as("d"))
+      .as[Double].collect()
+    assert(self.forall(_ == 0.0))
+    val both = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(ArrayMath.l2sqF(col("a.embedding"), col("b.embedding")).as("l2"),
+        (ArrayMath.dotF(col("a.embedding"), col("a.embedding"))
+          - lit(2.0) * ArrayMath.dotF(col("a.embedding"), col("b.embedding"))
+          + ArrayMath.dotF(col("b.embedding"), col("b.embedding"))).as("ident"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (l2, ident) => assert(math.abs(l2 - ident) < 1e-9) }
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
     val df = emb.limit(20).select(col("vec_id"), col("embedding"))
     val self = df.select(
