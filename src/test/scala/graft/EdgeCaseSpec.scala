@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Curation, Dedup, Similarity, TextAnalysis}
+
+/** Degenerate-input behavior: empty frames, single rows, all-identical
+  * corpora — the inputs a 100 TB pipeline WILL eventually feed every
+  * operator.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup ops on an empty corpus return empty, not error") {
+    assert(Dedup.exactGroups(emptyDocs, "text", "doc_id").isEmpty)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "text", "doc_id", 3, 0.5).isEmpty)
+    assert(Dedup.minhashNearDupPairs(emptyDocs, "text", "doc_id").isEmpty)
+    assert(Dedup.simhashNearDupPairs(emptyDocs, "text", "doc_id").isEmpty)
+  }
+
+  test("single-doc corpus: no pairs, one exact group, curation keeps it") {
+    val one = Seq((7L, "alpha beta gamma delta " * 6)).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(one, "text", "doc_id", 3, 0.1).isEmpty)
+    assert(Dedup.exactGroups(one, "text", "doc_id").count() == 1)
+    val curated = Curation.curate(one, "text", "doc_id", minTokens = 5)
+    assert(curated.select("doc_id").as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("all-identical corpus collapses to one survivor") {
+    val same = (1L to 20L).map(i => (i, "spark join merge sort batch row filter"))
+      .toDF("doc_id", "text")
+    val curated = Curation.curate(same, "text", "doc_id", minTokens = 3,
+      nearDupThreshold = 0.9)
+    assert(curated.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("similarity ops on an empty corpus return empty") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.cosineNearDupPairs(emptyVecs, 0.5).isEmpty)
+    assert(Similarity.cosineNearDupPairsLsh(emptyVecs, 0.5).isEmpty)
+    val q = Seq.empty[(Long, Array[Float])].toDF("query_id", "query_vec")
+    assert(Similarity.topKCosine(emptyVecs, q, 5).isEmpty)
+  }
+
+  test("text ops tolerate empty strings and single tokens") {
+    val odd = Seq((1L, ""), (2L, "solo"), (3L, "two words")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityFeatures(odd, "text")
+      .select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    assert(q(1L) == 1 && q(2L) == 1 && q(3L) == 2) // split("") -> [""]
+    val fp = odd.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fp.distinct.length == 3)
+    val rh = odd.select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
+    assert(rh.length == 3)
+  }
+
+  test("asof semantics: purchase with no prior signup yields null, not a drop") {
+    // user 1: signup then purchase; user 2: purchase only
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "signup"),
+      (2L, "2024-01-01 12:00:00", 1L, "purchase"),
+      (3L, "2024-01-01 09:00:00", 2L, "purchase"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(col("event_type") === "purchase", 1).otherwise(0),
+        col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = ev
+      .withColumn("signup_ts", when(col("event_type") === "signup", col("ts")))
+      .withColumn("last_signup_ts", last(col("signup_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "last_signup_ts")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(2L).isDefined)
+    assert(out(3L).isEmpty) // kept, with null — not silently dropped
+  }
+}
