@@ -42,21 +42,26 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol, n).cache()
+    // No .cache() here: the builder is lazy, so an internal cache could
+    // never be unpersisted and would leak blocks in long-lived sessions.
+    // Callers that reuse the plan across actions should cache themselves.
+    val sets = shingleSets(docs, textCol, idCol, n)
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     // join on 8-byte shingle hashes, not strings: ~4x smaller shuffle;
     // a 64-bit collision among ~10^6 distinct shingles is ~1e-7 — far
     // below the bit-exactness bar of everything else here. Each inverted
     // row carries its doc's set size so the LENGTH FILTER (J ≥ t ⇒
     // t·|B| ≤ |A| ≤ |B|/t) prunes pairs inside the join, before the
-    // aggregation shuffle ever sees them.
+    // aggregation shuffle ever sees them. The 1e-9 slack keeps a sub-ulp
+    // rounding of threshold·n from pruning an exactly-at-threshold pair;
+    // the final jaccard >= threshold check keeps the output exact.
     val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh"))
     val inter = inv.as("a").join(inv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
-          col("a.n_sh") * lit(threshold) <= col("b.n_sh"))
+          col("b.n_sh") * lit(threshold) <= col("a.n_sh") + lit(1e-9) &&
+          col("a.n_sh") * lit(threshold) <= col("b.n_sh") + lit(1e-9))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -101,8 +106,9 @@ object Dedup {
         col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id") &&
           // length filter: sizes of a qualifying pair differ by ≤ 1/t
-          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
-          col("a.n_sh") * lit(threshold) <= col("b.n_sh"))
+          // (1e-9 slack against sub-ulp rounding at exact-threshold pairs)
+          col("b.n_sh") * lit(threshold) <= col("a.n_sh") + lit(1e-9) &&
+          col("a.n_sh") * lit(threshold) <= col("b.n_sh") + lit(1e-9))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     cands
@@ -157,7 +163,8 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol, n).cache()
+    // Lazy builder — no internal .cache() (see ngramJaccardPairs note).
+    val sets = shingleSets(docs, textCol, idCol, n)
     val cands = lshCandidates(minhashSignatures(sets, numPerms), bands, numPerms / bands)
     cands
       .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))

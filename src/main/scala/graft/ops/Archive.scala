@@ -70,8 +70,11 @@ object Archive {
 
   /** S2+S4 sink (main.go:46-85,220-223): partitioned snappy parquet.
     * Spark's committer gives atomic-per-task semantics the reference's
-    * buffered PutObject lacks; `partitionBy` yields the `year=/month=`
-    * layout its readers glob (README.md:92,99).
+    * buffered PutObject lacks. `partitionBy` yields a `year=/month=`
+    * layout; note Spark writes `month=3` where the reference
+    * zero-pads `month=03` (main.go:220) — readers should address
+    * partitions with pruning predicates (`month = 3`), not
+    * reference-style zero-padded path globs.
     */
   def writeArchive(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
@@ -103,7 +106,15 @@ object Archive {
           col("year") === y && col("month") === m
         }.reduceOption(_ || _).getOrElse(lit(false))
         Some(arch.filter(prune).select(col("table_name"), col("id")))
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      } catch {
+        // ONLY a missing archive dir means "first run — nothing to
+        // dedup against". Any other analysis failure (e.g. foreign data
+        // in the dir lacking table_name/id) must propagate: silently
+        // skipping the anti-join would append duplicates and break the
+        // exactly-once guarantee.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
     val fresh = existing match {
       case Some(keys) =>
         shaped.join(keys, Seq("table_name", "id"), "left_anti")

@@ -153,25 +153,6 @@ object ShapeQueries {
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |ORDER BY o_custkey""".stripMargin,
 
-    "q_window_distribution" ->
-      """SELECT * FROM (
-        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
-        |  PERCENT_RANK() OVER w AS pr,
-        |  CUME_DIST() OVER w AS cd,
-        |  FIRST_VALUE(o_orderkey) OVER
-        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_orderstatus
-        |    ORDER BY o_totalprice, o_orderkey)) t
-        |WHERE o_orderkey <= 500
-        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
-
-    "q_set_union" ->
-      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
-        |UNION
-        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-        |ORDER BY o_custkey""".stripMargin,
-
     "q_set_except_all" ->
       """WITH x AS (SELECT o_custkey FROM orders
         |  EXCEPT ALL
