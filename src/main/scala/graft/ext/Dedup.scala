@@ -46,30 +46,37 @@ object Dedup {
     // never be unpersisted and would leak blocks in long-lived sessions.
     // Callers that reuse the plan across actions should cache themselves.
     val sets = shingleSets(docs, textCol, idCol, n)
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     // join on 8-byte shingle hashes, not strings: ~4x smaller shuffle;
     // a 64-bit collision among ~10^6 distinct shingles is ~1e-7 — far
     // below the bit-exactness bar of everything else here. Each inverted
     // row carries its doc's set size so the LENGTH FILTER (J ≥ t ⇒
     // t·|B| ≤ |A| ≤ |B|/t) prunes pairs inside the join, before the
-    // aggregation shuffle ever sees them. The 1e-9 slack keeps a sub-ulp
-    // rounding of threshold·n from pruning an exactly-at-threshold pair;
-    // the final jaccard >= threshold check keeps the output exact.
+    // aggregation shuffle ever sees them. The (1 − 1e-12) RELATIVE slack
+    // keeps a sub-ulp rounding of threshold·n from pruning an
+    // exactly-at-threshold pair at any magnitude (an absolute 1e-9 slack
+    // stops working once threshold·n > ~9e6, where half an ulp of the
+    // product exceeds it); the final jaccard >= threshold check keeps
+    // the output exact.
     val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh"))
-    val inter = inv.as("a").join(inv.as("b"),
+    // n_sh is functionally dependent on doc_id, so grouping by it too is
+    // free — and carrying it through the aggregation means the Jaccard
+    // denominator needs NO join back to a per-doc size table. The two
+    // size joins this replaces were the top cost in BENCH_r02
+    // (shingleSets re-evaluated 4x per action: 12.9 s vs 4.0 s cached);
+    // now the set subtree is evaluated only for the two self-join sides,
+    // whose identical shuffles Spark dedupes via ReuseExchange.
+    inv.as("a").join(inv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n_sh") * lit(threshold) <= col("a.n_sh") + lit(1e-9) &&
-          col("a.n_sh") * lit(threshold) <= col("b.n_sh") + lit(1e-9))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          col("b.n_sh") * lit(threshold * (1 - 1e-12)) <= col("a.n_sh") &&
+          col("a.n_sh") * lit(threshold * (1 - 1e-12)) <= col("b.n_sh"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard"))
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -97,8 +104,13 @@ object Dedup {
     val sorted = sets.select(col("doc_id"),
         sort_array(expr("transform(shingles, s -> xxhash64(s))")).as("shs"),
         size(col("shingles")).as("n_sh"))
+    // (1 − 1e-12) relative slack: if threshold·n_sh lands a sub-ulp
+    // ABOVE an integer, ceil would round up and shorten the prefix by
+    // one — silently losing recall (no later filter can restore a
+    // dropped candidate). Relative, not absolute, so the guard holds at
+    // any shingle-set size (same treatment as the length filters).
     val withPrefix = sorted.withColumn("p",
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))
+        (col("n_sh") - ceil(lit(threshold * (1 - 1e-12)) * col("n_sh")) + 1).cast("int"))
       .withColumn("prefix", slice(col("shs"), lit(1), col("p")))
     val pref = withPrefix.select(col("doc_id"), col("n_sh"),
       explode(col("prefix")).as("sh"))
@@ -106,9 +118,10 @@ object Dedup {
         col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id") &&
           // length filter: sizes of a qualifying pair differ by ≤ 1/t
-          // (1e-9 slack against sub-ulp rounding at exact-threshold pairs)
-          col("b.n_sh") * lit(threshold) <= col("a.n_sh") + lit(1e-9) &&
-          col("a.n_sh") * lit(threshold) <= col("b.n_sh") + lit(1e-9))
+          // ((1 − 1e-12) relative slack against sub-ulp rounding at
+          // exact-threshold pairs — scale-invariant, see ngramJaccardPairs)
+          col("b.n_sh") * lit(threshold * (1 - 1e-12)) <= col("a.n_sh") &&
+          col("a.n_sh") * lit(threshold * (1 - 1e-12)) <= col("b.n_sh"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     cands

@@ -107,13 +107,18 @@ object Archive {
         }.reduceOption(_ || _).getOrElse(lit(false))
         Some(arch.filter(prune).select(col("table_name"), col("id")))
       } catch {
-        // ONLY a missing archive dir means "first run — nothing to
-        // dedup against". Any other analysis failure (e.g. foreign data
-        // in the dir lacking table_name/id) must propagate: silently
-        // skipping the anti-join would append duplicates and break the
-        // exactly-once guarantee.
+        // Two conditions mean "first run — nothing to dedup against":
+        // a missing archive dir, and a dir with no committed parquet
+        // footers (UNABLE_TO_INFER_SCHEMA — a crash mid-first-write
+        // leaves only _temporary/, which spark.read.parquet cannot
+        // schema-infer; treating it as fatal would wedge every rerun).
+        // Any other analysis failure (e.g. foreign data in the dir
+        // lacking table_name/id) must propagate: silently skipping the
+        // anti-join would append duplicates and break the exactly-once
+        // guarantee.
         case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => None
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
       }
     val fresh = existing match {
       case Some(keys) =>
