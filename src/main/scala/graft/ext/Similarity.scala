@@ -85,8 +85,12 @@ object Similarity {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         (dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("score"))
-      .distinct()
+      // threshold BEFORE distinct: the dot product is deterministic per
+      // pair, so filtering first is equivalent — and the dedup shuffle
+      // then carries only surviving near-dup pairs instead of every
+      // candidate collision (a ~1000x reduction on dense corpora).
       .filter(col("score") >= threshold)
+      .distinct()
   }
 
   /** Deterministic pseudo-random unit hyperplanes (fixed seed — no

@@ -102,7 +102,7 @@ object JdbcRetention {
       ranges.groupBy(_._1).map { case (table, rs) =>
         // table from allowlist only; range bounds are bind params
         val st = conn.prepareStatement(
-          s"""DELETE FROM "$table" WHERE id BETWEEN ? AND ?""")
+          s"""DELETE FROM "$table" WHERE "id" BETWEEN ? AND ?""")
         var n = 0L
         try {
           rs.foreach { case (_, lo, hi) =>

@@ -96,7 +96,12 @@ object Archive {
     */
   def appendIdempotent(batch: DataFrame, archiveDir: String): Long = {
     val spark = batch.sparkSession
-    val shaped = batch.transform(withTimePartitions("timestamp"))
+    // Accept pre-derived year/month (e.g. ArchiverMain derives them while
+    // the column is still timestamp-typed, then converts it to the
+    // reference's epoch-nanos int64 shape, on which year() can't run).
+    val shaped =
+      if (batch.columns.contains("year") && batch.columns.contains("month")) batch
+      else batch.transform(withTimePartitions("timestamp"))
     val existing =
       try {
         val arch = spark.read.parquet(archiveDir)

