@@ -58,6 +58,43 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime " +
+      "(skew=true in the final adaptive plan)") {
+    // 95% of left rows share one key; payload bytes make that one
+    // shuffle partition exceed the (lowered) skew threshold.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "32")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(0, 50).select(col("id").as("rk"),
+        concat(lit("tag_"), col("id")).as("tag"))
+      val joined = left.join(right, col("k") === col("rk"))
+        .select("k", "payload", "tag")
+      // collect() (not count()) so THIS queryExecution finalizes its
+      // adaptive plan — count() would plan and run a separate query
+      val n = joined.collect().length
+      // key 0: 190 001 left rows (190 000 non-multiples of 20, plus id=0
+      // itself) × 1 right row; kept ids 20 and 40 land in [1,50): 2 more
+      assert(n == 190003, s"unexpected join cardinality $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE did not mark/split the skewed join partition:\n" + plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("GraftExtensions injects dot_f32 into a session function registry") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

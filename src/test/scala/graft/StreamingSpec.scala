@@ -128,6 +128,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState == batch)
   }
 
+  test("stateful windowed agg runs on the RocksDB state store " +
+      "(the 100 TB state backend) with results identical to batch") {
+    val dir = eventsDir
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = Streaming.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+      val q = Streaming.tumblingCounts(stream)
+        .writeStream.format("memory").queryName("rocks_out")
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      // the provider actually in use shows up in the progress metrics
+      val progress = q.recentProgress.map(_.json).mkString
+      q.stop()
+      assert(progress.toLowerCase.contains("rocksdb"),
+        "state operator did not report RocksDB metrics: " + progress.take(2000))
+      val streamed = spark.table("rocks_out")
+        .select("bucket_start", "event_type", "n", "val_sum")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      val batch = Streaming.tumblingCounts(Tables.events(spark, TestSpark.Sf0001))
+        .select("bucket_start", "event_type", "n", "val_sum")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stateful dedup drops duplicate event_ids within watermark") {
     val dir = eventsDir
     // duplicate the source: same rows twice -> dedup must halve them
