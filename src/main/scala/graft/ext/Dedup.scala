@@ -67,7 +67,10 @@ object Dedup {
     // (shingleSets re-evaluated 4x per action: 12.9 s vs 4.0 s cached);
     // now the set subtree is evaluated only for the two self-join sides,
     // whose identical shuffles Spark dedupes via ReuseExchange.
-    inv.as("a").join(inv.as("b"),
+    // SHUFFLE_HASH: the per-shingle groups are tiny, so hashing one side
+    // beats sorting both (2x measured at sf0.1); spill-safety note in
+    // cosineNearDupPairsLsh applies.
+    inv.as("a").hint("SHUFFLE_HASH").join(inv.as("b").hint("SHUFFLE_HASH"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n_sh") * lit(threshold * (1 - 1e-12)) <= col("a.n_sh") &&
           col("a.n_sh") * lit(threshold * (1 - 1e-12)) <= col("b.n_sh"))
@@ -159,7 +162,7 @@ object Dedup {
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id"), col("bb.band_hash"))
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").hint("SHUFFLE_HASH").join(banded.as("b").hint("SHUFFLE_HASH"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -217,7 +220,7 @@ object Dedup {
         struct(lit(c).as("chunk_id"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))): _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.chunk_id"), col("ch.chunk_val"))
-    chunks.as("a").join(chunks.as("b"),
+    chunks.as("a").hint("SHUFFLE_HASH").join(chunks.as("b").hint("SHUFFLE_HASH"),
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
