@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation (the north-star composition):
@@ -48,5 +49,82 @@ object Curation {
     val gated = qualityGate(docs, textCol, minTokens)
     val exact = dropExactDupes(gated, textCol, idCol)
     dropNearDupes(exact, textCol, idCol, nearDupThreshold)
+  }
+
+  // ------------------------------------------------- corpus assembly ops
+
+  /** Deterministic hash-based train/test split: a row is `test` iff
+    * `md5(salt ++ id)` falls below the hex threshold encoding
+    * `testFrac`. Pure per-row function of the id — no sampling state,
+    * reproducible on any cluster at any partitioning, and stable under
+    * corpus growth (a doc never changes sides when others are added) —
+    * exactly what leakage-free split assignment at 100 TB needs.
+    * Lexicographic compare of fixed-width lowercase hex == numeric
+    * compare, and md5 agrees across engines (the oracle twin relies on
+    * both).
+    */
+  def trainTestSplit(docs: DataFrame, idCol: String,
+      testFrac: Double, salt: String = "s42"): DataFrame =
+    docs.withColumn("split",
+      when(md5(concat(lit(salt), col(idCol).cast("string")))
+          < lit(hexThreshold(testFrac)), lit("test"))
+        .otherwise(lit("train")))
+
+  /** First 8 hex digits encode the fraction of the md5 space; the zero
+    * padding keeps the compare fixed-width.
+    */
+  private[ext] def hexThreshold(frac: Double): String = {
+    require(frac >= 0 && frac <= 1, s"fraction out of range: $frac")
+    f"${(frac * 4294967296.0).toLong min 4294967295L}%08x" + "0" * 24
+  }
+
+  /** Data-mixing cap: keep at most `cap` documents per source, best
+    * first (`rankBy` descending, doc id as the deterministic
+    * tiebreaker). One shuffle keyed by source; a per-group top-k, so
+    * Spark's WindowGroupLimit pushes the limit below the sort at scale.
+    */
+  def mixingCap(docs: DataFrame, sourceCol: String, idCol: String,
+      rankBy: Column, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(rankBy.desc, col(idCol))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+  }
+
+  /** Greedy sequence packing: documents are laid out in id order within
+    * each `groupCol` partition and cut into training sequences of
+    * `budgetTokens` by running token count — a doc belongs to the
+    * sequence its first token lands in. The window runs per group
+    * (shuffle by `groupCol`, sort within), never a single global
+    * ordering — at 100 TB the group key is what keeps this
+    * parallelizable (use source/shard keys with bounded group sizes).
+    */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, budgetTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    docs.withColumn("n_tokens", size(split(col(textCol), " ")))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(budgetTokens)).cast("long"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct word n-gram shingles with ANY benchmark
+    * document. The benchmark shingle set is tiny relative to the corpus
+    * (that is the premise of held-out evaluation), so it broadcasts —
+    * the corpus is scanned once, no corpus-side self-join. Returns
+    * (id, n_overlap) for flagged docs; anti-join against it to clean.
+    */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    val benchShingles = Dedup.shingleSets(benchmark, textCol, idCol, n)
+      .select(explode(col("shingles")).as("s")).distinct()
+    val corpusShingles = Dedup.shingleSets(corpus, textCol, idCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    corpusShingles.join(broadcast(benchShingles), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc
+      .filter(col("n_overlap") >= minOverlap)
   }
 }

@@ -19,6 +19,33 @@ final case class ParquetSource(dir: String) extends TableSource {
     spark.read.parquet(s"$dir/$table.parquet")
 }
 
+/** JSONL corpus source (table t ↦ dir/t.jsonl, one JSON doc per line) —
+  * the lingua franca of training-data interchange. The schema is
+  * REQUIRED: schema inference would scan the corpus once before
+  * reading it, which at 100 TB doubles the job. `mode` follows Spark's
+  * JSON semantics (PERMISSIVE keeps malformed rows as nulls so a bad
+  * shard never kills a curation run; use FAILFAST for strict loads).
+  */
+final case class JsonlSource(dir: String,
+    schema: org.apache.spark.sql.types.StructType,
+    mode: String = "PERMISSIVE") extends TableSource {
+  override def load(spark: SparkSession, table: String): DataFrame =
+    spark.read.schema(schema).option("mode", mode)
+      .json(s"$dir/$table.jsonl")
+}
+
+/** CSV source with explicit schema (no inference scan — same 100 TB
+  * argument as JSONL) and a header toggle.
+  */
+final case class CsvSource(dir: String,
+    schema: org.apache.spark.sql.types.StructType,
+    header: Boolean = true, mode: String = "PERMISSIVE") extends TableSource {
+  override def load(spark: SparkSession, table: String): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString).option("mode", mode)
+      .csv(s"$dir/$table.csv")
+}
+
 /** PostgreSQL via Spark's JDBC source — the reference's extract path
   * (reference main.go:88-129) upgraded for scale:
   *

@@ -155,6 +155,44 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"))
         .orderBy(col("doc_id"))),
 
+    // deterministic hash-based train/test split: pure per-row function
+    // of (salt, doc_id) — reproducible at any partitioning, docs never
+    // switch sides as the corpus grows. md5-hex compare == numeric
+    // compare (fixed-width lowercase hex), identical in DuckDB.
+    "q_train_test_split" -> ((s, d) =>
+      graft.ext.Curation.trainTestSplit(Tables.documents(s, d), "doc_id",
+          testFrac = 0.2)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // data-mixing cap: at most 50 docs per source, best (longest) first.
+    "q_mixing_cap" -> ((s, d) =>
+      graft.ext.Curation.mixingCap(Tables.documents(s, d), "source",
+          "doc_id", col("n_chars"), cap = 50)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+        .orderBy(col("source"), col("rk"))),
+
+    // greedy sequence packing: 2048-token training sequences per lang
+    // partition (the window runs per group — parallelizable at scale).
+    "q_seq_packing" -> ((s, d) =>
+      graft.ext.Curation.packSequences(Tables.documents(s, d), "text",
+          "doc_id", "lang", budgetTokens = 2048)
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+        .orderBy(col("lang"), col("seq_id"))),
+
+    // benchmark decontamination: corpus docs sharing ≥5 distinct
+    // 3-gram shingles with the held-out set (doc_id % 50 == 0 plays the
+    // benchmark). The bench shingle set broadcasts; single corpus scan.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.Curation.contaminatedDocs(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 3, minOverlap = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // multimodal plumbing end-to-end (rows-only: binary payloads +
     // partition-wise stubbed decode have no SQL twin; values are
     // deterministic and pinned by MultimodalSpec): per-kind feature
@@ -294,6 +332,39 @@ object ExtQueries {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |string_split(text, ' '))), ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_train_test_split" ->
+      """SELECT doc_id, CASE
+        |  WHEN md5('s42' || CAST(doc_id AS VARCHAR)) <
+        |    '33333333000000000000000000000000' THEN 'test'
+        |  ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mixing_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 50
+        |ORDER BY source, rk""".stripMargin,
+
+    "q_seq_packing" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |c AS (SELECT lang, doc_id, nt,
+        |  SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, CAST((cum - nt) // 2048 AS BIGINT) AS seq_id,
+        |COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS seq_tokens
+        |FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""$ShingleCte,
+         |bs AS (SELECT DISTINCT unnest(s) AS sh FROM g WHERE doc_id % 50 = 0),
+         |cs AS (SELECT doc_id, unnest(s) AS sh FROM g WHERE doc_id % 50 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_overlap FROM cs JOIN bs USING (sh)
+         |GROUP BY doc_id HAVING COUNT(*) >= 5 ORDER BY doc_id""".stripMargin
   )
 }

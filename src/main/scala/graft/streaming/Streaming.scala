@@ -129,6 +129,17 @@ object Streaming {
         col("s_ts") >= col("p_ts") - expr(horizon))
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * static dimension frame (re-read per batch if backed by files, so
+    * slowly-changing dims pick up updates without restarting). The
+    * static side broadcasts — no stream-side state, no watermark
+    * needed; this is the scale-correct way to stamp reference data
+    * onto a 100 TB/day event stream.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Custom streaming state via flatMapGroupsWithState: per-user
     * running totals emitted on every update — the escape hatch for
     * stateful logic windowed aggregates can't express (reference's

@@ -128,6 +128,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState == batch)
   }
 
+  test("stream-static enrichment join equals the batch join (static " +
+      "side broadcast, no stream state)") {
+    val dir = eventsDir
+    val dim = Seq((0L, "tier_a"), (1L, "tier_b"), (2L, "tier_c"))
+      .toDF("dim_user", "tier")
+    val stream = Streaming.readEventsStream(spark, dir)
+    val q = Streaming.enrichWithDim(stream, dim, "user_id", "dim_user")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich_out")
+      .as[(Long, Option[String])].collect().toSet
+    val batch = Streaming.enrichWithDim(
+        Tables.events(spark, TestSpark.Sf0001), dim, "user_id", "dim_user")
+      .select("event_id", "tier")
+      .as[(Long, Option[String])].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._2.isDefined)) // some users matched the dim
+  }
+
   test("stateful windowed agg runs on the RocksDB state store " +
       "(the 100 TB state backend) with results identical to batch") {
     val dir = eventsDir
