@@ -165,6 +165,50 @@ object Streaming {
       }
   }
 
+  /** Per-user running totals on Spark 4's `transformWithState` — the
+    * successor of `flatMapGroupsWithState`: typed named state slots via
+    * `StatefulProcessorHandle`, explicit `TimeMode`, timers, and
+    * per-slot TTL. Requires the RocksDB state store provider (the
+    * 100 TB state backend), which the spec enables. Semantics are the
+    * same as [[runningUserTotals]] — the spec asserts both APIs land on
+    * the batch aggregate.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, v0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0; var v = v0
+      rows.foreach { r => n += 1; v += r._2 }
+      totals.update((n, v))
+      Iterator((user, n, v))
+    }
+  }
+
+  /** [[runningUserTotals]] re-expressed on the transformWithState API. */
+  def runningUserTotalsTws(spark: SparkSession, events: DataFrame):
+      org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong),
+        col("value").as[Double](org.apache.spark.sql.Encoders.scalaDouble))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Exactly-once incremental archival: foreachBatch + the idempotent
     * keyed append (ops/Archive.appendIdempotent). The checkpoint gives
     * at-least-once batch delivery; the anti-join on archived

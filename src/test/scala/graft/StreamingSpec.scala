@@ -181,6 +181,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState running totals (the Spark 4 arbitrary-state " +
+      "API, on RocksDB) final state equals batch totals") {
+    val dir = eventsDir
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = Streaming.readEventsStream(spark, dir)
+      val q = Streaming.runningUserTotalsTws(spark, stream)
+        .toDF("user_id", "n", "total")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n").desc)
+      val finalState = spark.table("tws_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "n").as[(Long, Long)].collect().toMap
+      val batch = Tables.events(spark, TestSpark.Sf0001)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(finalState == batch)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stateful dedup drops duplicate event_ids within watermark") {
     val dir = eventsDir
     // duplicate the source: same rows twice -> dedup must halve them
