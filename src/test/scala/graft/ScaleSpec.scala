@@ -95,6 +95,36 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted-index dedup WORK grows linearly with corpus size: " +
+      "candidate count at 4x corpus is exactly 4x, not 16x") {
+    // Replicas get a per-replica token prefix, so their shingle
+    // vocabularies are disjoint — the realistic growth regime
+    // (vocabulary grows with the corpus). An all-pairs join would grow
+    // candidates quadratically (16x at 4x docs); the inverted shingle
+    // index must grow them linearly. Counting candidates instead of
+    // timing makes the assertion exact and load-independent.
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    def corpus(k: Int) = (0 until k).map(r =>
+      docs.select(
+        (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        expr(s"concat_ws(' ', transform(split(text, ' '), w -> concat('r${r}_', w)))")
+          .as("text"))).reduce(_.unionByName(_))
+    def candidates(k: Int): Long = {
+      val sets = graft.ext.Dedup.shingleSets(corpus(k), "text", "doc_id", 3)
+      val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+          explode(col("shingles")).as("s"))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh"))
+      inv.as("a").join(inv.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .count()
+    }
+    val c1 = candidates(1)
+    val c4 = candidates(4)
+    assert(c1 > 0)
+    assert(c4 == 4 * c1,
+      s"candidate growth not linear: 1x=$c1, 4x=$c4 (quadratic would be ${16 * c1})")
+  }
+
   test("GraftExtensions injects dot_f32 into a session function registry") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
