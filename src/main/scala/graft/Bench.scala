@@ -1,9 +1,14 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Driver-run benchmark: one JSON line of per-query seconds over
-  * SparkEntry.queries at SPARK_GRAFT_SF_DIR (default sf0.1).
+  * SparkEntry.queries at SPARK_GRAFT_SF_DIR (default sf0.1), plus
+  * per-query shuffle-write and spill totals (a task-metrics listener) —
+  * the two numbers that predict how a plan behaves at 100 TB better
+  * than local wall time does.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,19 +22,48 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Running totals of shuffle-write bytes and spill across all tasks;
+    // per-query values are before/after deltas (queries run serially).
+    val shuffleBytes = new AtomicLong(0L)
+    val spillBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          spillBytes.addAndGet(m.memoryBytesSpilled): Unit
+        }
+      }
+    })
+
     // Warm the session once (JVM/codegen/committer init, parquet footers)
     // so the first measured query doesn't absorb ~5s of one-time cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+
+    case class R(sec: Double, shuffleMb: Double, spillMb: Double)
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val s0 = shuffleBytes.get(); val p0 = spillBytes.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are delivered async; drain the bus so the
+      // delta lands on the query that caused it
+      org.apache.spark.GraftListenerBridge.drainListenerBus(
+        spark.sparkContext, 10000)
+      name -> R(sec,
+        (shuffleBytes.get() - s0) / 1e6, (spillBytes.get() - p0) / 1e6)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def m1(f: R => Double): String = results
+      .map { case (k, r) => "\"" + k + "\":" + BigDecimal(f(r))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, r) => "\"" + k + "\":" + r.sec }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_.sec).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""shuffle_mb":${m1(_.shuffleMb)},"spill_mb":${m1(_.spillMb)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
