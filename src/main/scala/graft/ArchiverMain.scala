@@ -52,10 +52,14 @@ object ArchiverMain {
       outPath: String,
       cutoff: String,
       batchSize: Int,
-      deleteFromSource: Boolean) {
+      deleteFromSource: Boolean,
+      streaming: Boolean = false,
+      checkpointDir: Option[String] = None) {
     require(sourceDir.isDefined ^ jdbcUrl.isDefined,
       "exactly one of GRAFT_SOURCE_DIR / GRAFT_JDBC_URL must be set")
     require(tables.nonEmpty, "GRAFT_TABLES must name at least one table")
+    require(!streaming || sourceDir.isDefined,
+      "GRAFT_STREAMING needs a file source (GRAFT_SOURCE_DIR)")
   }
 
   final case class RunReport(
@@ -91,12 +95,56 @@ object ArchiverMain {
         .getOrElse(sys.error("GRAFT_OUT (archive path) is required")),
       cutoff = cutoff,
       batchSize = get("GRAFT_BATCH_SIZE").map(_.toInt).getOrElse(100),
-      deleteFromSource = get("GRAFT_DELETE").exists(_.toBoolean))
+      deleteFromSource = get("GRAFT_DELETE").exists(_.toBoolean),
+      streaming = get("GRAFT_STREAMING").exists(_.toBoolean),
+      checkpointDir = get("GRAFT_CHECKPOINT"))
   }
 
   private def sourceFor(cfg: Config): TableSource = cfg.sourceDir match {
     case Some(dir) => ParquetSource(dir)
     case None      => JdbcSource(cfg.jdbcUrl.get, cfg.jdbcProps)
+  }
+
+  /** Continuous mode (`GRAFT_STREAMING=true`): the same archival as an
+    * incremental exactly-once streaming job — new source files are
+    * picked up by checkpointed file streams and appended through the
+    * keyed idempotent sink, so neither checkpoint replay nor total
+    * checkpoint LOSS can duplicate a row. The reference lists
+    * "real-time archival" as future work (reference README.md:124);
+    * this is it, sharing every operator with the batch path. No top-k
+    * cap here: streaming bounds per-trigger work with
+    * maxFilesPerTrigger instead of the cron model's batch LIMIT; no
+    * retention DELETE either (run batch mode for that) — the streaming
+    * contract is append-only archival.
+    */
+  def runStreaming(spark: SparkSession, cfg: Config): RunReport = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val iotSchema = StructType(Seq(
+      StructField("id", LongType), StructField("timestamp", TimestampType),
+      StructField("device_id", StringType), StructField("value", DoubleType)))
+    var appended = 0L
+    var extracted = 0L
+    cfg.tables.foreach { t =>
+      val ckpt = cfg.checkpointDir.map(c => s"$c/$t").getOrElse(
+        java.nio.file.Files.createTempDirectory(s"graft_ckpt_$t").toString)
+      val stream = spark.readStream.schema(iotSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"${cfg.sourceDir.get}/$t.parquet")
+        .transform(Archive.retentionFilter("timestamp", cfg.cutoff))
+        .transform(Archive.stampTableName(t))
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          extracted += b.count()
+          appended += Archive.appendIdempotent(b.toDF(), cfg.outPath)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    println(s"Streaming archival: $appended new rows (of $extracted extracted) to ${cfg.outPath}")
+    RunReport(extracted, appended, Map.empty)
   }
 
   /** One archival run. Injectable source + connection factory keep the
@@ -106,6 +154,7 @@ object ArchiverMain {
   def run(spark: SparkSession, cfg: Config,
       source: TableSource,
       connect: Option[() => java.sql.Connection]): RunReport = {
+    if (cfg.streaming) return runStreaming(spark, cfg)
     // Per-table extract, abort-on-first-error (main.go:183-185). Schema
     // resolution is eager, so a missing table / bad connection fails
     // HERE — before anything is written.

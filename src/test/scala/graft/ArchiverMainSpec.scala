@@ -108,6 +108,47 @@ class ArchiverMainSpec extends AnyFunSuite {
       .groupBy("table_name", "id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("streaming mode archives incrementally, exactly-once across " +
+      "checkpoint replay AND checkpoint loss") {
+    val srcDir = tmp("graft_cli_stream_src")
+    val outDir = tmp("graft_cli_stream_out") + "/arch"
+    val ckpt = tmp("graft_cli_stream_ckpt")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), "d1", 1.0),
+        (2L, java.sql.Timestamp.valueOf("2024-01-12 00:00:00"), "d1", 2.0),
+        (3L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), "d2", 3.0))
+      .toDF("id", "timestamp", "device_id", "value")
+      .write.parquet(s"$srcDir/iot_data.parquet")
+
+    val base = Map(
+      "GRAFT_SOURCE_DIR" -> srcDir, "GRAFT_OUT" -> outDir,
+      "GRAFT_TABLES" -> "iot_data", "GRAFT_CUTOFF" -> Cutoff,
+      "GRAFT_STREAMING" -> "true", "GRAFT_CHECKPOINT" -> ckpt)
+    val r1 = ArchiverMain.run(spark, ArchiverMain.parseConfig(base),
+      graft.io.ParquetSource(srcDir), None)
+    assert(r1.appended == 2) // id 3 is post-cutoff
+    assert(spark.read.parquet(outDir).select("id").as[Long].collect().toSet
+      == Set(1L, 2L))
+
+    // new source file arrives → only it is processed (checkpoint keeps
+    // the old files from re-reading)
+    Seq((4L, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), "d9", 4.0))
+      .toDF("id", "timestamp", "device_id", "value")
+      .write.mode("append").parquet(s"$srcDir/iot_data.parquet")
+    val r2 = ArchiverMain.run(spark, ArchiverMain.parseConfig(base),
+      graft.io.ParquetSource(srcDir), None)
+    assert(r2.extracted == 1 && r2.appended == 1)
+
+    // total checkpoint loss replays EVERYTHING — the keyed idempotent
+    // append still writes zero duplicates
+    val r3 = ArchiverMain.run(spark,
+      ArchiverMain.parseConfig(base + ("GRAFT_CHECKPOINT" -> tmp("graft_ckpt2"))),
+      graft.io.ParquetSource(srcDir), None)
+    assert(r3.extracted == 3 && r3.appended == 0)
+    val arch = spark.read.parquet(outDir)
+    assert(arch.count() == 3)
+    assert(arch.groupBy("id").count().filter(col("count") > 1).isEmpty)
+  }
+
   // ------------------------------------------------ live JDBC (Derby) loop
 
   /** Embedded-Derby fixture: in-memory DB, lowercase-quoted columns
