@@ -191,6 +191,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair list (near-dup pairs →
+    * dedup GROUPS): iterative min-label propagation. Each round is one
+    * join + one aggregation; labels converge to the component-minimum id
+    * in O(graph diameter) rounds — near-dup components are (almost)
+    * cliques, so 2-3 rounds in practice. `localCheckpoint` after every
+    * round cuts the exponential lineage growth that sinks naive
+    * iterative DataFrame jobs. Returns (node, component) where
+    * `component` = the smallest id in the node's component.
+    *
+    * Scale: state is one row per node APPEARING IN A PAIR (the near-dup
+    * subgraph, orders of magnitude smaller than the corpus), shuffled by
+    * node id each round. This is the standard label-propagation CC; for
+    * adversarial high-diameter graphs swap in large-star/small-star —
+    * the interface stays the same.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, col("v") === col("node"))
+        .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("node") === col("u"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.component") =!= col("o.component")).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
   /** 64-bit SimHash over tokens: per bit, majority vote of token-hash
     * bits (+1/−1), computed as 64 conditional sums in ONE aggregation
     * pass over the exploded tokens — no UDF, fully codegen'd.

@@ -155,6 +155,18 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"))
         .orderBy(col("doc_id"))),
 
+    // near-dup pairs → dedup GROUPS: connected components by iterative
+    // min-label propagation (transitive closure — stricter than
+    // pairwise b-drop: a doc near-dup of a near-dup is grouped even
+    // with no direct pair). Oracle: DuckDB recursive CTE.
+    "q_dedup_groups" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "text",
+        "doc_id", n = 3, threshold = 0.6)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("component").as("group_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic hash-based train/test split: pure per-row function
     // of (salt, doc_id) — reproducible at any partitioning, docs never
     // switch sides as the corpus grows. md5-hex compare == numeric
@@ -333,6 +345,19 @@ object ExtQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_groups" ->
+      s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+         |e AS (SELECT a_id AS u, b_id AS v FROM p
+         |  UNION SELECT b_id, a_id FROM p),
+         |reach(u, v) AS (SELECT u, v FROM e
+         |  UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id FROM reach
+         |GROUP BY u ORDER BY doc_id""".stripMargin,
 
     "q_train_test_split" ->
       """SELECT doc_id, CASE

@@ -84,4 +84,25 @@ class DedupSpec extends AnyFunSuite {
     val again = Dedup.exactGroups(kept, "text", "doc_id")
     assert(again.filter(col("n_copies") > 1).isEmpty)
   }
+
+  test("connected components merge transitively — including the case " +
+      "pairwise b-drop misses (all neighbors of a non-min node larger)") {
+    // components: {1,2,5} via (1,5),(2,5) — node 2's only neighbor is 5,
+    // so pairwise drop would keep 2; CC groups it under 1 — and {7,8}
+    val pairs = Seq((1L, 5L), (2L, 5L), (7L, 8L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connected components: long chain converges (diameter > 2), " +
+      "empty pair set yields empty output") {
+    val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(chain, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == (1L to 9L).map(_ -> 1L).toMap)
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(empty, "a_id", "b_id").isEmpty)
+  }
 }
