@@ -75,7 +75,11 @@ object Curation {
     */
   private[ext] def hexThreshold(frac: Double): String = {
     require(frac >= 0 && frac <= 1, s"fraction out of range: $frac")
-    f"${(frac * 4294967296.0).toLong min 4294967295L}%08x" + "0" * 24
+    // frac 1.0 must capture EVERY row: "g" sorts after every hex digit,
+    // so md5 < "g" is identically true ("ffffffff…" would miss hashes
+    // that share the prefix but have a larger tail).
+    if (frac >= 1.0) "g"
+    else f"${(frac * 4294967296.0).toLong}%08x" + "0" * 24
   }
 
   /** Data-mixing cap: keep at most `cap` documents per source, best
