@@ -82,6 +82,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: connectedComponents equals driver-side union-find on " +
+      "random graphs") {
+    val edgesGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    forAllSampled(edgesGen, 5) { edges =>
+      if (edges.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // root = min id of component by construction (always union
+        // larger root under smaller)
+        val expect = nodes.map(x => x -> find(x)).toMap
+        val got = Dedup.connectedComponents(
+            edges.toDF("a_id", "b_id"), "a_id", "b_id")
+          .as[(Long, Long)].collect().toMap
+        assert(got == expect, s"edges=$edges")
+      }
+    }
+  }
+
   test("property: ExactMoneyMean is partitioning-independent and exact") {
     val pricesGen = Gen.listOfN(50, Gen.choose(1, 10000000)
       .map(c => c / 100.0))
