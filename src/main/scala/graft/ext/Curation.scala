@@ -98,6 +98,33 @@ object Curation {
     else f"${(frac * 4294967296.0).toLong}%08x" + "0" * 24
   }
 
+  /** Weighted source repetition (epoch mixing): repeat each document
+    * `weight(source)` times in expectation — integer part as guaranteed
+    * copies, fractional part as a deterministic per-doc hash coin (the
+    * same md5-threshold trick as [[trainTestSplit]], so weight 0.25
+    * subsamples and weight 2.5 emits 2 or 3 copies, reproducibly at any
+    * partitioning). This is how training mixes weight sources without
+    * materializing per-epoch shuffles: a map-side explode, no shuffle
+    * at all.
+    */
+  def repeatByWeight(docs: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "w42"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "weights must be non-negative")
+    val hash = md5(concat(lit(salt), col(idCol).cast("string")))
+    def copies(w: Double): Column =
+      lit(math.floor(w).toLong) +
+        when(hash < lit(hexThreshold(w - math.floor(w))), 1L).otherwise(0L)
+    val n = weights.foldLeft(copies(defaultWeight)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, copies(w)).otherwise(acc)
+    }
+    docs.withColumn("n_copies", n.cast("int"))
+      .withColumn("copy", explode(
+        when(col("n_copies") >= 1, sequence(lit(1), col("n_copies")))
+          .otherwise(array().cast("array<int>"))))
+  }
+
   /** Data-mixing cap: keep at most `cap` documents per source, best
     * first (`rankBy` descending, doc id as the deterministic
     * tiebreaker). One shuffle keyed by source; a per-group top-k, so

@@ -184,6 +184,15 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
         .orderBy(col("source"), col("rk"))),
 
+    // weighted source repetition (epoch mixing): src0 ×2.5 (2 or 3
+    // copies by deterministic hash coin), src1 ×0.25 (subsampled),
+    // everything else ×1 — map-side explode, zero shuffle.
+    "q_mix_weights" -> ((s, d) =>
+      graft.ext.Curation.repeatByWeight(Tables.documents(s, d), "source",
+          "doc_id", Map("src0" -> 2.5, "src1" -> 0.25))
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))),
+
     // greedy sequence packing: 2048-token training sequences per lang
     // partition (the window runs per group — parallelizable at scale).
     "q_seq_packing" -> ((s, d) =>
@@ -373,6 +382,18 @@ object ExtQueries {
         |  FROM documents)
         |SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 50
         |ORDER BY source, rk""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH p AS (SELECT doc_id, source,
+        |  CASE source
+        |    WHEN 'src0' THEN 2 + CASE WHEN md5('w42' || CAST(doc_id AS VARCHAR))
+        |      < '80000000000000000000000000000000' THEN 1 ELSE 0 END
+        |    WHEN 'src1' THEN 0 + CASE WHEN md5('w42' || CAST(doc_id AS VARCHAR))
+        |      < '40000000000000000000000000000000' THEN 1 ELSE 0 END
+        |    ELSE 1 END AS n
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INT) AS copy
+        |FROM p ORDER BY doc_id, copy""".stripMargin,
 
     "q_seq_packing" ->
       """WITH t AS (SELECT lang, doc_id,

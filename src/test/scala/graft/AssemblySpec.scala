@@ -70,6 +70,24 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  test("weighted repetition: integer weights are exact, fractional " +
+      "weights track in expectation, weight 0 drops the source") {
+    val out = Curation.repeatByWeight(docs, "source", "doc_id",
+      Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0))
+    val bySource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val orig = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource("src0") == 3 * orig("src0")) // exact integer repeat
+    assert(!bySource.contains("src2"))           // weight 0 drops all
+    val f = bySource("src1").toDouble / orig("src1")
+    assert(f > 0.2 && f < 0.8, s"fraction $f far from 0.5")
+    assert(bySource("src3") == orig("src3"))     // default weight 1
+    // deterministic: same output on recompute
+    assert(out.count() == Curation.repeatByWeight(docs, "source", "doc_id",
+      Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0)).count())
+  }
+
   test("decontamination: flagged set equals a brute-force shingle " +
       "overlap count, and cleaned corpus has no flagged doc") {
     val bench = docs.filter(col("doc_id") % 50 === 0)
