@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench/Verify stdout (one JSON line). With
+// the default LoggedOutput strategy sbt prefixes every forked line with
+// "[info] ", which breaks json parsing of the line; StdoutOutput passes
+// the child's stdout through verbatim. showSuccess drops the trailing
+// "[success] Total time ..." line so the JSON stays last on stdout.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

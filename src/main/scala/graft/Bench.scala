@@ -21,7 +21,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Running totals of shuffle-write bytes and spill across all tasks;
     // per-query values are before/after deltas (queries run serially).
@@ -62,8 +62,12 @@ object Bench {
     val qs = results.map { case (k, r) => "\"" + k + "\":" + r.sec }
       .mkString("{", ",", "}")
     val total = results.values.map(_.sec).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""shuffle_mb":${m1(_.shuffleMb)},"spill_mb":${m1(_.spillMb)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""shuffle_mb":${m1(_.shuffleMb)},"spill_mb":${m1(_.spillMb)},"sf":"$sfDir"}"""
+    // Stop the session BEFORE printing: shutdown logging then cannot
+    // interleave after the JSON, so the line is the last thing on
+    // stdout for the driver's parser.
     spark.stop()
+    println(line)
   }
 }
