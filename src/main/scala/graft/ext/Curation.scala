@@ -89,13 +89,32 @@ object Curation {
   /** First 8 hex digits encode the fraction of the md5 space; the zero
     * padding keeps the compare fixed-width.
     */
-  private[ext] def hexThreshold(frac: Double): String = {
+  private[graft] def hexThreshold(frac: Double): String = {
     require(frac >= 0 && frac <= 1, s"fraction out of range: $frac")
     // frac 1.0 must capture EVERY row: "g" sorts after every hex digit,
     // so md5 < "g" is identically true ("ffffffff…" would miss hashes
     // that share the prefix but have a larger tail).
     if (frac >= 1.0) "g"
     else f"${(frac * 4294967296.0).toLong}%08x" + "0" * 24
+  }
+
+  /** Stratified deterministic sampling: keep each row with a
+    * per-stratum rate, decided by the same fixed-width md5-threshold
+    * coin as [[trainTestSplit]] — a pure function of (salt, id), so the
+    * sample is reproducible at any partitioning and stable under corpus
+    * growth (a kept row is kept forever). Map-side filter, no shuffle.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "ss42"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val hash = md5(concat(lit(salt), col(idCol).cast("string")))
+    val thr = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(r))).otherwise(acc)
+    }
+    docs.filter(hash < thr)
   }
 
   /** Weighted source repetition (epoch mixing): repeat each document

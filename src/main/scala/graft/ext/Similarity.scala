@@ -186,4 +186,43 @@ object Similarity {
     corpus.orderBy(col("vec_id")).limit(cells)
       .select(monotonically_increasing_id().as("cell_id"),
         col("embedding").as("centroid"))
+
+  /** Per-label centroid of an embedding column: positional explode
+    * (map-side, ×dim rows) then ONE (label, dim)-keyed aggregation —
+    * partial aggregation combines map-side, so the shuffle carries at
+    * most labels × dim rows per map partition regardless of corpus
+    * size. Each float is cast (via its exact double value) to
+    * DECIMAL(18,9) BEFORE summing: the per-value rounding is tie-free
+    * for |v| < 8192 (a float's dyadic expansion past digit 9 can never
+    * be exactly 5000…0 there), so the decimal sum — unlike a double
+    * sum — is order-independent and bit-identical across engines.
+    */
+  def labelCentroids(embeddings: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("centroid"))
+
+  /** k-NN label prediction: the exact top-k cosine neighbors of each
+    * query vote; majority label wins, ties break toward the smaller
+    * label. All heavy lifting is [[topKCosine]]'s single broadcast
+    * corpus scan — the vote itself aggregates only queries × k rows.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val nbrs = topKCosine(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val votes = nbrs
+      .join(corpus.select(col("vec_id"), col(labelCol)), "vec_id")
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col(labelCol))
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("query_id"), col(labelCol).as("pred_label"), col("votes"))
+  }
 }

@@ -83,4 +83,37 @@ object TextAnalysis {
     aggregate(tokens(textCol), lit(0L),
       (acc, t) => pmod(acc * lit(1000003L) +
         xxhash64(t).bitwiseAND(lit(0x7FFFFFFFL)), lit(2147483647L)))
+
+  /** Gopher-style repetition signals, computed entirely with array
+    * higher-order functions — per-row, map-side, zero shuffle (the
+    * shape that survives 100 TB: a scan):
+    *
+    *   - `top_frac`    — fraction of tokens taken by the single most
+    *     frequent token (high ⇒ degenerate "word word word…" text);
+    *   - `bigram_ratio` — distinct bigrams / total bigrams (low ⇒
+    *     repeated phrases / boilerplate).
+    *
+    * Both are int-over-int doubles — bit-exact across engines. The
+    * top-count scan is O(|vocab| · n_tokens) per row; for natural text
+    * with large per-doc vocabularies swap it for the explode+count
+    * formulation — here the map-side form wins by avoiding the shuffle.
+    */
+  def repetitionFeatures(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("top_count",
+        array_max(transform(array_distinct(col("toks")),
+          x => size(filter(col("toks"), t => t === x)))))
+      .withColumn("bigrams",
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .withColumn("top_frac",
+        col("top_count").cast("double") / col("n_tokens"))
+      .withColumn("bigram_ratio",
+        size(array_distinct(col("bigrams"))).cast("double") /
+          size(col("bigrams")))
+      .drop("toks", "bigrams", "top_count")
 }

@@ -214,6 +214,39 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition signals: top-token fraction + distinct-
+    // bigram ratio, all array HOFs — a pure scan, zero shuffle.
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionFeatures(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_tokens"), col("top_frac"),
+          col("bigram_ratio"),
+          (col("top_frac") > 0.12 || col("bigram_ratio") < 0.95)
+            .cast("int").as("is_repetitive"))
+        .orderBy(col("doc_id"))),
+
+    // stratified deterministic sampling: per-source keep rates via the
+    // fixed-width md5-threshold coin (map-side filter, no shuffle).
+    "q_sample_stratified" -> ((s, d) =>
+      graft.ext.Curation.stratifiedSample(Tables.documents(s, d),
+          "source", "doc_id", Map("src0" -> 0.5, "src1" -> 0.25),
+          defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // per-label embedding centroid: positional explode + one keyed agg;
+    // per-value DECIMAL(18,9) casts make the sum order-independent and
+    // engine-exact (see Similarity.labelCentroids).
+    "q_embed_centroid" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d))
+        .orderBy(col("label"), col("dim"))),
+
+    // k-NN label vote over the exact top-10 cosine neighbors (majority
+    // label, ties to the smaller label).
+    "q_knn_classify" -> ((s, d) =>
+      Similarity.knnClassify(Tables.embeddings(s, d), queryVecs(s, d),
+          k = 10)
+        .orderBy(col("query_id"))),
+
     // multimodal plumbing end-to-end (rows-only: binary payloads +
     // partition-wise stubbed decode have no SQL twin; values are
     // deterministic and pinned by MultimodalSpec): per-kind feature
@@ -238,6 +271,56 @@ object ExtQueries {
       |  FROM d WHERE len(w) >= 3)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |r AS (SELECT doc_id, len(w) AS n_tokens,
+        |  list_max(list_transform(list_distinct(w),
+        |    x -> len(list_filter(w, t -> t = x)))) AS top_count,
+        |  list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1]) AS bg
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(top_count AS DOUBLE) / n_tokens AS top_frac,
+        |  CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS bigram_ratio,
+        |  CASE WHEN CAST(top_count AS DOUBLE) / n_tokens > 0.12
+        |    OR CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) < 0.95
+        |    THEN 1 ELSE 0 END AS is_repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" -> {
+      val t = (f: Double) => graft.ext.Curation.hexThreshold(f)
+      s"""SELECT doc_id, source FROM documents
+         |WHERE md5('ss42' || CAST(doc_id AS VARCHAR)) <
+         |  CASE source WHEN 'src0' THEN '${t(0.5)}'
+         |  WHEN 'src1' THEN '${t(0.25)}' ELSE '${t(0.1)}' END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_embed_centroid" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / COUNT(*) AS centroid
+        |FROM embeddings, generate_series(1, 64) g(i)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(q.qv, e.embedding) AS c
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, vec_id) AS rank FROM s),
+        |v AS (SELECT r.query_id, e.label, COUNT(*) AS votes
+        |  FROM r JOIN embeddings e USING (vec_id) WHERE r.rank <= 10
+        |  GROUP BY r.query_id, e.label),
+        |p AS (SELECT query_id, label, votes,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, label) AS rk FROM v)
+        |SELECT query_id, label AS pred_label, votes FROM p WHERE rk = 1
+        |ORDER BY query_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |COUNT(*) AS n_copies FROM documents

@@ -54,4 +54,22 @@ class CurationSpec extends AnyFunSuite {
     assert(pairwise == Set(1L, 2L))
     assert(transitive == Set(1L))
   }
+
+  test("stratified sample: deterministic, rate-accurate, nested by rate") {
+    val rows = spark.range(1000)
+      .select(col("id"), (col("id") % 2).cast("string").as("stratum"))
+    def sample(r0: Double, r1: Double) =
+      Curation.stratifiedSample(rows, "stratum", "id",
+          Map("0" -> r0, "1" -> r1), defaultRate = 0.0)
+        .select("id").as[Long].collect().toSet
+    val s = sample(0.5, 0.1)
+    assert(s == sample(0.5, 0.1), "same salt+rates must reproduce exactly")
+    val n0 = s.count(_ % 2 == 0); val n1 = s.count(_ % 2 == 1)
+    assert(n0 > 200 && n0 < 300, s"rate 0.5 of 500 gave $n0")
+    assert(n1 > 20 && n1 < 80, s"rate 0.1 of 500 gave $n1")
+    // threshold coins nest: raising a rate only ADDS rows (stable sample)
+    assert(s.subsetOf(sample(0.8, 0.3)))
+    assert(sample(1.0, 1.0).size == 1000)
+    assert(sample(0.0, 0.0).isEmpty)
+  }
 }

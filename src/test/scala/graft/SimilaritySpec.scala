@@ -99,4 +99,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assigned.count() == emb.count())
     assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("label centroids: exact per-dimension means") {
+    val df = Seq(
+      (1L, Array(1f, 2f), 0),
+      (2L, Array(3f, 4f), 0),
+      (3L, Array(10f, 20f), 1)).toDF("vec_id", "embedding", "label")
+    val c = Similarity.labelCentroids(df)
+      .select("label", "dim", "n", "centroid")
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(c == Map((0, 0) -> ((2L, 2.0)), (0, 1) -> ((2L, 3.0)),
+      (1, 0) -> ((1L, 10.0)), (1, 1) -> ((1L, 20.0))))
+  }
+
+  test("knn classify: majority vote wins, vote ties go to smaller label") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 7), (2L, Array(0.99f, 0.05f), 7),
+      (3L, Array(0.98f, 0.08f), 7), (4L, Array(0f, 1f), 3),
+      (5L, Array(0.05f, 0.99f), 3)).toDF("vec_id", "embedding", "label")
+    val qMajor = Seq((100L, Array(1f, 0.1f))).toDF("query_id", "query_vec")
+    val major = Similarity.knnClassify(corpus, qMajor, k = 3)
+      .select("pred_label", "votes").as[(Int, Long)].head()
+    assert(major == ((7, 3L)))
+    // 1-1 vote: two-vector corpus, k=2 — smaller label must win
+    val two = Seq((1L, Array(1f, 0f), 7), (2L, Array(0f, 1f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val qTie = Seq((200L, Array(1f, 1f))).toDF("query_id", "query_vec")
+    val tie = Similarity.knnClassify(two, qTie, k = 2)
+      .select("pred_label", "votes").as[(Int, Long)].head()
+    assert(tie == ((3, 1L)))
+  }
 }

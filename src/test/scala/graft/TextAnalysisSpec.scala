@@ -49,4 +49,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     // hello | ,world -> ,world splits at punct => hello , world x 9 y
     assert(n == 6)
   }
+
+  test("repetition features: known top-token and bigram counts") {
+    val df = Seq(
+      (1L, "a a a b c"),   // top 'a'x3/5; bigrams [a a, a a, a b, b c]
+      (2L, "a b c d")      // all distinct
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.repetitionFeatures(df, "text")
+      .select("doc_id", "n_tokens", "top_frac", "bigram_ratio")
+      .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(f(1L) == ((1L, 5, 0.6, 0.75)))
+    assert(f(2L) == ((2L, 4, 0.25, 1.0)))
+  }
 }
