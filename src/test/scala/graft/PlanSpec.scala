@@ -70,4 +70,31 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("label centroids aggregate two-phase: the (label, dim) shuffle " +
+      "carries combined partials, not exploded rows") {
+    val p = plan("q_embed_centroid")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial agg:\n" + p)
+    assert(p.contains("Generate posexplode"), p)
+  }
+
+  test("repetition features are a pure scan: no shuffle before the sort") {
+    val p = plan("q_text_repetition")
+    // exactly the one exchange the final ORDER BY needs — the feature
+    // computation itself must not repartition anything
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("knn classify: one broadcast corpus scan (query set broadcast), " +
+      "hash-join label lookup, two-phase vote") {
+    val p = plan("q_knn_classify")
+    assert(!p.contains("CartesianProduct"), p)
+    // the single nested-loop is the DELIBERATE one: the tiny broadcast
+    // query set against the corpus scan — linear in corpus size
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    assert(p.contains("IdentityBroadcastMode"), "query set not broadcast:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "label lookup not a hash join:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "vote agg not two-phase:\n" + p)
+  }
 }
