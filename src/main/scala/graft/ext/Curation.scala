@@ -98,6 +98,36 @@ object Curation {
     else f"${(frac * 4294967296.0).toLong}%08x" + "0" * 24
   }
 
+  /** Model-based quality filtering (the classifier-gate stage of
+    * modern pretraining pipelines), with the learned classifier stood
+    * in by a deterministic "quality direction": the centroid of a
+    * trusted label's embeddings. Score = cosine(doc embedding,
+    * direction); keep docs scoring ≥ threshold.
+    *
+    * Scale shape: the direction reduces to a 64-float broadcast row;
+    * scoring is a codegen'd map-side dot product over ONE
+    * docs⋈embeddings equi-join (co-partitionable / bucketable at
+    * 100 TB). Nothing quadratic, no driver-side vector math — the
+    * centroid stays inside the plan.
+    */
+  def classifierFilter(docs: DataFrame, embeddings: DataFrame,
+      docIdCol: String, goodLabel: Int, threshold: Double): DataFrame = {
+    val direction = Similarity.labelCentroids(embeddings)
+      .filter(col("label") === goodLabel)
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid").cast("float")).as("cvec"))
+    docs.join(embeddings.select(col("vec_id"), col("embedding")),
+        docs(docIdCol) === col("vec_id"))
+      .crossJoin(broadcast(direction))
+      .withColumn("quality_score",
+        Similarity.dot(col("embedding"), col("cvec")) /
+          (Similarity.norm(col("embedding")) * Similarity.norm(col("cvec"))))
+      .filter(col("quality_score") >= threshold)
+      .drop("vec_id", "embedding", "cvec")
+  }
+
   /** Stratified deterministic sampling: keep each row with a
     * per-stratum rate, decided by the same fixed-width md5-threshold
     * coin as [[trainTestSplit]] — a pure function of (salt, id), so the

@@ -84,6 +84,27 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(1000003L) +
         xxhash64(t).bitwiseAND(lit(0x7FFFFFFFL)), lit(2147483647L)))
 
+  /** PII patterns shared by the scrubber and its oracle twin — kept to
+    * syntax RE2 and Java regex interpret identically (character
+    * classes, bounded repeats; no lookaround, no backrefs).
+    */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrubbing: replace email- and phone-shaped spans with typed
+    * placeholder tokens. Pure per-row `regexp_replace` — codegen'd,
+    * zero shuffle, the shape a 100 TB scrub pass needs.
+    */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(textCol, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-row PII span counts (audit signal for the scrub pass). */
+  def piiCounts(textCol: Column): (Column, Column) =
+    (regexp_count(textCol, lit(EmailRe)),
+      regexp_count(textCol, lit(PhoneRe)))
+
   /** Gopher-style repetition signals, computed entirely with array
     * higher-order functions — per-row, map-side, zero shuffle (the
     * shape that survives 100 TB: a scan):

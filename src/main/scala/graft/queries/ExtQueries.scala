@@ -247,6 +247,34 @@ object ExtQueries {
           k = 10)
         .orderBy(col("query_id"))),
 
+    // PII scrub: inject a deterministic synthetic email + phone per doc
+    // (the corpus itself has none), then count and redact them — the
+    // regex machinery is the operator under test; pure per-row
+    // regexp_replace/regexp_count, zero shuffle.
+    "q_text_pii" -> ((s, d) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val (nEmails, nPhones) = TextAnalysis.piiCounts(col("txt"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), injected.as("txt"))
+        .select(col("doc_id"),
+          nEmails.as("n_emails"), nPhones.as("n_phones"),
+          md5(TextAnalysis.redactPii(col("txt"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // classifier-gate quality filter: cosine vs the label-0 centroid
+    // "quality direction", threshold 0.05 (chosen in a score gap ≥
+    // 1.2e-4 at sf0.01 AND sf0.1 — float-noise-safe; ids-only output).
+    "q_quality_classifier" -> ((s, d) =>
+      graft.ext.Curation.classifierFilter(Tables.documents(s, d),
+          Tables.embeddings(s, d), "doc_id", goodLabel = 0,
+          threshold = 0.05)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // multimodal plumbing end-to-end (rows-only: binary payloads +
     // partition-wise stubbed decode have no SQL twin; values are
     // deterministic and pinned by MultimodalSpec): per-kind feature
@@ -320,6 +348,33 @@ object ExtQueries {
         |    ORDER BY votes DESC, label) AS rk FROM v)
         |SELECT query_id, label AS pred_label, votes FROM p WHERE rk = 1
         |ORDER BY query_id""".stripMargin,
+
+    "q_text_pii" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@example.com or call 555-' ||
+         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt,
+         |    '${TextAnalysis.EmailRe}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt,
+         |    '${TextAnalysis.PhoneRe}')) AS INT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(txt,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_quality_classifier" ->
+      """WITH a AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS avgv
+        |  FROM embeddings, generate_series(1, 64) g(i)
+        |  WHERE label = 0 GROUP BY i),
+        |c AS (SELECT list(avgv ORDER BY i) AS cvec FROM a),
+        |s AS (SELECT d.doc_id, d.source,
+        |  list_cosine_similarity(e.embedding, c.cvec) AS score
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, c)
+        |SELECT doc_id, source FROM s WHERE score >= 0.05
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

@@ -55,6 +55,25 @@ class CurationSpec extends AnyFunSuite {
     assert(transitive == Set(1L))
   }
 
+  test("classifier filter keeps docs aligned with the quality direction") {
+    // one orthogonal direction per label; doc 4 has no embedding ->
+    // unscored, dropped by the inner join
+    val embs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 1),
+      (3L, Array(-1f, 0f), 2)).toDF("vec_id", "embedding", "label")
+    val d4 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    def kept(label: Int) =
+      Curation.classifierFilter(d4, embs, "doc_id",
+          goodLabel = label, threshold = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(0) == Set(1L))
+    // direction [0,1] keeps only doc 2 — proves the centroid array is
+    // assembled in dim order, not collect_list arrival order
+    assert(kept(1) == Set(2L))
+    assert(kept(2) == Set(3L))
+  }
+
   test("stratified sample: deterministic, rate-accurate, nested by rate") {
     val rows = spark.range(1000)
       .select(col("id"), (col("id") % 2).cast("string").as("stratum"))

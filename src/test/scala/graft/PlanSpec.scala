@@ -86,6 +86,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("classifier filter: docs join embeddings by hash (bucketable), " +
+      "direction attaches as a single broadcast row") {
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is attaching the 1-row broadcast direction
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "docs⋈embeddings not an equi-join:\n" + p)
+    assert(p.contains("dot_f32"), "scoring not codegen'd:\n" + p)
+  }
+
   test("knn classify: one broadcast corpus scan (query set broadcast), " +
       "hash-join label lookup, two-phase vote") {
     val p = plan("q_knn_classify")

@@ -50,6 +50,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 6)
   }
 
+  test("pii scrub: redacts every email/phone span, counts match") {
+    val df = Seq(
+      (1L, "mail a.b@x.io or x_1@sub.dom.org then call 555-1234 now"),
+      (2L, "no pii here 12-34 almost@nothing x")).toDF("doc_id", "text")
+    val (ne, np) = TextAnalysis.piiCounts(col("text"))
+    val out = df.select(col("doc_id"), ne.as("ne"), np.as("np"),
+        TextAnalysis.redactPii(col("text")).as("red"))
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 2 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "mail <EMAIL> or <EMAIL> then call <PHONE> now")
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0)
+    assert(out(2L)._4 == "no pii here 12-34 almost@nothing x")
+  }
+
   test("repetition features: known top-token and bigram counts") {
     val df = Seq(
       (1L, "a a a b c"),   // top 'a'x3/5; bigrams [a a, a a, a b, b c]
