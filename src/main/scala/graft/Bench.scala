@@ -55,15 +55,39 @@ object Bench {
       name -> R(sec,
         (shuffleBytes.get() - s0) / 1e6, (spillBytes.get() - p0) / 1e6)
     }
-    def m1(f: R => Double): String = results
-      .map { case (k, r) => "\"" + k + "\":" + BigDecimal(f(r))
-        .setScale(3, BigDecimal.RoundingMode.HALF_UP) }
-      .mkString("{", ",", "}")
-    val qs = results.map { case (k, r) => "\"" + k + "\":" + r.sec }
+    def num(v: Double, dp: Int): String =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.toPlainString
+    def m1(f: R => Double, dp: Int): String = results
+      .map { case (k, r) => "\"" + k + "\":" + num(f(r), dp) }
       .mkString("{", ",", "}")
     val total = results.values.map(_.sec).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""shuffle_mb":${m1(_.shuffleMb)},"spill_mb":${m1(_.spillMb)},"sf":"$sfDir"}"""
+    // Full-resolution record (timings + the shuffle/spill maps that
+    // predict 100 TB behavior) goes to a FILE: the driver's stdout
+    // capture keeps only the last ~2000 chars, so anything bulky on
+    // stdout would truncate the machine-readable line below.
+    val detail =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec",""" +
+      s""""queries":${m1(_.sec, 3)},"shuffle_mb":${m1(_.shuffleMb, 3)},""" +
+      s""""spill_mb":${m1(_.spillMb, 3)},"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes("UTF-8")): Unit
+    } catch { case _: Throwable => () } // detail file is best-effort
+    // Final stdout line: compact per-query seconds, adaptive precision
+    // so the whole line stays inside the driver's 2000-char tail even
+    // as the query registry grows.
+    val line = Iterator(2, 1)
+      .map { dp =>
+        s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",""" +
+        s""""queries":${m1(_.sec, dp)},"sf":"$sfDir"}"""
+      }
+      .find(_.length <= 1900)
+      .getOrElse {
+        s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","sf":"$sfDir"}"""
+      }
     // Stop the session BEFORE printing: shutdown logging then cannot
     // interleave after the JSON, so the line is the last thing on
     // stdout for the driver's parser.

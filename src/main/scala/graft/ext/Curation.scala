@@ -118,12 +118,22 @@ object Curation {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("centroid")))),
         s => s.getField("centroid").cast("float")).as("cvec"))
-    docs.join(embeddings.select(col("vec_id"), col("embedding")),
+    docs.join(embeddings.select(col("vec_id"), col("embedding"))
+          // zero-norm embeddings make cosine 0/0 — NULL here, NaN in
+          // IEEE engines (where NaN ≥ threshold is TRUE): exclude them
+          // explicitly so every engine computes the same kept set.
+          .filter(Similarity.norm(col("embedding")) > 0),
         docs(docIdCol) === col("vec_id"))
       .crossJoin(broadcast(direction))
+      // an absent goodLabel leaves the global agg's single row holding
+      // an empty cvec — fail loudly instead of returning an empty
+      // result that looks like "all docs filtered out".
       .withColumn("quality_score",
-        Similarity.dot(col("embedding"), col("cvec")) /
-          (Similarity.norm(col("embedding")) * Similarity.norm(col("cvec"))))
+        when(size(col("cvec")) > 0,
+          Similarity.dot(col("embedding"), col("cvec")) /
+            (Similarity.norm(col("embedding")) * Similarity.norm(col("cvec"))))
+          .otherwise(raise_error(lit(
+            s"classifierFilter: no embeddings carry goodLabel=$goodLabel"))))
       .filter(col("quality_score") >= threshold)
       .drop("vec_id", "embedding", "cvec")
   }

@@ -192,10 +192,12 @@ object Similarity {
     * partial aggregation combines map-side, so the shuffle carries at
     * most labels × dim rows per map partition regardless of corpus
     * size. Each float is cast (via its exact double value) to
-    * DECIMAL(18,9) BEFORE summing: the per-value rounding is tie-free
-    * for |v| < 8192 (a float's dyadic expansion past digit 9 can never
-    * be exactly 5000…0 there), so the decimal sum — unlike a double
-    * sum — is order-independent and bit-identical across engines.
+    * DECIMAL(18,9) BEFORE summing, making the sum — unlike a double
+    * sum — order-independent. Rounding ties DO exist at digit 9 (any
+    * odd multiple of 2^-10 lands exactly on a trailing 5), so
+    * cross-engine equality rests on Spark and DuckDB both rounding
+    * decimal-cast ties half-away-from-zero, not on ties being
+    * impossible.
     */
   def labelCentroids(embeddings: DataFrame, labelCol: String = "label",
       vecCol: String = "embedding"): DataFrame =

@@ -133,8 +133,14 @@ object TextAnalysis {
           (a, b) => concat(a, lit(" "), b)))
       .withColumn("top_frac",
         col("top_count").cast("double") / col("n_tokens"))
+      // A one-token doc has zero bigrams; 0/0 is NULL under Spark's
+      // non-ANSI divide but NaN under DuckDB's IEEE divide, so define
+      // the degenerate case explicitly: no bigrams ⇒ nothing repeated
+      // ⇒ ratio 1.0 (both engines agree on the literal).
       .withColumn("bigram_ratio",
-        size(array_distinct(col("bigrams"))).cast("double") /
-          size(col("bigrams")))
+        when(size(col("bigrams")) > 0,
+          size(array_distinct(col("bigrams"))).cast("double") /
+            size(col("bigrams")))
+          .otherwise(lit(1.0)))
       .drop("toks", "bigrams", "top_count")
 }

@@ -309,9 +309,13 @@ object ExtQueries {
         |  FROM d)
         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
         |  CAST(top_count AS DOUBLE) / n_tokens AS top_frac,
-        |  CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS bigram_ratio,
+        |  CASE WHEN len(bg) > 0
+        |    THEN CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |    ELSE 1.0 END AS bigram_ratio,
         |  CASE WHEN CAST(top_count AS DOUBLE) / n_tokens > 0.12
-        |    OR CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) < 0.95
+        |    OR (CASE WHEN len(bg) > 0
+        |      THEN CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |      ELSE 1.0 END) < 0.95
         |    THEN 1 ELSE 0 END AS is_repetitive
         |FROM r ORDER BY doc_id""".stripMargin,
 
@@ -373,7 +377,8 @@ object ExtQueries {
         |s AS (SELECT d.doc_id, d.source,
         |  list_cosine_similarity(e.embedding, c.cvec) AS score
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, c)
-        |SELECT doc_id, source FROM s WHERE score >= 0.05
+        |SELECT doc_id, source FROM s
+        |WHERE score >= 0.05 AND NOT isnan(score)
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
