@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayMath.l2sqF
+
+/** DataFrame-native k-means (Lloyd's algorithm) over an embedding
+  * column — the training step behind a real IVF index (the reference's
+  * similarity surface stops at search; clustering is what makes the
+  * cell layout principled rather than "first k vectors").
+  *
+  * Scale shape per iteration: centroids are k·dim floats — a broadcast
+  * row set, never a shuffle key. Assignment is ONE corpus scan: the
+  * k distances per vector run through the codegen'd `l2sq_f32`
+  * expression against broadcast centroids, and the argmin collapses
+  * map-side (partial `min(struct(d2, cell))` aggregation), so the only
+  * shuffle carries one row per vector. Recompute is the proven
+  * [[Similarity.labelCentroids]] shape: positional explode + one
+  * (cell, dim)-keyed decimal-sum aggregation (order-independent, so
+  * bit-stable under any partitioning). Each iteration ends in a
+  * `localCheckpoint` on k rows, truncating the lineage that iterative
+  * DataFrame loops otherwise accumulate into exponential plans.
+  */
+object Clustering {
+
+  /** Deterministic seeds: the first k corpus vectors by id (k-means∥
+    * style sampling adds nothing on synthetic uniform data and would
+    * cost determinism; at real scale swap the seed set, not the loop).
+    */
+  def seedCentroids(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(
+        (row_number().over(Window.orderBy(col(idCol))) - 1).as("cell_id"),
+        col(vecCol).as("centroid"))
+
+  /** Nearest-centroid assignment: (idCol, cell_id, d2, vecCol) — ties
+    * break toward the smaller cell_id via the lexicographic
+    * `min(struct(d2, cell_id))`, which partial-aggregates map-side so
+    * the shuffle is one row per vector regardless of k.
+    */
+  def assign(vecs: DataFrame, centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", l2sqF(col(vecCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("cell_id"))).as("m"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col("m.cell_id").as("cell_id"),
+        col("m.d2").as("d2"), col(vecCol))
+
+  /** Per-(cell, dim) mean of the assigned vectors, decimal-summed for
+    * order-independence: (cell_id, dim, n, centroid). This long form is
+    * the oracle-checkable surface; [[packCentroids]] folds it back to
+    * one array row per cell for the next iteration.
+    */
+  def centroidStats(assigned: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    assigned
+      .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(bround(col("v").cast("double"), 9).cast("decimal(18,9)"))
+          .cast("double") / count(lit(1))).as("centroid"))
+
+  /** (cell_id, dim, centroid) rows → (cell_id, array<float> centroid). */
+  def packCentroids(stats: DataFrame): DataFrame =
+    stats.groupBy(col("cell_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid").cast("float")).as("centroid"))
+
+  /** `iters` Lloyd iterations from the deterministic seeds. A cell that
+    * loses every member keeps its previous centroid (standard empty-
+    * cluster fallback — dropping it would shrink k mid-run).
+    */
+  def lloyd(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = seedCentroids(corpus, k, idCol, vecCol).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val next = packCentroids(
+        centroidStats(assign(corpus, cents, idCol, vecCol), vecCol))
+      cents = cents.select(col("cell_id"), col("centroid").as("prev"))
+        .join(next.select(col("cell_id"), col("centroid").as("nxt")),
+          Seq("cell_id"), "left")
+        .select(col("cell_id"), coalesce(col("nxt"), col("prev")).as("centroid"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Total within-cluster squared distance — the monotone objective
+    * Lloyd minimizes; ClusteringSpec asserts it never increases across
+    * iterations. One scan + a global decimal sum.
+    */
+  def inertia(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double =
+    assign(corpus, centroids, idCol, vecCol)
+      .agg(sum(col("d2").cast("decimal(28,9)")).cast("double"))
+      .head().getDouble(0)
+}

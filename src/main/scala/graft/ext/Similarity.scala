@@ -191,13 +191,15 @@ object Similarity {
     * (map-side, ×dim rows) then ONE (label, dim)-keyed aggregation —
     * partial aggregation combines map-side, so the shuffle carries at
     * most labels × dim rows per map partition regardless of corpus
-    * size. Each float is cast (via its exact double value) to
-    * DECIMAL(18,9) BEFORE summing, making the sum — unlike a double
-    * sum — order-independent. Rounding ties DO exist at digit 9 (any
-    * odd multiple of 2^-10 lands exactly on a trailing 5), so
-    * cross-engine equality rests on Spark and DuckDB both rounding
-    * decimal-cast ties half-away-from-zero, not on ties being
-    * impossible.
+    * size. Each float is rounded to the 9th decimal digit and summed
+    * as DECIMAL(18,9), making the sum — unlike a double sum —
+    * order-independent. The rounding is `bround` (half-to-even)
+    * because ties at digit 9 are COMMON in float32 data (any dyadic
+    * like 153·2⁻¹⁰ = 0.1494140625 ends in an exact trailing 5) and
+    * the engines' decimal casts disagree on them: Spark's rounds
+    * half-up, DuckDB's half-to-even (measured on that very value at
+    * sf0.1). Banker's rounding first makes the later exact decimal
+    * cast tie-free on both sides.
     */
   def labelCentroids(embeddings: DataFrame, labelCol: String = "label",
       vecCol: String = "embedding"): DataFrame =
@@ -206,8 +208,32 @@ object Similarity {
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"),
-        (sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") /
-          count(lit(1))).as("centroid"))
+        (sum(bround(col("v").cast("double"), 9).cast("decimal(18,9)"))
+          .cast("double") / count(lit(1))).as("centroid"))
+
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * footprint cut (and 4× scan-rate win) serving-side vector stores
+    * take before ANN. Per-vector scale = max|v|/127; code points are
+    * `floor(v/scale + 0.5)` — floor is exact in every IEEE engine, so
+    * unlike round() (whose half-way tie rule varies) the code points
+    * are bit-reproducible across engines. Zero vectors quantize to
+    * all-zero with scale 0. Pure per-row array math, no shuffle.
+    */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val scale =
+      array_max(transform(vec, v => abs(v.cast("double")))) / 127.0
+    val codes = when(scale === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec, v =>
+        greatest(lit(-127), least(lit(127),
+          floor(v.cast("double") / scale + 0.5))).cast("int")))
+    (scale, codes)
+  }
+
+  /** Dequantized reconstruction; SimilaritySpec bounds the max absolute
+    * reconstruction error by scale/2 (the quantizer's half-step).
+    */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => (c.cast("double") * scale).cast("float"))
 
   /** k-NN label prediction: the exact top-k cosine neighbors of each
     * query vote; majority label wins, ties break toward the smaller

@@ -143,4 +143,76 @@ object TextAnalysis {
             size(col("bigrams")))
           .otherwise(lit(1.0)))
       .drop("toks", "bigrams", "top_count")
+
+  /** Token-window document chunking (context-length packing's upstream
+    * step): windows of `chunkSize` tokens every `stride` tokens, the
+    * trailing window truncated, zero-token docs emitting nothing.
+    * Pure map-side explode — the output is (rows × ~n/stride) but no
+    * shuffle is introduced, so it streams at scan speed at any scale.
+    */
+  def chunkDocuments(docs: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    docs
+      .withColumn("toks", tokens(col(textCol)))
+      // sequence(0, n-1, stride) is empty when n = 0, so explode drops
+      // token-less docs rather than emitting an empty chunk
+      .withColumn("start",
+        explode(when(size(col("toks")) > 0,
+          sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("chunk",
+        slice(col("toks"), col("start") + 1, lit(chunkSize)))
+      .select(col(idCol),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** BM25 relevance of every document against a bag of query terms
+    * (Robertson/Sparck-Jones idf; the retrieval scorer behind corpus
+    * search and hard-negative mining).
+    *
+    * Scale shape: corpus stats (N, avgdl) and per-term document
+    * frequencies reduce to a handful of broadcast scalars; term
+    * frequencies are one explode + (doc, term) agg — the only shuffle,
+    * keyed by doc id. Per-term scores are rounded into DECIMAL(18,9)
+    * before the per-doc sum so the total is independent of term
+    * addition order AND of last-bit `ln` drift across engines.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val termArr = array(queryTerms.distinct.map(lit): _*)
+    val base = docs
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("dl", size(col("toks")))
+    // N and avgdl: one global agg → a 1-row broadcast
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast("decimal(28,9)")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    // per-term document frequency over matching docs only
+    val dfs = base
+      .select(col(idCol), explode(array_distinct(col("toks"))).as("term"))
+      .filter(array_contains(termArr, col("term")))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // per-(doc, term) term frequency
+    val tfs = base
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .filter(array_contains(termArr, col("term")))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = log(
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfPart = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tfs
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", (idf * tfPart).cast("decimal(18,9)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).cast("double").as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Clustering, Dedup, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline queries (SURVEY.md §2.9, §7 step 4):
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
@@ -288,7 +288,43 @@ object ExtQueries {
           sum(col("n_bytes")).as("total_bytes"),
           round(avg(col("mean_intensity")), 6).as("avg_intensity"))
         .orderBy(col("kind"))
-    })
+    }),
+
+    // one Lloyd k-means step from deterministic seeds (k=8): broadcast
+    // centroids, codegen'd l2sq assignment collapsing map-side, decimal-
+    // mean recompute — the oracle-checkable core of IVF training.
+    "q_kmeans_step" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Clustering.centroidStats(
+          Clustering.assign(emb, Clustering.seedCentroids(emb, 8)))
+        .orderBy(col("cell_id"), col("dim"))
+    }),
+
+    // symmetric int8 quantization: per-vector scale + exact floor-based
+    // code points (round() tie rules differ across engines; floor
+    // doesn't). Pure map-side array math.
+    "q_embed_quantize" -> ((s, d) => {
+      val (scale, codes) = Similarity.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), scale.as("scale"),
+          array_join(codes.cast("array<string>"), ",").as("qvec"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // token-window chunking (40-token windows, stride 20): map-side
+    // explode, no shuffle; trailing windows truncate, empty docs vanish.
+    "q_doc_chunks" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d), "text", "doc_id",
+          chunkSize = 40, stride = 20)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // BM25 retrieval scores for a fixed term bag; per-term scores are
+    // decimal-rounded before the per-doc sum (order- and ln-drift-
+    // independent cross-engine).
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
+          Seq("hash", "join", "vector"))
+        .orderBy(col("doc_id")))
   )
 
   private val ShingleCte =
@@ -554,6 +590,76 @@ object ExtQueries {
          |bs AS (SELECT DISTINCT unnest(s) AS sh FROM g WHERE doc_id % 50 = 0),
          |cs AS (SELECT doc_id, unnest(s) AS sh FROM g WHERE doc_id % 50 <> 0)
          |SELECT doc_id, COUNT(*) AS n_overlap FROM cs JOIN bs USING (sh)
-         |GROUP BY doc_id HAVING COUNT(*) >= 5 ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id HAVING COUNT(*) >= 5 ORDER BY doc_id""".stripMargin,
+
+    "q_kmeans_step" ->
+      """WITH c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cell_id, embedding AS centroid
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |a AS (SELECT e.vec_id, c.cell_id,
+        |    list_reduce(list_transform(generate_series(1, 64), i ->
+        |      (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
+        |      (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))),
+        |      (acc, x) -> acc + x) AS d2
+        |  FROM embeddings e CROSS JOIN c),
+        |r AS (SELECT vec_id, cell_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+        |  FROM a),
+        |m AS (SELECT r.cell_id, e.embedding FROM r JOIN embeddings e
+        |  USING (vec_id) WHERE rk = 1)
+        |SELECT cell_id, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / COUNT(*) AS centroid
+        |FROM m, generate_series(1, 64) g(i)
+        |GROUP BY cell_id, i ORDER BY cell_id, dim""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+        |    / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale = 0
+        |  THEN array_to_string(list_transform(embedding, v -> 0), ',')
+        |  ELSE array_to_string(list_transform(embedding, v ->
+        |    CAST(GREATEST(-127, LEAST(127,
+        |      FLOOR(CAST(v AS DOUBLE) / scale + 0.5))) AS INT)), ',')
+        |  END AS qvec
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w,
+        |  unnest(generate_series(0, len(w) - 1, 20)) AS start
+        |  FROM d WHERE len(w) > 0)
+        |SELECT doc_id, CAST(start // 20 AS INT) AS chunk_id,
+        |  CAST(len(list_slice(w, start + 1, start + 40)) AS INT)
+        |    AS n_chunk_tokens,
+        |  array_to_string(list_slice(w, start + 1, start + 40), ' ')
+        |    AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(len(w) AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+        |    AS avgdl FROM d),
+        |tf AS (SELECT doc_id, len(w) AS dl, t.term, COUNT(*) AS tf
+        |  FROM d, unnest(w) AS t(term)
+        |  WHERE t.term IN ('hash', 'join', 'vector')
+        |  GROUP BY doc_id, dl, t.term),
+        |df AS (SELECT term, COUNT(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, t.term FROM d, unnest(w) AS t(term)
+        |   WHERE t.term IN ('hash', 'join', 'vector'))
+        |  GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |    ((tf.tf * (1.2 + 1.0)) /
+        |     (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)))
+        |    AS DECIMAL(18,9)) AS term_score
+        |  FROM tf JOIN df USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25,
+        |  COUNT(*) AS n_terms_hit
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

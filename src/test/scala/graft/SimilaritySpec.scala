@@ -130,4 +130,30 @@ class SimilaritySpec extends AnyFunSuite {
       .select("pred_label", "votes").as[(Int, Long)].head()
     assert(tie == ((3, 1L)))
   }
+
+  test("int8 quantization: codes in [-127,127], max element hits ±127, " +
+    "reconstruction error bounded by scale/2") {
+    val (scaleC, codesC) = Similarity.quantizeInt8(col("embedding"))
+    val q = emb.select(col("vec_id"), col("embedding"),
+      scaleC.as("scale"), codesC.as("codes")).cache()
+    val bad = q.filter(exists(col("codes"),
+      c => c > 127 || c < -127)).count()
+    assert(bad == 0)
+    // every non-zero vector's largest-|v| element maps to ±127
+    val hasExtreme = q.filter(col("scale") > 0)
+      .filter(!exists(col("codes"), c => abs(c) === 127)).count()
+    assert(hasExtreme == 0)
+    // |v - code*scale| ≤ scale/2 element-wise
+    val recon = Similarity.dequantizeInt8(col("codes"), col("scale"))
+    val overErr = q.withColumn("err",
+        array_max(zip_with(col("embedding"), recon,
+          (a, b) => abs(a.cast("double") - b.cast("double")))))
+      .filter(col("err") > col("scale") / 2 + 1e-12).count()
+    assert(overErr == 0)
+    // zero vector: scale 0, all-zero codes
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val (zs, zc) = Similarity.quantizeInt8(col("embedding"))
+    val zr = z.select(zs.as("s"), zc.as("c")).as[(Double, Array[Int])].head()
+    assert(zr._1 == 0.0 && zr._2.sameElements(Array(0, 0, 0)))
+  }
 }

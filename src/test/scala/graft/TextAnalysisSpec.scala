@@ -75,4 +75,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(f(1L) == ((1L, 5, 0.6, 0.75)))
     assert(f(2L) == ((2L, 4, 0.25, 1.0)))
   }
+
+  test("chunking: stride windows, truncated tail, empty doc drops") {
+    val df = Seq(
+      (1L, (1 to 7).map(i => s"t$i").mkString(" ")), // 7 tokens
+      (2L, "")                                       // split('') = [""] → 1 chunk
+    ).toDF("doc_id", "text")
+    val c = TextAnalysis.chunkDocuments(df, "text", "doc_id",
+        chunkSize = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect()
+    val doc1 = c.filter(_._1 == 1L)
+    assert(doc1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(doc1.map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7", "t7"))
+    assert(doc1.map(_._3).toSeq == Seq(4, 4, 3, 1))
+    // whitespace-split of "" yields one empty token → a single "" chunk
+    assert(c.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1, "")))
+  }
+
+  test("bm25: rarer term outscores common term at equal tf; " +
+    "docs without query terms are absent") {
+    val df = Seq(
+      (1L, "rare common common filler filler"),
+      (2L, "common filler filler filler filler"),
+      (3L, "filler filler filler filler filler"),
+      (4L, "common filler filler filler filler")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(df, "text", "doc_id", Seq("rare", "common"))
+      .orderBy("doc_id")
+      .select("doc_id", "bm25", "n_terms_hit")
+      .as[(Long, Double, Long)].collect()
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 4L)) // doc 3 has no hits
+    val byDoc = r.map(x => x._1 -> x).toMap
+    assert(byDoc(1L)._3 == 2L)
+    // doc 1 holds the corpus's only 'rare' (df=1) plus 2×'common';
+    // its score must beat doc 2's single common hit
+    assert(byDoc(1L)._2 > byDoc(2L)._2)
+    // identical docs 2 and 4 score identically (determinism)
+    assert(byDoc(2L)._2 == byDoc(4L)._2)
+  }
 }
