@@ -211,6 +211,36 @@ object Similarity {
         (sum(bround(col("v").cast("double"), 9).cast("decimal(18,9)"))
           .cast("double") / count(lit(1))).as("centroid"))
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-dup pairs = cluster
+    * the embedding space, then compare only WITHIN each cell — the
+    * k-means twin of LSH bucketing, preferable when an index/centroid
+    * set already exists or when buckets should follow data geometry
+    * rather than random hyperplanes. Cost is Σ|cell|² instead of n²;
+    * at 100 TB pick cells ≈ n/1000 and the cell id becomes the
+    * partition key (exactly like the LSH bucket). The exact-cosine
+    * filter keeps precision 1; recall is bounded by both ends of a
+    * pair landing in one cell (SimilaritySpec measures it vs the
+    * exact baseline).
+    */
+  def semDedupPairs(embeddings: DataFrame, cells: Int,
+      threshold: Double): DataFrame = {
+    val assigned = Clustering
+      .assign(embeddings, Clustering.seedCentroids(embeddings, cells))
+      .withColumn("nrm", norm(col("embedding")))
+    // SHUFFLE_HASH for the same reason as the LSH self-join: sorting
+    // embedding-laden rows dominates SMJ; per-cell hash maps stay
+    // bounded as long as cells bound membership (which SemDeDup
+    // already requires).
+    assigned.as("a").hint("SHUFFLE_HASH")
+      .join(assigned.as("b").hint("SHUFFLE_HASH"),
+        col("a.cell_id") === col("b.cell_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4×
     * footprint cut (and 4× scan-rate win) serving-side vector stores
     * take before ANN. Per-vector scale = max|v|/127; code points are

@@ -46,6 +46,15 @@ final case class CsvSource(dir: String,
       .csv(s"$dir/$table.csv")
 }
 
+/** ORC source (table t ↦ dir/t.orc) — the other columnar interchange
+  * format; like parquet it carries its own schema, supports predicate
+  * pushdown, and needs no inference scan.
+  */
+final case class OrcSource(dir: String) extends TableSource {
+  override def load(spark: SparkSession, table: String): DataFrame =
+    spark.read.orc(s"$dir/$table.orc")
+}
+
 /** PostgreSQL via Spark's JDBC source — the reference's extract path
   * (reference main.go:88-129) upgraded for scale:
   *

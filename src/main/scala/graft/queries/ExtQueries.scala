@@ -324,7 +324,16 @@ object ExtQueries {
     "q_bm25" -> ((s, d) =>
       TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
           Seq("hash", "join", "vector"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // SemDeDup: k-means cells (deterministic seeds), then exact-cosine
+    // pairs WITHIN cells only — Σ|cell|² work, cell_id the partition
+    // key (ids-only output; scores are float-rep sensitive).
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDedupPairs(Tables.embeddings(s, d), cells = 8,
+          threshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id")))
   )
 
   private val ShingleCte =
@@ -660,6 +669,26 @@ object ExtQueries {
         |  FROM tf JOIN df USING (term) CROSS JOIN st)
         |SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25,
         |  COUNT(*) AS n_terms_hit
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cell_id, embedding AS centroid
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |a AS (SELECT e.vec_id, c.cell_id,
+        |    list_reduce(list_transform(generate_series(1, 64), i ->
+        |      (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
+        |      (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))),
+        |      (acc, x) -> acc + x) AS d2
+        |  FROM embeddings e CROSS JOIN c),
+        |r AS (SELECT vec_id, cell_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+        |  FROM a),
+        |m AS (SELECT r.vec_id, r.cell_id, e.embedding FROM r
+        |  JOIN embeddings e USING (vec_id) WHERE rk = 1)
+        |SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        |FROM m x JOIN m y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

@@ -108,4 +108,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "label lookup not a hash join:\n" + p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, "vote agg not two-phase:\n" + p)
   }
+
+  test("kmeans step: centroids broadcast, argmin collapses map-side " +
+      "(partial min before the vec_id shuffle), codegen'd l2sq") {
+    val p = plan("q_kmeans_step")
+    assert(!p.contains("CartesianProduct"), p)
+    // the one nested-loop is the constant k-row centroid broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    assert(p.contains("l2sq_f32"), "assignment not the native expression:\n" + p)
+    assert(!p.contains("ScalaUDF"), p)
+    // argmin is a two-phase SortAggregate (struct-min has no hash-agg
+    // buffer): partial_min collapses map-side, the exchange carries one
+    // row per vector
+    assert(p.contains("partial_min(struct(d2"), "argmin not map-side:\n" + p)
+    // recompute is the usual two-phase hash agg
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "recompute not two-phase:\n" + p)
+  }
+
+  test("chunking and quantization are pure scans: only the output sort " +
+      "exchanges") {
+    Seq("q_doc_chunks", "q_embed_quantize").foreach { q =>
+      val p = plan(q)
+      assert("Exchange".r.findAllIn(p).length <= 1, s"$q shuffles:\n$p")
+      assert(!p.contains("ScalaUDF"), p)
+    }
+  }
+
+  test("bm25: corpus stats and term dfs broadcast; the doc-keyed term " +
+      "agg is the only real shuffle and runs two-phase") {
+    val p = plan("q_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), "df join not broadcast:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, "aggs not two-phase:\n" + p)
+  }
 }

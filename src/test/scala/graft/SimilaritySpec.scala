@@ -131,6 +131,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tie == ((3, 1L)))
   }
 
+  test("semdedup: precision 1 vs exact pairs; within-cell recall measured") {
+    val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sem = Similarity.semDedupPairs(emb, cells = 4, threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(exact), "semdedup produced a non-exact pair")
+    if (exact.nonEmpty) {
+      val recall = sem.size.toDouble / exact.size
+      // random embeddings + coarse cells = worst case; just assert the
+      // mechanism finds a nonzero share and report it
+      assert(recall > 0.0, s"semdedup found none of ${exact.size} pairs")
+      info(f"semdedup recall at cells=4: $recall%.2f (${sem.size}/${exact.size})")
+    }
+  }
+
   test("int8 quantization: codes in [-127,127], max element hits ±127, " +
     "reconstruction error bounded by scale/2") {
     val (scaleC, codesC) = Similarity.quantizeInt8(col("embedding"))

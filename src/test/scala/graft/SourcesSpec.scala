@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.io.{CsvSource, JsonlSource, ParquetSource}
+import graft.io.{CsvSource, JsonlSource, OrcSource, ParquetSource}
 import graft.model.Tables
 
 /** Text-format corpus sources (JSONL / CSV): explicit-schema reads (no
@@ -84,5 +84,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.extracted == 1 && r.appended == 1)
     assert(spark.read.parquet(outDir).select("id").as[Long].collect().toSeq
       == Seq(1L))
+  }
+
+  test("ORC source round-trips the documents table and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val docs = graft.model.Tables.documents(spark, TestSpark.Sf0001)
+    docs.write.mode("overwrite").orc(s"$dir/documents.orc")
+    val back = OrcSource(dir).load(spark, "documents")
+    assert(back.count() == docs.count())
+    assert(back.schema == docs.schema)
+    // same content (doc_id is a unique key)
+    assert(back.select("doc_id").except(docs.select("doc_id")).count() == 0)
+    // predicate reaches the ORC scan
+    val plan = back.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(doc_id,7)"), s"no pushdown in:\n$plan")
   }
 }
