@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.io.{JdbcRetention, JdbcSource, ParquetSource, TableSource}
 import graft.ops.Archive
 
@@ -40,6 +41,9 @@ import graft.ops.Archive
   *   GRAFT_RETENTION_DAYS  else now−N days (reference retentionDays=90)
   *   GRAFT_BATCH_SIZE   per-table top-k (reference batchSize=100)
   *   GRAFT_DELETE       'true' → run the retention DELETE (JDBC only)
+  *   GRAFT_VERIFY       'true' → re-read the archive and require batch
+  *                      digests to match before any DELETE
+  *                      (Archive.groupChecksums)
   *   GRAFT_MASTER       spark master, default local[*]
   */
 object ArchiverMain {
@@ -54,7 +58,8 @@ object ArchiverMain {
       batchSize: Int,
       deleteFromSource: Boolean,
       streaming: Boolean = false,
-      checkpointDir: Option[String] = None) {
+      checkpointDir: Option[String] = None,
+      verifyArchive: Boolean = false) {
     require(sourceDir.isDefined ^ jdbcUrl.isDefined,
       "exactly one of GRAFT_SOURCE_DIR / GRAFT_JDBC_URL must be set")
     require(tables.nonEmpty, "GRAFT_TABLES must name at least one table")
@@ -97,6 +102,7 @@ object ArchiverMain {
       batchSize = get("GRAFT_BATCH_SIZE").map(_.toInt).getOrElse(100),
       deleteFromSource = get("GRAFT_DELETE").exists(_.toBoolean),
       streaming = get("GRAFT_STREAMING").exists(_.toBoolean),
+      verifyArchive = get("GRAFT_VERIFY").exists(_.toBoolean),
       checkpointDir = get("GRAFT_CHECKPOINT"))
   }
 
@@ -190,6 +196,30 @@ object ArchiverMain {
       val appended = Archive.appendIdempotent(
         batch.transform(Archive.toArchiveShape("timestamp")), cfg.outPath)
       println(s"Archived $appended new rows (batch of $extracted) to ${cfg.outPath}")
+
+      // Verify-before-delete (GRAFT_VERIFY): re-read the archive and
+      // compare per-(year, month) digests of THIS batch's rows against
+      // what we just tried to make durable — the read-back check the
+      // reference never does before destroying source data. Order- and
+      // partitioning-independent by construction.
+      if (cfg.verifyArchive) {
+        val canon = Seq(col("table_name"), col("id"), col("device_id"),
+          col("timestamp"), col("value").cast("decimal(18,6)"))
+        val want = Archive.groupChecksums(
+          batch.transform(Archive.toArchiveShape("timestamp")),
+          Seq("year", "month"), canon)
+        val keys = batch.select(col("table_name"), col("id"))
+        val got = Archive.groupChecksums(
+          spark.read.parquet(cfg.outPath)
+            .join(keys, Seq("table_name", "id"), "left_semi"),
+          Seq("year", "month"), canon)
+        val mismatch = want.except(got).count() + got.except(want).count()
+        require(mismatch == 0L,
+          s"archive verification FAILED: $mismatch partition digests " +
+            "differ between the batch and the read-back archive — " +
+            "refusing to delete source rows")
+        println("Archive verified: read-back digests match the batch")
+      }
 
       // Retention DELETE keyed to the batch — which is exactly the rows
       // now durable in the archive: freshly appended ones plus any a

@@ -156,4 +156,35 @@ object Archive {
     }
     unionAll(perTable).transform(withTimePartitions(tsCol))
   }
+
+  /** Per-time-partition integrity digest — the safety check the
+    * reference's archive-then-DELETE cycle is missing (main.go:88-129
+    * deletes source rows on the strength of a write that was never
+    * read back): run this over BOTH the source extract and the written
+    * archive partition and compare before deleting.
+    *
+    * The digest is a bit_xor of per-row 60-bit md5 prefixes over a
+    * canonical row string, so it is ORDER-INDEPENDENT (parquet scans
+    * return rows in any order) and aggregates with constant state per
+    * partition — one map-side-combined shuffle at any scale. Doubles
+    * and timestamps enter the canonical string through DECIMAL(18,6)
+    * and epoch-nanos casts: both engines (and both sides of a
+    * source/archive comparison) format those identically, where raw
+    * double/timestamp rendering differs.
+    */
+  def partitionChecksums(df: DataFrame, tsCol: String,
+      canonCols: Seq[Column]): DataFrame =
+    groupChecksums(df.transform(withTimePartitions(tsCol)),
+      Seq("year", "month"), canonCols)
+
+  /** Digest grouped by existing columns (for data already carrying its
+    * partition columns, e.g. the written archive).
+    */
+  def groupChecksums(df: DataFrame, groupCols: Seq[String],
+      canonCols: Seq[Column]): DataFrame = {
+    val canon = concat_ws("|", canonCols: _*)
+    val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), bit_xor(rowHash).as("checksum"))
+  }
 }

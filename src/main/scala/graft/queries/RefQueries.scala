@@ -137,7 +137,19 @@ object RefQueries {
           col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
           col("value") > 50.0)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // archive-integrity digest: order-independent bit_xor of per-row
+    // md5 prefixes per (year, month) — the verify-before-DELETE check
+    // the reference's archive cycle is missing.
+    "q_archive_checksum" -> ((s, d) => {
+      val iot = eventsAsIot(s, d)
+      Archive.partitionChecksums(iot, "timestamp", Seq(
+          col("id"), col("device_id"),
+          graft.ops.Scalar.epochNanos(col("timestamp")),
+          col("value").cast("decimal(18,6)")))
+        .orderBy(col("year"), col("month"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -197,6 +209,17 @@ object RefQueries {
         |SELECT event_id, ts, user_id, event_type, value FROM e
         |WHERE event_type IN ('error','signup')
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND value > 50.0
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q_archive_checksum" ->
+      s"""$IotCte, r AS (SELECT year(timestamp) AS y, month(timestamp) AS m,
+         |  CAST('0x' || substr(md5(
+         |    id || '|' || device_id || '|' || (epoch_us(timestamp) * 1000)
+         |    || '|' || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)),
+         |    1, 15) AS BIGINT) AS h
+         |  FROM iot)
+         |SELECT CAST(y AS INT) AS year, CAST(m AS INT) AS month,
+         |  COUNT(*) AS n_rows, bit_xor(h) AS checksum
+         |FROM r GROUP BY y, m ORDER BY year, month""".stripMargin
   )
 }

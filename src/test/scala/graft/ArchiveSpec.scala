@@ -121,4 +121,36 @@ class ArchiveSpec extends AnyFunSuite {
     assert(back.count() == 4)
     assert(back.columns.toSet.contains("month"))
   }
+
+  test("partition checksums: order-independent, round-trip-stable, " +
+      "and sensitive to a single mutated row") {
+    import graft.ops.Scalar
+    def canon = Seq(col("id"), col("device_id"),
+      Scalar.epochNanos(col("timestamp")), col("value").cast("decimal(18,6)"))
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Archive.partitionChecksums(df, "timestamp", canon)
+        .orderBy("year", "month")
+        .select("year", "month", "n_rows", "checksum")
+        .as[(Int, Int, Long, Long)].collect().toSeq
+    val src = sums(sample)
+    assert(src.map(t => (t._1, t._2)).toSet ==
+      Set((2023, 12), (2024, 1), (2024, 2))) // groups span months
+    // archive round-trip (different row order, different partitioning)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    Archive.writeArchive(
+      sample.transform(Archive.withTimePartitions("timestamp")), dir)
+    val back = spark.read.parquet(dir)
+      .select("id", "timestamp", "device_id", "value")
+      .orderBy(col("value").desc).repartition(3)
+    assert(sums(back) == src, "archive read-back digest differs from source")
+    // a single flipped value in one partition must change exactly
+    // that partition's digest
+    val mutated = sample.withColumn("value",
+      when(col("id") === 3L, 999.0).otherwise(col("value")))
+    val mut = sums(mutated)
+    assert(mut.size == src.size)
+    val diffs = src.zip(mut).filter { case (a, b) => a != b }
+    assert(diffs.map(_._1).map(t => (t._1, t._2)) == Seq((2024, 2)),
+      s"expected only 2024-02 to differ, got $diffs")
+  }
 }

@@ -106,6 +106,29 @@ class ArchiverMainSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == 3)
     assert(spark.read.parquet(outDir)
       .groupBy("table_name", "id").count().filter(col("count") > 1).isEmpty)
+
+    // GRAFT_VERIFY: the read-back digest gate passes on the intact
+    // archive...
+    val vcfg = cfg.copy(verifyArchive = true)
+    val r3 = ArchiverMain.run(spark, vcfg, ParquetSource(srcDir), None)
+    assert(r3.extracted == 3 && r3.appended == 0)
+
+    // ...and refuses (throws) once a durable archive row is corrupted
+    val goodRows = spark.read.parquet(outDir).collect()
+    val schema = spark.read.parquet(outDir).schema
+    val corrupted = spark.createDataFrame(
+      java.util.Arrays.asList(goodRows.map { r =>
+        val i = r.fieldIndex("value")
+        val vals = r.toSeq.updated(i, r.getDouble(i) + 1000.0)
+        org.apache.spark.sql.Row.fromSeq(vals)
+      }: _*), schema)
+    val outDir2 = tmp("graft_cli_out2") + "/arch"
+    corrupted.write.partitionBy("year", "month").parquet(outDir2)
+    val ex = intercept[IllegalArgumentException] {
+      ArchiverMain.run(spark, vcfg.copy(outPath = outDir2),
+        ParquetSource(srcDir), None)
+    }
+    assert(ex.getMessage.contains("archive verification FAILED"))
   }
 
   test("streaming mode archives incrementally, exactly-once across " +
