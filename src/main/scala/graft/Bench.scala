@@ -84,7 +84,7 @@ object Bench {
         s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",""" +
         s""""queries":${m1(_.sec, dp)},"sf":"$sfDir"}"""
       }
-      .find(_.length <= 1900)
+      .find(_.length <= 1980)
       .getOrElse {
         s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","sf":"$sfDir"}"""
       }

@@ -144,6 +144,28 @@ object Curation {
     * sample is reproducible at any partitioning and stable under corpus
     * growth (a kept row is kept forever). Map-side filter, no shuffle.
     */
+  /** Weighted sampling without replacement (Efraimidis–Spirtakis A-ES):
+    * every row gets key u^(1/w) for a uniform u; the k largest keys ARE
+    * a weighted sample. Ranking by ln(u)/w (monotone twin — no pow
+    * drift) and u derived from a 52-bit md5 prefix keeps it a pure
+    * function of (salt, id): deterministic, partitioning-independent,
+    * and engine-reproducible. The top-k fuses to TakeOrderedAndProject
+    * — per-partition heaps of k, no global sort, no shuffle beyond the
+    * k-row gather.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "ws42"): DataFrame = {
+    require(k > 0, "k must be > 0")
+    // 52-bit prefix / 2^52 ∈ [0,1) — exactly representable in a double
+    val u = conv(substring(
+        md5(concat(lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0)
+    docs.withColumn("skey", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(k)
+      .drop("skey") // float key stays out of the verified output
+  }
+
   def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double,
       salt: String = "ss42"): DataFrame = {

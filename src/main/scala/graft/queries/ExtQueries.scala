@@ -333,7 +333,15 @@ object ExtQueries {
       Similarity.semDedupPairs(Tables.embeddings(s, d), cells = 8,
           threshold = 0.4)
         .select(col("a_id"), col("b_id"))
-        .orderBy(col("a_id"), col("b_id")))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // A-ES weighted sampling (longer docs likelier): md5-uniform keys,
+    // distributed top-k — deterministic at any partitioning.
+    "q_sample_weighted" -> ((s, d) =>
+      graft.ext.Curation.weightedSample(Tables.documents(s, d),
+          "doc_id", "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id")))
   )
 
   private val ShingleCte =
@@ -689,6 +697,16 @@ object ExtQueries {
         |SELECT x.vec_id AS a_id, y.vec_id AS b_id
         |FROM m x JOIN m y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
         |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |  ln(CAST('0x' || substr(md5('ws42' || CAST(doc_id AS VARCHAR)),
+        |      1, 13) AS BIGINT) / 4503599627370496.0) / n_chars AS skey
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM
+        |  (SELECT doc_id, n_chars FROM s
+        |   ORDER BY skey DESC, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -91,4 +91,22 @@ class CurationSpec extends AnyFunSuite {
     assert(sample(1.0, 1.0).size == 1000)
     assert(sample(0.0, 0.0).isEmpty)
   }
+
+  test("weighted sampling: k rows, partitioning-invariant, and weight-" +
+      "monotone in aggregate") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.Sf0001)
+    val a = Curation.weightedSample(docs, "doc_id", "n_chars", k = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == 30)
+    val b = Curation.weightedSample(docs.repartition(7), "doc_id", "n_chars",
+        k = 30).select("doc_id").as[Long].collect().toSet
+    assert(b == a, "sample changed under repartitioning")
+    // aggregate monotonicity: giving half the docs 100x weight must pull
+    // the sample overwhelmingly toward them
+    val skewed = docs.withColumn("w",
+      when(col("doc_id") % 2 === 0, lit(10000)).otherwise(lit(1)))
+    val heavy = Curation.weightedSample(skewed, "doc_id", "w", k = 30)
+      .filter(col("doc_id") % 2 === 0).count()
+    assert(heavy >= 28, s"only $heavy/30 sampled from the heavy half")
+  }
 }

@@ -142,4 +142,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "df join not broadcast:\n" + p)
     assert("HashAggregate".r.findAllIn(p).length >= 4, "aggs not two-phase:\n" + p)
   }
+
+  test("weighted sample fuses to TakeOrderedAndProject (per-partition " +
+      "heaps, never a global sort of the corpus)") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("archive checksum digests aggregate two-phase (constant state " +
+      "per partition, map-side combined)") {
+    val p = plan("q_archive_checksum")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "not two-phase:\n" + p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
 }
