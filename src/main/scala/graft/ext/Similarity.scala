@@ -180,12 +180,50 @@ object Similarity {
 
   /** Deterministic centroids: the first `cells` vectors by id (seed
     * points; with random data a Lloyd iteration adds nothing — kept
-    * simple and fully deterministic).
+    * simple and fully deterministic). For trained cells use
+    * [[Clustering.lloyd]], which [[ivfTopK]] does by default.
     */
   def ivfCentroids(corpus: DataFrame, cells: Int): DataFrame =
     corpus.orderBy(col("vec_id")).limit(cells)
       .select(monotonically_increasing_id().as("cell_id"),
         col("embedding").as("centroid"))
+
+  /** IVF top-k search: Lloyd-trained cells (k-means is what makes IVF
+    * an index rather than a partition guess), each query probing only
+    * its `nprobe` nearest cells. At scale the corpus is written
+    * partitioned by cell_id, so a probe reads nprobe partitions
+    * instead of the corpus; recall/cost is tuned by (cells, nprobe)
+    * with no data movement. Approximate — recall vs [[topKCosine]]
+    * asserted in SimilaritySpec.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int,
+      nprobe: Int, centroids: Option[DataFrame] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells, "need 1 <= nprobe <= cells")
+    val cents = centroids.getOrElse(Clustering.lloyd(corpus, cells, iters = 2))
+    val indexed = ivfAssign(
+      corpus.withColumn("nrm", norm(col("embedding"))), "embedding", cents)
+    // nprobe nearest cells per query, by the same metric ivfAssign uses
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell_id"))
+    val probes = queries
+      .withColumn("qnrm", norm(col("query_vec")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", -dot(col("query_vec"), col("centroid")) /
+        (col("qnrm") * norm(col("centroid"))))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("qnrm"), col("cell_id"))
+    val scored = indexed.as("c")
+      .join(broadcast(probes.as("q")),
+        col("q.cell_id") === col("c.cell_id") &&
+          col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id"),
+        (dot(col("q.query_vec"), col("c.embedding")) /
+          (col("q.qnrm") * col("c.nrm"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 
   /** Per-label centroid of an embedding column: positional explode
     * (map-side, ×dim rows) then ONE (label, dim)-keyed aggregation —

@@ -341,7 +341,16 @@ object ExtQueries {
       graft.ext.Curation.weightedSample(Tables.documents(s, d),
           "doc_id", "n_chars", k = 50)
         .select(col("doc_id"), col("n_chars"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // IVF top-k over Lloyd-trained cells (rows-only: multi-iteration
+    // k-means has no tractable SQL twin; recall vs the exact baseline
+    // asserted in SimilaritySpec).
+    "q_similarity_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), queryVecs(s, d),
+          k = 10, cells = 8, nprobe = 3)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+        .orderBy(col("query_id"), col("rank")))
   )
 
   private val ShingleCte =

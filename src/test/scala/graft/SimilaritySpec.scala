@@ -131,6 +131,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tie == ((3, 1L)))
   }
 
+  test("ivf top-k: valid ranks, no self-matches, and usable recall vs " +
+      "the exact baseline") {
+    val exact = Similarity.topKCosine(emb, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, cells = 6, nprobe = 3)
+      .cache()
+    val rows = ivf.select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.forall { case (q, r, v) => r >= 1 && r <= 10 && q != v })
+    // per-query ranks are dense from 1
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    val got = rows.map(t => (t._1, t._3)).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.25,
+      f"ivf recall $recall%.2f too low (random vectors, nprobe 3/6)")
+    info(f"ivf recall@10 at cells=6, nprobe=3: $recall%.2f")
+  }
+
   test("semdedup: precision 1 vs exact pairs; within-cell recall measured") {
     val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
