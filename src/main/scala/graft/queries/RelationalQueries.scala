@@ -59,6 +59,30 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // TPC-H Q18 shape: a group-HAVING subquery (large orders) feeds a
+    // LEFT SEMI join into the 3-table rollup. The big-big l⋈o join
+    // shuffles once on orderkey; the customer dim broadcasts; the
+    // HAVING sum runs in DECIMAL so the > threshold compare is exact
+    // on both engines.
+    "q18_large_orders" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .filter(col("qty") > 250)
+        .select(col("l_orderkey").as("big_orderkey"))
+      o.join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // 2.3 five-way star join (TPC-H Q5 shape): all dims broadcast —
     // the fact table is scanned once, zero shuffle until the final agg.
     "q5_nation_revenue" -> ((s, d) => {
@@ -295,6 +319,19 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT * FROM (
+        |  SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |  GROUP BY 1, 2, 3, 4, 5
+        |  ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q5_nation_revenue" ->
       """SELECT n_name,
