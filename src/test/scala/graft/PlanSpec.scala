@@ -143,6 +143,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 4, "aggs not two-phase:\n" + p)
   }
 
+  test("q18: HAVING subquery joins LEFT SEMI, customer dim broadcasts, " +
+      "quantity rollup two-phase") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("LeftSemi"), "big-order filter not a semi join:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "customer not broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("weighted sample fuses to TakeOrderedAndProject (per-partition " +
       "heaps, never a global sort of the corpus)") {
     val p = plan("q_sample_weighted")
