@@ -60,7 +60,7 @@ object RefQueries {
   private val EventsCte =
     """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
       |  user_id, event_type, value, props FROM events)""".stripMargin
-  private val IotCte =
+  private[queries] val IotCte =
     EventsCte + """, iot AS (SELECT event_id AS id, ts AS timestamp,
       |  CAST(user_id AS VARCHAR) AS device_id, value FROM e)""".stripMargin
 

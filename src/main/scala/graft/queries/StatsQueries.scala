@@ -99,6 +99,35 @@ object StatsQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // EWMA smoothing per device over the IoT event stream: a 10-row
+    // sliding frame collects values in order, exponential weights
+    // 0.8^age apply map-side (array HOFs — no UDF), and the output is
+    // rounded to 9dp (pow is libm-dependent in its last bit; the
+    // 9dp round absorbs it, same policy as every log-derived output).
+    // One (device_id) window shuffle — the frame never leaves the task.
+    "q_ewma_events" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("device_id"))
+        .orderBy(col("timestamp"), col("id"))
+        .rowsBetween(-9, 0)
+      val arr = collect_list(col("value")).over(w)
+      val n = size(col("arr"))
+      val weighted = aggregate(
+        transform(sequence(lit(0), n - 1),
+          i => element_at(col("arr"), i + 1) *
+            pow(lit(0.8), (n - 1 - i).cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      val wsum = aggregate(
+        transform(sequence(lit(0), n - 1),
+          i => pow(lit(0.8), i.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      RefQueries.eventsAsIot(s, d)
+        .withColumn("arr", arr)
+        .select(col("id"), col("device_id"),
+          round(weighted / wsum, 9).as("ewma"))
+        .orderBy(col("id"))
     })
   )
 
@@ -149,6 +178,21 @@ object StatsQueries {
         |FROM orders JOIN ca ON o_custkey = ck
         |JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > cust_avg * 1.5
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // list_reduce (not list_sum) mirrors Spark's left-to-right fold
+    // bit-for-bit; the final 9dp round absorbs libm pow drift.
+    "q_ewma_events" ->
+      s"""${RefQueries.IotCte}, t AS (SELECT id, device_id,
+         |  list(value) OVER (PARTITION BY device_id ORDER BY timestamp, id
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+         |  FROM iot)
+         |SELECT id, device_id,
+         |  round(
+         |    list_reduce(list_transform(generate_series(1, len(l)),
+         |      i -> l[i] * pow(0.8, len(l) - i)), (a, b) -> a + b) /
+         |    list_reduce(list_transform(generate_series(1, len(l)),
+         |      i -> pow(0.8, i - 1)), (a, b) -> a + b), 9) AS ewma
+         |FROM t ORDER BY id""".stripMargin
   )
 }
