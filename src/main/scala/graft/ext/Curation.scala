@@ -160,7 +160,11 @@ object Curation {
     val u = conv(substring(
         md5(concat(lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
       .cast("double") / lit(4503599627370496.0)
-    docs.withColumn("skey", log(u) / col(weightCol).cast("double"))
+    // w ≤ 0 has no A-ES meaning (w = 0 → key −∞ is fine, but negative
+    // w would flip the key's sign and sample garbage first): exclude
+    // non-positive weights outright.
+    docs.filter(col(weightCol) > 0)
+      .withColumn("skey", log(u) / col(weightCol).cast("double"))
       .orderBy(col("skey").desc, col(idCol))
       .limit(k)
       .drop("skey") // float key stays out of the verified output

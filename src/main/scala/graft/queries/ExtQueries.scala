@@ -712,7 +712,7 @@ object ExtQueries {
       """WITH s AS (SELECT doc_id, n_chars,
         |  ln(CAST('0x' || substr(md5('ws42' || CAST(doc_id AS VARCHAR)),
         |      1, 13) AS BIGINT) / 4503599627370496.0) / n_chars AS skey
-        |  FROM documents)
+        |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars FROM
         |  (SELECT doc_id, n_chars FROM s
         |   ORDER BY skey DESC, doc_id LIMIT 50)
