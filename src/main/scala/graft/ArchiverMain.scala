@@ -209,8 +209,12 @@ object ArchiverMain {
           batch.transform(Archive.toArchiveShape("timestamp")),
           Seq("year", "month"), canon)
         val keys = batch.select(col("table_name"), col("id"))
+        // Prune the read-back to the batch's year/month partitions (same
+        // predicate appendIdempotent pushes): verification cost follows
+        // batch size, not total archive size.
         val got = Archive.groupChecksums(
           spark.read.parquet(cfg.outPath)
+            .filter(Archive.timePartitionFilter(batch))
             .join(keys, Seq("table_name", "id"), "left_semi"),
           Seq("year", "month"), canon)
         val mismatch = want.except(got).count() + got.except(want).count()

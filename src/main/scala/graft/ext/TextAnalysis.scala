@@ -146,17 +146,22 @@ object TextAnalysis {
 
   /** Token-window document chunking (context-length packing's upstream
     * step): windows of `chunkSize` tokens every `stride` tokens, the
-    * trailing window truncated, zero-token docs emitting nothing.
-    * Pure map-side explode — the output is (rows × ~n/stride) but no
-    * shuffle is introduced, so it streams at scan speed at any scale.
+    * trailing window truncated. Only NULL-text docs emit nothing (their
+    * token array is NULL, so the explode drops them); an EMPTY string
+    * still tokenizes to [""] — one single-empty-token chunk, pinned by
+    * TextAnalysisSpec and mirrored by the DuckDB oracle's identical
+    * string_split semantics. Pure map-side explode — the output is
+    * (rows × ~n/stride) but no shuffle is introduced, so it streams at
+    * scan speed at any scale.
     */
   def chunkDocuments(docs: DataFrame, textCol: String, idCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
     docs
       .withColumn("toks", tokens(col(textCol)))
-      // sequence(0, n-1, stride) is empty when n = 0, so explode drops
-      // token-less docs rather than emitting an empty chunk
+      // NULL text ⇒ NULL toks ⇒ the when() falls to the empty array and
+      // explode emits nothing; non-null text always has ≥ 1 token
+      // (split("", " ") = [""]), so this guard is the NULL path only
       .withColumn("start",
         explode(when(size(col("toks")) > 0,
           sequence(lit(0), size(col("toks")) - 1, lit(stride)))

@@ -94,6 +94,21 @@ object Archive {
     * partition-pruning filter (derived from the batch min/max
     * timestamp, a cheap agg), never a full archive scan.
     */
+  /** Partition-pruning predicate covering exactly the batch's
+    * (year, month) set — push this into any read of the archive that
+    * only concerns the batch's rows (idempotent append, verify-before-
+    * delete), so the read scans the touched partitions, not the whole
+    * archive. The distinct-months collect is bounded by the batch's
+    * time span (a handful of rows), never by archive size.
+    */
+  def timePartitionFilter(batch: DataFrame): Column = {
+    val months = batch.select(col("year"), col("month")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    months.map { case (y, m) =>
+      col("year") === y && col("month") === m
+    }.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
   def appendIdempotent(batch: DataFrame, archiveDir: String): Long = {
     val spark = batch.sparkSession
     // Accept pre-derived year/month (e.g. ArchiverMain derives them while
@@ -105,12 +120,8 @@ object Archive {
     val existing =
       try {
         val arch = spark.read.parquet(archiveDir)
-        val months = shaped.select(col("year"), col("month")).distinct()
-          .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
-        val prune = months.map { case (y, m) =>
-          col("year") === y && col("month") === m
-        }.reduceOption(_ || _).getOrElse(lit(false))
-        Some(arch.filter(prune).select(col("table_name"), col("id")))
+        Some(arch.filter(timePartitionFilter(shaped))
+          .select(col("table_name"), col("id")))
       } catch {
         // Two conditions mean "first run — nothing to dedup against":
         // a missing archive dir, and a dir with no committed parquet
@@ -179,10 +190,24 @@ object Archive {
 
   /** Digest grouped by existing columns (for data already carrying its
     * partition columns, e.g. the written archive).
+    *
+    * Canonical row encoding is SELF-DELIMITING, not delimiter-joined:
+    * each field becomes `N` when NULL and `V<len>:<value>` otherwise,
+    * and the tokens are concatenated. A `concat_ws` encoding would
+    * silently SKIP NULL fields ((a,NULL,b) and (a,b,NULL) both render
+    * "a|b") and a delimiter byte inside a value would shift field
+    * boundaries (("a|b", "c") vs ("a", "b|c")) — either lets two
+    * different rows collide to one digest, which is fatal for a check
+    * that gates a destructive DELETE. The length prefix makes the
+    * concatenation injective for any field content.
     */
   def groupChecksums(df: DataFrame, groupCols: Seq[String],
       canonCols: Seq[Column]): DataFrame = {
-    val canon = concat_ws("|", canonCols: _*)
+    val canon = concat(canonCols.map { c =>
+      val s = c.cast("string")
+      when(s.isNull, lit("N"))
+        .otherwise(concat(lit("V"), length(s), lit(":"), s))
+    }: _*)
     val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), bit_xor(rowHash).as("checksum"))

@@ -390,12 +390,16 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // Dimension bound derived from the data (unnest of a correlated
+    // generate_series — DuckDB lateral table functions can't reference
+    // columns), so a fixture dim change can't silently skew the oracle.
     "q_embed_centroid" ->
-      """SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
+      """WITH t AS (SELECT label, embedding,
+        |  unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
         |    AS DOUBLE) / COUNT(*) AS centroid
-        |FROM embeddings, generate_series(1, 64) g(i)
-        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+        |FROM t GROUP BY label, i ORDER BY label, dim""".stripMargin,
 
     "q_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -433,8 +437,9 @@ object ExtQueries {
 
     "q_quality_classifier" ->
       """WITH a AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS avgv
-        |  FROM embeddings, generate_series(1, 64) g(i)
-        |  WHERE label = 0 GROUP BY i),
+        |  FROM (SELECT embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |    FROM embeddings WHERE label = 0) t GROUP BY i),
         |c AS (SELECT list(avgv ORDER BY i) AS cvec FROM a),
         |s AS (SELECT d.doc_id, d.source,
         |  list_cosine_similarity(e.embedding, c.cvec) AS score
@@ -623,7 +628,7 @@ object ExtQueries {
         |    AS cell_id, embedding AS centroid
         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
         |a AS (SELECT e.vec_id, c.cell_id,
-        |    list_reduce(list_transform(generate_series(1, 64), i ->
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)), i ->
         |      (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
         |      (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))),
         |      (acc, x) -> acc + x) AS d2
@@ -632,12 +637,13 @@ object ExtQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
         |  FROM a),
         |m AS (SELECT r.cell_id, e.embedding FROM r JOIN embeddings e
-        |  USING (vec_id) WHERE rk = 1)
+        |  USING (vec_id) WHERE rk = 1),
+        |x AS (SELECT cell_id, embedding,
+        |  unnest(generate_series(1, len(embedding))) AS i FROM m)
         |SELECT cell_id, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
         |    AS DOUBLE) / COUNT(*) AS centroid
-        |FROM m, generate_series(1, 64) g(i)
-        |GROUP BY cell_id, i ORDER BY cell_id, dim""".stripMargin,
+        |FROM x GROUP BY cell_id, i ORDER BY cell_id, dim""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH q AS (SELECT vec_id, embedding,
@@ -693,7 +699,7 @@ object ExtQueries {
         |    AS cell_id, embedding AS centroid
         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
         |a AS (SELECT e.vec_id, c.cell_id,
-        |    list_reduce(list_transform(generate_series(1, 64), i ->
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)), i ->
         |      (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
         |      (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))),
         |      (acc, x) -> acc + x) AS d2

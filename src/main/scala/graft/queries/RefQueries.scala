@@ -211,13 +211,24 @@ object RefQueries {
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND value > 50.0
         |ORDER BY event_id""".stripMargin,
 
+    // Canonical row encoding mirrors Archive.groupChecksums: per field,
+    // NULL → 'N', value → 'V<len>:<value>', tokens concatenated — a
+    // self-delimiting (injective) encoding, where '|'-joining would let
+    // NULL-skips or delimiter bytes inside values collide two rows.
     "q_archive_checksum" ->
-      s"""$IotCte, r AS (SELECT year(timestamp) AS y, month(timestamp) AS m,
+      s"""$IotCte, c AS (SELECT timestamp,
+         |  CAST(id AS VARCHAR) AS f1, device_id AS f2,
+         |  CAST(epoch_us(timestamp) * 1000 AS VARCHAR) AS f3,
+         |  CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS f4
+         |  FROM iot),
+         |r AS (SELECT year(timestamp) AS y, month(timestamp) AS m,
          |  CAST('0x' || substr(md5(
-         |    id || '|' || device_id || '|' || (epoch_us(timestamp) * 1000)
-         |    || '|' || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)),
+         |    (CASE WHEN f1 IS NULL THEN 'N' ELSE 'V' || length(f1) || ':' || f1 END) ||
+         |    (CASE WHEN f2 IS NULL THEN 'N' ELSE 'V' || length(f2) || ':' || f2 END) ||
+         |    (CASE WHEN f3 IS NULL THEN 'N' ELSE 'V' || length(f3) || ':' || f3 END) ||
+         |    (CASE WHEN f4 IS NULL THEN 'N' ELSE 'V' || length(f4) || ':' || f4 END)),
          |    1, 15) AS BIGINT) AS h
-         |  FROM iot)
+         |  FROM c)
          |SELECT CAST(y AS INT) AS year, CAST(m AS INT) AS month,
          |  COUNT(*) AS n_rows, bit_xor(h) AS checksum
          |FROM r GROUP BY y, m ORDER BY year, month""".stripMargin

@@ -153,4 +153,22 @@ class ArchiveSpec extends AnyFunSuite {
     assert(diffs.map(_._1).map(t => (t._1, t._2)) == Seq((2024, 2)),
       s"expected only 2024-02 to differ, got $diffs")
   }
+
+  test("checksum canonical encoding is injective: NULL position shifts " +
+      "and delimiter bytes inside values cannot collide two rows") {
+    def digest(rows: Seq[(String, String, String)]): Long =
+      Archive.groupChecksums(
+        rows.toDF("a", "b", "c").withColumn("g", lit(1)),
+        Seq("g"), Seq(col("a"), col("b"), col("c")))
+        .select("checksum").as[Long].head()
+    // (a, NULL, b) vs (a, b, NULL): a concat_ws canon renders both "a|b"
+    assert(digest(Seq(("a", null, "b"))) != digest(Seq(("a", "b", null))))
+    // a '|' INSIDE a value vs at a field boundary: both "a|b|c" under
+    // concat_ws; the length-prefixed encoding keeps them distinct
+    assert(digest(Seq(("a|b", "c", "x"))) != digest(Seq(("a", "b|c", "x"))))
+    // adjacent-field content shift: ("ab","c") vs ("a","bc")
+    assert(digest(Seq(("ab", "c", "x"))) != digest(Seq(("a", "bc", "x"))))
+    // and equal rows still digest equal (sanity)
+    assert(digest(Seq(("a", "b", "c"))) == digest(Seq(("a", "b", "c"))))
+  }
 }
