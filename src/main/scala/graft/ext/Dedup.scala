@@ -178,9 +178,20 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
     // Lazy builder — no internal .cache() (see ngramJaccardPairs note).
-    val sets = shingleSets(docs, textCol, idCol, n)
+    minhashNearDupPairsFromSets(shingleSets(docs, textCol, idCol, n),
+      numPerms, bands, threshold)
+
+  /** Same, over precomputed shingle sets. The `sets` subtree feeds THREE
+    * consumers — the signature pass and both sides of the exact-Jaccard
+    * verification join — so callers that can materialize it
+    * (`localCheckpoint()`/`persist()`) cut the dominant cost ~3×; the
+    * registered `q_dedup_minhash` does exactly that. This builder stays
+    * lazy and policy-clean either way.
+    */
+  def minhashNearDupPairsFromSets(sets: DataFrame, numPerms: Int,
+      bands: Int, threshold: Double): DataFrame = {
     val cands = lshCandidates(minhashSignatures(sets, numPerms), bands, numPerms / bands)
     cands
       .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))

@@ -41,11 +41,25 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))),
 
     // MinHash+LSH banding, exactly verified at J ≥ 0.8 (recall ≈ 1 ⇒
-    // equals the exact pair set the oracle computes).
-    "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
-          n = 3, numPerms = 64, bands = 16, threshold = 0.8)
-        .orderBy(col("a_id"), col("b_id"))),
+    // equals the exact pair set the oracle computes). The shingle-set
+    // subtree is localCheckpoint'd: it feeds the signature pass AND both
+    // verification-join sides, so materializing it once replaces three
+    // full tokenize+shingle evaluations (the bench's top cost in r5:
+    // 11.9 s → ~1 s at sf0.1). (numPerms, bands) = (48, 16) ⇒ r=3,
+    // picked with graft.TuneMinhash: vs (64,16,r4) it cuts signature
+    // hashing 25% with a STEEPER at-threshold recall margin
+    // (P(miss | J=0.8) ≈ 1e-5 vs 2.2e-4 per pair), and vs (32,16,r2)
+    // it avoids 7× candidate inflation (274 vs 1938 candidates at
+    // sf0.1) that would balloon the verification join on corpora rich
+    // in moderate-similarity pairs. Output equals the exact pair set on
+    // both sf0.01 and sf0.1 (TuneMinhash: 0 missing at every config).
+    "q_dedup_minhash" -> ((s, d) => {
+      val sets = Dedup.shingleSets(Tables.documents(s, d), "text", "doc_id",
+        n = 3).localCheckpoint()
+      Dedup.minhashNearDupPairsFromSets(sets,
+          numPerms = 48, bands = 16, threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
 
     // SimHash near-dup, chunk-blocked (rows-only check: xxhash64-based).
     "q_dedup_simhash" -> ((s, d) =>
