@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's archival-pipeline capabilities as composable
@@ -211,5 +212,90 @@ object Archive {
     val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), bit_xor(rowHash).as("checksum"))
+  }
+
+  /** Archive maintenance: compact a `year=/month=` partition's small
+    * files. The reference emits one object per run (main.go:46-85) and
+    * [[appendIdempotent]] likewise appends ≥1 file per touched partition
+    * per run — at daily cadence over years that is the classic
+    * small-files failure (a 100 TB archive read becomes millions of
+    * file opens and a listing storm). Each partition whose file count
+    * exceeds ceil(bytes / targetMB) is rewritten into exactly that many
+    * files, and the swap is REFUSED unless the rewrite's
+    * order-independent digest ([[groupChecksums]] over `canonCols`)
+    * equals the original's — the same verify-before-destroy gate as
+    * GRAFT_VERIFY, so compaction can never silently lose or mutate a
+    * row.
+    *
+    * Staging dirs are dot-prefixed, which `FileInputFormat` ignores —
+    * concurrent readers of the archive never see half-written files.
+    * The swap itself is two rename batches (originals → `.…compact_bak`,
+    * rewrite → partition): not transactional on object stores, but a
+    * crash mid-swap always leaves every original row present in either
+    * the partition or the backup dir (rerun or restore recovers; a
+    * table format is the fully-transactional production choice — this
+    * keeps the reference's raw-parquet layout self-maintaining).
+    *
+    * @return (partitions compacted, total files before, after)
+    */
+  def compactPartitions(spark: SparkSession, archiveDir: String,
+      targetMB: Int, canonCols: Seq[Column]): (Int, Int, Int) = {
+    require(targetMB > 0, "targetMB must be > 0")
+    val root = new Path(archiveDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def digest(df: DataFrame): (Long, Long) = {
+      val r = groupChecksums(df, Seq.empty, canonCols).collect().head
+      (r.getLong(r.fieldIndex("n_rows")), r.getLong(r.fieldIndex("checksum")))
+    }
+    def dataFiles(dir: Path) = fs.listStatus(dir).filter { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val leafDirs = for {
+      y <- fs.listStatus(root).toSeq
+      if y.isDirectory && y.getPath.getName.startsWith("year=")
+      m <- fs.listStatus(y.getPath).toSeq
+      if m.isDirectory && m.getPath.getName.startsWith("month=")
+    } yield m.getPath
+    var compacted = 0
+    var before = 0
+    var after = 0
+    leafDirs.foreach { part =>
+      val files = dataFiles(part)
+      before += files.length
+      val want = math.max(1, math.ceil(
+        files.map(_.getLen).sum.toDouble / (targetMB.toLong << 20)).toInt)
+      if (files.length <= want) after += files.length
+      else {
+        val df = spark.read.parquet(part.toString)
+        val expect = digest(df)
+        val tmp = new Path(part.getParent, "." + part.getName + ".compact_tmp")
+        fs.delete(tmp, true): Unit
+        // coalesce, not repartition: pure file merge, no shuffle
+        df.coalesce(want).write.mode("overwrite")
+          .option("compression", "snappy").parquet(tmp.toString)
+        val got = digest(spark.read.parquet(tmp.toString))
+        require(got == expect,
+          s"compaction digest mismatch for $part: rewrite=$got " +
+            s"original=$expect — partition left untouched")
+        val bak = new Path(part.getParent, "." + part.getName + ".compact_bak")
+        fs.delete(bak, true): Unit
+        require(fs.mkdirs(bak), s"cannot create backup dir $bak")
+        files.foreach { f =>
+          require(fs.rename(f.getPath, new Path(bak, f.getPath.getName)),
+            s"backup rename failed: ${f.getPath}")
+        }
+        val rewritten = dataFiles(tmp)
+        rewritten.foreach { f =>
+          require(fs.rename(f.getPath, new Path(part, f.getPath.getName)),
+            s"swap-in rename failed: ${f.getPath}")
+        }
+        fs.delete(tmp, true): Unit
+        fs.delete(bak, true): Unit
+        compacted += 1
+        after += rewritten.length
+      }
+    }
+    (compacted, before, after)
   }
 }

@@ -154,6 +154,44 @@ class ArchiveSpec extends AnyFunSuite {
       s"expected only 2024-02 to differ, got $diffs")
   }
 
+  test("compaction merges per-run small files and leaves every " +
+      "partition digest bit-identical") {
+    import graft.ops.Scalar
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/arch"
+    // three appends of disjoint batches = ≥3 files in the partitions
+    // they share (the reference's one-file-per-run accumulation)
+    (0 until 3).foreach { i =>
+      val batch = iotDf(Seq(
+        (i * 10 + 1L, "2024-01-15 10:00:00", s"d$i", i + 0.5),
+        (i * 10 + 2L, "2024-02-20 11:00:00", s"d$i", i + 1.5)))
+        .transform(Archive.stampTableName("t"))
+      Archive.appendIdempotent(batch, dir): Unit
+    }
+    val canon = Seq(col("table_name"), col("id"), col("device_id"),
+      Scalar.epochNanos(col("timestamp")), col("value").cast("decimal(18,6)"))
+    def sums() = Archive.groupChecksums(spark.read.parquet(dir),
+        Seq("year", "month"), canon)
+      .orderBy("year", "month").as[(Int, Int, Long, Long)].collect().toSeq
+    def fileCount() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val pre = sums()
+    val preFiles = fileCount()
+    assert(preFiles >= 6, s"fixture should accumulate small files, got $preFiles")
+    val (nParts, before, after) =
+      Archive.compactPartitions(spark, dir, targetMB = 64, canon)
+    assert(nParts == 2 && before == preFiles && after == 2,
+      s"expected both partitions compacted to 1 file: ($nParts, $before, $after)")
+    assert(fileCount() == 2)
+    assert(sums() == pre, "compaction changed a partition digest")
+    // idempotent: a second pass finds nothing to do
+    assert(Archive.compactPartitions(spark, dir, targetMB = 64, canon) ==
+      ((0, 2, 2)))
+  }
+
   test("checksum canonical encoding is injective: NULL position shifts " +
       "and delimiter bytes inside values cannot collide two rows") {
     def digest(rows: Seq[(String, String, String)]): Long =
