@@ -219,6 +219,39 @@ class ArchiverMainSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("JDBC scan pushes filters and prunes columns into the remote " +
+      "query (main.go:88-93 delegation, decided at plan time)") {
+    val (url, connect) = derby("graft_pushdown")
+    insert(connect, "IOT_DATA", Seq(
+      (1L, "2024-01-05 08:00:00", "d1", 1.0),
+      (2L, "2024-02-05 08:00:00", "d2", 9.0)))
+    val df = JdbcSource(url, new java.util.Properties())
+      .load(spark, "IOT_DATA")
+      .filter(col("timestamp") < to_timestamp(lit(Cutoff)) &&
+        col("value") > 0.5)
+      .select("id", "timestamp")
+    // read the scan node's metadata, not the plan string (toString
+    // elides long filter lists to "…")
+    val pushed = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        s.metadata("PushedFilters")
+    }
+    assert(pushed.size == 1, df.queryExecution.executedPlan.toString)
+    // both predicates reach the JDBC relation as pushed filters ('*' =
+    // handled entirely by the source) — they execute on the server
+    // inside the generated WHERE clause, exactly the delegation
+    // io/Sources.scala claims
+    assert(pushed.head.contains("*LessThan(timestamp"), pushed.head)
+    assert(pushed.head.contains("*GreaterThan(value,0.5"), pushed.head)
+    // column pruning reaches the source too: the scan's ReadSchema is
+    // exactly the projected columns, and device_id appears nowhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint,timestamp:timestamp>"), plan)
+    assert(!plan.contains("device_id"), plan)
+    assert(df.as[(Long, java.sql.Timestamp)].collect().map(_._1).toSeq
+      == Seq(1L))
+  }
+
   test("Derby round-trip: real spark.read.jdbc extract, crash-sim rerun " +
       "appends nothing, keyed DELETE removes exactly the archived ids, " +
       "batched drain empties the backlog") {
