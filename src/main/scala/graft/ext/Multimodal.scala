@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * task amortizes codec init over a whole batch of rows — the Scala
   * equivalent of `mapInPandas` batch processing.
   *
-  * The actual codecs are STUBBED (this container ships no image/audio
-  * libraries): `decodeImageStub` produces a deterministic fake
-  * grayscale raster from the bytes. Everything around the stub — the
-  * schema contract, the binary column plumbing, partition-wise batch
-  * execution, feature extraction over the decoded frame — is real and
-  * tested; swapping in a JNI/javax codec changes one function.
+  * Image decode is REAL: [[decodeImage]] runs the JDK's
+  * `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP — no external codec
+  * libraries needed) and resamples to the metadata (w, h) as a
+  * normalized grayscale raster. Payloads ImageIO cannot parse (e.g.
+  * the synthetic fixture's pseudo-random bytes, or audio/video frames
+  * — the container ships no codecs for those) fall back to
+  * [[decodeImageStub]], a deterministic fake raster, so the pipeline
+  * shape stays total: every row decodes to the same schema either way.
   */
 object Multimodal {
 
@@ -47,9 +49,45 @@ object Multimodal {
       lit(16).cast("int").as("height"),
       (col("id") % 5000 + 1000).as("duration_ms"))
 
-  /** STUB decoder: bytes → WxH "grayscale" raster. Deterministic fake
-    * (byte i of payload cycled over the raster); a real build replaces
-    * the body with an actual image decode. ??? -- intentionally fake.
+  /** Real image decode + resize: ImageIO parse (format sniffed from the
+    * bytes), nearest-neighbor resample to (w, h), BT.601 luma in [0, 1].
+    * Returns None when the payload is not a decodable image — callers
+    * fall back to the stub raster so non-image payloads never kill a
+    * pipeline run (the PERMISSIVE-mode stance, same as the JSONL
+    * source).
+    */
+  def decodeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Float]] = {
+    if (payload == null || payload.isEmpty || w <= 0 || h <= 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val out = new Array[Float](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = y * img.getHeight / h
+        var x = 0
+        while (x < w) {
+          val sx = x * img.getWidth / w
+          val rgb = img.getRGB(sx, sy)
+          val r = (rgb >> 16) & 0xFF
+          val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          out(y * w + x) =
+            ((0.299f * r + 0.587f * g + 0.114f * b) / 255.0f)
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Fallback decoder for payloads ImageIO cannot parse: bytes → WxH
+    * "grayscale" raster, deterministic fake (byte i of payload cycled
+    * over the raster). Keeps non-image rows total through the same
+    * pipeline shape.
     */
   def decodeImageStub(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
     if (payload == null || payload.isEmpty) return Array.fill(w * h)(0f)
@@ -74,9 +112,12 @@ object Multimodal {
       media.select("media_id", "kind", "payload", "width", "height")
         .as[(Long, String, Array[Byte], Int, Int)]
         .mapPartitions { rows =>
-          // per-task decoder "initialization" happens HERE (stub: none)
+          // per-task decoder init happens HERE, once per partition —
+          // ImageIO's reader registry scan is amortized over the batch
+          javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
           rows.map { case (id, kind, payload, w, h) =>
-            val raster = decodeImageStub(payload, w, h)
+            val raster = decodeImage(payload, w, h)
+              .getOrElse(decodeImageStub(payload, w, h))
             val nBytes = if (payload == null) 0 else payload.length
             val mean =
               if (raster.isEmpty) 0.0

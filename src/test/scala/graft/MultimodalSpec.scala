@@ -35,6 +35,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(row._2 - raster.map(_.toDouble).sum / raster.length) < 1e-9)
   }
 
+  /** In-memory PNG with exact known pixels (no external fixture files). */
+  private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  test("real ImageIO decode: known PNG pixels produce exact luma stats " +
+      "through the distributed pipeline; non-image payloads fall back " +
+      "to the stub") {
+    // 2×2: white, black, pure red, pure blue — BT.601 lumas are exact
+    val png = pngBytes(Array(
+      Array(0xFFFFFF, 0x000000),
+      Array(0xFF0000, 0x0000FF)))
+    // direct decode at native size: all four lumas where expected
+    val raster = Multimodal.decodeImage(png, 2, 2).get
+    assert(math.abs(raster(0) - 1.0f) < 1e-6, "white")
+    assert(raster(1) == 0.0f, "black")
+    assert(math.abs(raster(2) - 0.299f * 255 / 255) < 1e-6, "red")
+    assert(math.abs(raster(3) - 0.114f * 255 / 255) < 1e-6, "blue")
+    // nearest-neighbor resize 2×2 → 4×4 replicates each source pixel
+    val up = Multimodal.decodeImage(png, 4, 4).get
+    assert(up.length == 16 && up(0) == raster(0) && up(15) == raster(3))
+    // through extractFeatures (mapPartitions on executors): the mean
+    // over the 2×2 frame is the mean of the four lumas
+    val rows = Seq(
+      (0L, "image", png, "image/png", 2, 2, 0L),
+      (1L, "image", Array.fill[Byte](64)(7), "application/octet-stream", 4, 4, 0L))
+    val media = rows.toDF("media_id", "kind", "payload", "mime",
+      "width", "height", "duration_ms")
+    val out = Multimodal.extractFeatures(media, dim = 4)
+      .orderBy("media_id")
+      .select("media_id", "mean_intensity")
+      .as[(Long, Double)].collect()
+    val wantMean = raster.map(_.toDouble).sum / 4
+    assert(math.abs(out(0)._2 - wantMean) < 1e-9, s"png mean ${out(0)._2}")
+    // the garbage payload isn't a PNG: stub raster mean, not a crash
+    val stubMean = {
+      val r = Multimodal.decodeImageStub(Array.fill[Byte](64)(7), 4, 4)
+      r.map(_.toDouble).sum / r.length
+    }
+    assert(math.abs(out(1)._2 - stubMean) < 1e-9)
+  }
+
   test("frame sampling explodes video rows only, at the requested cadence") {
     val m = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(m, everyMs = 1000)
