@@ -125,6 +125,36 @@ class ScaleSpec extends AnyFunSuite {
       s"candidate growth not linear: 1x=$c1, 4x=$c4 (quadratic would be ${16 * c1})")
   }
 
+  test("forced spill through the LSH join leaves the pair set identical " +
+      "(nonzero spill metrics observed)") {
+    // The force-spill threshold is a SparkConf the shuffle sorter reads
+    // at context creation — it can't be flipped on the shared session,
+    // so the probe runs in its own JVM on the forked test classpath.
+    import scala.jdk.CollectionConverters._
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toVector
+    val addOpens = in.zipWithIndex.flatMap {
+      case (a, i) if a == "--add-opens" => Seq(a, in(i + 1))
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case _ => Seq.empty
+    }
+    val cmd = Seq(System.getProperty("java.home") + "/bin/java") ++
+      addOpens ++ Seq("-Xmx3g", "-cp", System.getProperty("java.class.path"),
+        "graft.SpillProbe", "/root/testdata/sf0.01")
+    val out = new StringBuilder
+    val code = scala.sys.process.Process(cmd)
+      .run(scala.sys.process.ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
+      .exitValue()
+    assert(code == 0, s"probe exited $code:\n$out")
+    val line = out.toString.linesIterator
+      .filter(_.startsWith("{\"spill_bytes\"")).toSeq.lastOption
+      .getOrElse(fail(s"no probe JSON in:\n$out"))
+    assert(line.contains("\"equal\":true"), line)
+    val spill = "\"spill_bytes\":([0-9]+)".r
+      .findFirstMatchIn(line).get.group(1).toLong
+    assert(spill > 0L, s"expected forced nonzero spill: $line")
+  }
+
   test("GraftExtensions injects dot_f32 into a session function registry") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
