@@ -139,6 +139,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    * — catches subset/quotation duplication that Jaccard misses (a short
+    * doc wholly embedded in a long one has containment 1 but Jaccard
+    * ≈ |A|/|B|). Same inverted-shingle-index blocking as
+    * [[ngramJaccardPairs]]; deliberately NO length filter — containment
+    * is size-ratio-free by design, so pruning on sizes would drop true
+    * positives. Ratio of small ints ⇒ IEEE-exact ⇒ oracle-expressible.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, n)
+    val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh"))
+    inv.as("a").hint("SHUFFLE_HASH").join(inv.as("b").hint("SHUFFLE_HASH"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / least(col("na"), col("nb")))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash signatures: k independent hash functions simulated as
     * xxhash64 salted with the permutation index; one exploded pass,
     * k partial-aggregated mins — no per-doc loops.

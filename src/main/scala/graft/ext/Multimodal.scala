@@ -136,6 +136,116 @@ object Multimodal {
     out.toDF("media_id", "kind", "n_bytes", "mean_intensity", "features")
   }
 
+  /** Real audio decode: WAV/AIFF/AU via the JDK's `javax.sound.sampled`
+    * (any PCM depth the JDK converts; channels mixed down to mono floats
+    * in [-1, 1]). Returns None for payloads the JDK cannot parse
+    * (MP3/OGG need external SPIs) — same PERMISSIVE fallback stance as
+    * [[decodeImage]].
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Float, Array[Float])] = {
+    if (payload == null || payload.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    try {
+      val src = ais.getFormat
+      val ch = math.max(1, src.getChannels)
+      val target = new javax.sound.sampled.AudioFormat(
+        src.getSampleRate, 16, ch, true, false) // 16-bit signed PCM LE
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+      try {
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2 / ch
+        if (n == 0) None
+        else {
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0f
+            var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              acc += ((bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort / 32768.0f
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          Some((src.getSampleRate, out))
+        }
+      } finally pcm.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally ais.close()
+  }
+
+  /** Deterministic synthetic audio table: every row carries a REAL
+    * in-memory WAV payload (16-bit PCM mono sine; frequency and
+    * amplitude derived from media_id), built inside the executors —
+    * the audio-decode fixture at any scale.
+    */
+  def syntheticAudio(spark: SparkSession, n: Int,
+      sampleRate: Int = 8000, samples: Int = 2048): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val freq = 110.0 * (1 + id % 8)        // 110..880 Hz
+        val amp = 0.25 + 0.05 * (id % 10)      // 0.25..0.70
+        val data = new Array[Byte](samples * 2)
+        var i = 0
+        while (i < samples) {
+          val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * amp * 32767).toShort
+          data(2 * i) = (s & 0xFF).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, samples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+        (id, "audio", bos.toByteArray, "audio/wav",
+          samples.toLong * 1000 / sampleRate)
+      }
+    }.toDF("media_id", "kind", "payload", "mime", "duration_ms")
+  }
+
+  /** Audio feature extraction, partition-wise like [[extractFeatures]]:
+    * decode → sample rate, sample count, RMS level, zero-crossing rate.
+    * Non-audio payloads yield NULL features (not a crash) so mixed-media
+    * tables stream through one plan.
+    */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val nBytes = if (payload == null) 0 else payload.length
+          decodeAudio(payload) match {
+            case Some((sr, s)) =>
+              var sum2 = 0.0
+              var zc = 0
+              var i = 0
+              while (i < s.length) {
+                sum2 += s(i).toDouble * s(i)
+                if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+                i += 1
+              }
+              (id, nBytes, Option(sr.toDouble), Option(s.length),
+                Option(math.sqrt(sum2 / s.length)),
+                Option(zc.toDouble / math.max(1, s.length - 1)))
+            case None =>
+              (id, nBytes, Option.empty[Double], Option.empty[Int],
+                Option.empty[Double], Option.empty[Double])
+          }
+        }
+      }.toDF("media_id", "n_bytes", "sample_rate", "n_samples",
+        "rms", "zero_cross_rate")
+  }
+
   /** Frame sampling for video-kind rows: explode duration into every
     * k-th millisecond offset — the schema/partition shape of a frame
     * extractor, with the decode itself stubbed as above.

@@ -22,6 +22,79 @@ object TextAnalysis {
       """\s+|(?<=\p{L})(?=\d)|(?<=\d)(?=\p{L})|(?=\p{Punct})|(?<=\p{Punct})"""),
       t => length(t) > 0))
 
+  /** Per-document token Shannon entropy (nats): −Σ p·ln p over the
+    * document's token frequency distribution — the diversity/repetition
+    * quality signal (template spam scores low, natural text high).
+    * Per-term contributions round into DECIMAL(18,9) before the sum —
+    * BM25's cross-engine determinism treatment: decimal addition is
+    * exact in any order, and ln's last-bit libm drift rounds away.
+    * The `0 −` (not unary minus) keeps an all-one-token doc at +0.0 on
+    * both engines instead of IEEE −0.0.
+    *
+    * Scale shape: one explode, one (doc, token) agg, one doc-partition
+    * window — shuffles keyed by doc id only.
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(w))
+      .select(col("doc_id"),
+        ((col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n")))
+          .cast("decimal(18,9)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg((lit(0.0) - sum(col("term")).cast("double")).as("entropy"))
+  }
+
+  /** Zipf rank-frequency slope over the corpus's top-k tokens: the
+    * least-squares slope of ln(freq) on ln(rank), ≈ −1 for natural
+    * language (Zipf's law) and far off for synthetic/templated corpora —
+    * a corpus-level quality gate. The top-k runs through a distributed
+    * TakeOrderedAndProject (never a global sort); the k-row window and
+    * regression sums are driver-scale. ln values round into
+    * DECIMAL(18,9) (exact summation, libm drift rounded away); the
+    * closed-form slope divides two exactly-derived doubles, so the
+    * result is bit-stable across engines.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, k: Int = 200): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("t"))
+    val top = docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(k)
+    top
+      .withColumn("r", row_number().over(w)) // ≤ k rows: single partition OK
+      .select(
+        log(col("r").cast("double")).cast("decimal(18,9)").as("x"),
+        log(col("c").cast("double")).cast("decimal(18,9)").as("y"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_ranked"),
+        ((col("n_ranked") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_ranked") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+          .as("zipf_slope"))
+  }
+
+  /** Per-document character-class profile: digit / uppercase / punct /
+    * whitespace counts (boilerplate and code-vs-prose signals). Pure
+    * integer arithmetic — bit-exact across engines, no shuffle at all.
+    */
+  def charClasses(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def n(re: String) =
+      length(col(textCol)) - length(regexp_replace(col(textCol), re, ""))
+    docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars_total"),
+      n("[0-9]").as("n_digits"),
+      n("[A-Z]").as("n_upper"),
+      n("[.,;:!?]").as("n_punct"),
+      n(" ").as("n_spaces"))
+  }
+
   /** Per-document quality features: token count, distinct-token ratio,
     * mean token length, stopword ratio. Ratios are ints-over-ints —
     * bit-exact across engines.

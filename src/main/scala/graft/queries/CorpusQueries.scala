@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, TextAnalysis}
+import graft.model.Tables
+
+/** Round-6 corpus-diagnostics queries (SURVEY.md §2.9 north star):
+  * token entropy, containment dedup, Zipf-law fit, char-class profiles,
+  * an event funnel, and real-WAV audio features. All but the audio
+  * query carry full DuckDB oracle twins; audio is rows-only (DuckDB has
+  * no WAV decoder) with exact values pinned in MultimodalSpec.
+  */
+object CorpusQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // per-doc token Shannon entropy (diversity/repetition quality gate)
+    "q_text_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // asymmetric containment pairs — subset/quotation duplication that
+    // Jaccard misses; same inverted-index blocking as q_dedup_ngram
+    "q_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, threshold = 0.9)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // corpus-level Zipf rank-frequency slope over the top-200 tokens
+    "q_zipf_slope" -> ((s, d) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, d), "text", k = 200)),
+
+    // per-doc character-class profile (code-vs-prose / boilerplate)
+    "q_text_charclasses" -> ((s, d) =>
+      TextAnalysis.charClasses(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // signup → purchase conversion funnel within 48 h, per user. Integer
+    // microsecond arithmetic throughout — exact. Scale shape: two
+    // filtered scans of the same table, one join + one agg keyed by
+    // user_id (the signup side aggregates to one row per user first,
+    // so the join input is minimal).
+    "q_event_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("signup_us"))
+      val purchase = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      signup.join(purchase, Seq("user_id"))
+        .filter(col("p_us") > col("signup_us"))
+        .groupBy(col("user_id"), col("signup_us"))
+        .agg(min(col("p_us")).as("purchase_us"))
+        .filter(col("purchase_us") - col("signup_us") <= 48L * 3600L * 1000000L)
+        .select(col("user_id"), col("signup_us"), col("purchase_us"),
+          (col("purchase_us") - col("signup_us")).as("latency_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // real WAV decode (javax.sound.sampled) over deterministic synthetic
+    // sine payloads built in the executors: sample rate, RMS level,
+    // zero-crossing rate. Rows-only (no WAV decoder in DuckDB); exact
+    // values pinned in MultimodalSpec.
+    "q_multimodal_audio" -> ((s, _) =>
+      Multimodal.extractAudioFeatures(Multimodal.syntheticAudio(s, 64))
+        .orderBy(col("media_id")))
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q_text_entropy" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |wt AS (SELECT doc_id, c,
+        |  SUM(c) OVER (PARTITION BY doc_id) AS n FROM tf),
+        |e AS (SELECT doc_id,
+        |  CAST((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+        |    AS DECIMAL(18,9)) AS term FROM wt)
+        |SELECT doc_id, 0.0 - CAST(SUM(term) AS DOUBLE) AS entropy
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_containment_pairs" ->
+      s"""$ShingleCte,
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    LEAST(len(a.s), len(b.s)) AS containment
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, containment FROM p WHERE containment >= 0.9
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_zipf_slope" ->
+      """WITH tf AS (SELECT t, COUNT(*) AS c FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+        |  GROUP BY t),
+        |top AS (SELECT t, c FROM tf ORDER BY c DESC, t LIMIT 200),
+        |xy AS (SELECT
+        |  CAST(ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS x,
+        |  CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,9)) AS y FROM top),
+        |s AS (SELECT COUNT(*) AS n_ranked, SUM(x) AS sx, SUM(y) AS sy,
+        |  SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy)
+        |SELECT n_ranked,
+        |  (n_ranked * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (n_ranked * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope
+        |FROM s""".stripMargin,
+
+    "q_text_charclasses" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_total,
+        |CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |  AS INT) AS n_digits,
+        |CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+        |  AS INT) AS n_upper,
+        |CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |  AS INT) AS n_punct,
+        |CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+        |  AS INT) AS n_spaces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |s AS (SELECT user_id, MIN(us) AS signup_us FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT user_id, us AS p_us FROM e
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT s.user_id, s.signup_us, MIN(p.p_us) AS purchase_us
+        |  FROM s JOIN p ON s.user_id = p.user_id AND p.p_us > s.signup_us
+        |  GROUP BY s.user_id, s.signup_us)
+        |SELECT user_id, signup_us, purchase_us,
+        |  purchase_us - signup_us AS latency_us
+        |FROM f WHERE purchase_us - signup_us <= 48 * 3600 * CAST(1000000 AS BIGINT)
+        |ORDER BY user_id""".stripMargin
+  )
+
+  /** Shared shingle CTE (identical construction to ExtQueries'): word
+    * 3-gram shingle sets per doc.
+    */
+  private val ShingleCte: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM d WHERE len(w) >= 3)""".stripMargin
+}

@@ -83,6 +83,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(out(1)._2 - stubMean) < 1e-9)
   }
 
+  test("real WAV decode: synthetic sine RMS and zero-crossing rate match " +
+      "theory through the distributed path; non-audio payloads yield " +
+      "null features") {
+    val feats = Multimodal.extractAudioFeatures(
+        Multimodal.syntheticAudio(spark, 4).repartition(2))
+      .orderBy("media_id")
+      .as[(Long, Int, Option[Double], Option[Int], Option[Double], Option[Double])]
+      .collect()
+    assert(feats.length == 4 && feats.forall(_._3.contains(8000.0)))
+    // media_id 1: 220 Hz sine, amplitude 0.30, 2048 samples @ 8 kHz
+    val f1 = feats(1)
+    assert(f1._4.contains(2048))
+    // RMS of a sine = amp/√2 (16-bit quantization: within 1e-3)
+    assert(math.abs(f1._5.get - 0.30 / math.sqrt(2)) < 1e-3, f1.toString)
+    // a 220 Hz sine crosses zero 2·220·(2048/8000) ≈ 112.6 times
+    val crossings = f1._6.get * 2047
+    assert(math.abs(crossings - 2 * 220.0 * 2048 / 8000) <= 2.0, f1.toString)
+    // non-audio payload: null features, not a crash
+    val junk = Seq((99L, Array.fill[Byte](32)(3.toByte)))
+      .toDF("media_id", "payload")
+    val jf = Multimodal.extractAudioFeatures(junk)
+      .as[(Long, Int, Option[Double], Option[Int], Option[Double], Option[Double])]
+      .head()
+    assert(jf._2 == 32 && jf._3.isEmpty && jf._5.isEmpty)
+  }
+
   test("frame sampling explodes video rows only, at the requested cadence") {
     val m = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(m, everyMs = 1000)
