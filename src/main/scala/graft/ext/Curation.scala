@@ -59,11 +59,20 @@ object Curation {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
-  /** The full pipeline. Returns surviving rows with quality features. */
+  /** The full pipeline. Returns surviving rows with quality features.
+    *
+    * `materialize` is applied to the exact-dedup stage, which feeds BOTH
+    * the near-dup pair generation and the final anti-join — callers that
+    * can afford it pass `_.localCheckpoint()` (the registered
+    * `q_curation_pipeline` does) to evaluate the gate+exact subtree once
+    * instead of per-consumer; the default keeps the builder fully lazy
+    * (no hidden state — same policy as ngramJaccardPairs).
+    */
   def curate(docs: DataFrame, textCol: String, idCol: String,
-      minTokens: Int = 20, nearDupThreshold: Double = 0.8): DataFrame = {
+      minTokens: Int = 20, nearDupThreshold: Double = 0.8,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val gated = qualityGate(docs, textCol, minTokens)
-    val exact = dropExactDupes(gated, textCol, idCol)
+    val exact = materialize(dropExactDupes(gated, textCol, idCol))
     dropNearDupes(exact, textCol, idCol, nearDupThreshold)
   }
 

@@ -41,11 +41,21 @@ object Dedup {
     * double, so it hash-matches the oracle bit-for-bit.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+      n: Int = 3, threshold: Double = 0.6): DataFrame =
     // No .cache() here: the builder is lazy, so an internal cache could
     // never be unpersisted and would leak blocks in long-lived sessions.
     // Callers that reuse the plan across actions should cache themselves.
-    val sets = shingleSets(docs, textCol, idCol, n)
+    ngramJaccardPairsFromSets(shingleSets(docs, textCol, idCol, n), threshold)
+
+  /** Same, over precomputed shingle sets. `sets` feeds BOTH self-join
+    * sides, and the two identical exchanges are NOT deduplicated at
+    * runtime (measured: AQE leaves them separate stages), so callers
+    * that can materialize `sets` (`localCheckpoint()`) cut the
+    * tokenize+shingle subtree from two evaluations to one — 5.6 s →
+    * 3.1 s at sf0.1 for the registered `q_dedup_ngram`.
+    */
+  def ngramJaccardPairsFromSets(sets: DataFrame,
+      threshold: Double): DataFrame = {
     // join on 8-byte shingle hashes, not strings: ~4x smaller shuffle;
     // a 64-bit collision among ~10^6 distinct shingles is ~1e-7 — far
     // below the bit-exactness bar of everything else here. Each inverted
@@ -65,8 +75,10 @@ object Dedup {
     // denominator needs NO join back to a per-doc size table. The two
     // size joins this replaces were the top cost in BENCH_r02
     // (shingleSets re-evaluated 4x per action: 12.9 s vs 4.0 s cached);
-    // now the set subtree is evaluated only for the two self-join sides,
-    // whose identical shuffles Spark dedupes via ReuseExchange.
+    // the set subtree now feeds only the two self-join sides — which
+    // run as SEPARATE stages (AQE does not reuse the identical
+    // exchanges; measured round 6), hence the FromSets entry point for
+    // callers that materialize `sets`.
     // SHUFFLE_HASH: the per-shingle groups are tiny, so hashing one side
     // beats sorting both (2x measured at sf0.1); spill-safety note in
     // cosineNearDupPairsLsh applies.
@@ -148,8 +160,14 @@ object Dedup {
     * positives. Ratio of small ints ⇒ IEEE-exact ⇒ oracle-expressible.
     */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol, n)
+      n: Int = 3, threshold: Double = 0.9): DataFrame =
+    containmentPairsFromSets(shingleSets(docs, textCol, idCol, n), threshold)
+
+  /** Same, over precomputed shingle sets (see
+    * [[ngramJaccardPairsFromSets]] for why materialized sets pay).
+    */
+  def containmentPairsFromSets(sets: DataFrame,
+      threshold: Double): DataFrame = {
     val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh"))

@@ -22,10 +22,13 @@ object CorpusQueries {
 
     // asymmetric containment pairs — subset/quotation duplication that
     // Jaccard misses; same inverted-index blocking as q_dedup_ngram
-    "q_containment_pairs" -> ((s, d) =>
-      Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
-          n = 3, threshold = 0.9)
-        .orderBy(col("a_id"), col("b_id"))),
+    "q_containment_pairs" -> ((s, d) => {
+      // same materialized-sets treatment as q_dedup_ngram
+      val sets = Dedup.shingleSets(Tables.documents(s, d), "text", "doc_id",
+        n = 3).localCheckpoint()
+      Dedup.containmentPairsFromSets(sets, threshold = 0.9)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
 
     // corpus-level Zipf rank-frequency slope over the top-200 tokens
     "q_zipf_slope" -> ((s, d) =>
