@@ -56,6 +56,52 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(rh.length == 3)
   }
 
+  test("round-6 corpus ops on degenerate inputs: empty corpus, " +
+      "single/uniform tokens") {
+    // empty corpus: every op returns empty, not an error
+    assert(Dedup.containmentPairs(emptyDocs, "text", "doc_id").isEmpty)
+    assert(TextAnalysis.tokenEntropy(emptyDocs, "text", "doc_id").isEmpty)
+    assert(TextAnalysis.charClasses(emptyDocs, "text", "doc_id").isEmpty)
+    assert(TextAnalysis.zipfSlope(emptyDocs, "text").count() == 1) // global agg row
+    // all-one-token doc: entropy must be exactly +0.0 (not -0.0 — the
+    // 0− formulation), uniform k tokens: exactly ln(k)
+    val docs = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
+    val ent = TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").select("entropy").as[Double].collect()
+    assert(ent(0) == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(ent(0)) == 0L, "must be +0.0")
+    // per-term DECIMAL(18,9) rounding ⇒ up to 4 × 5e-10 from ln(4)
+    assert(math.abs(ent(1) - math.log(4)) < 3e-9)
+    // containment: a doc fully embedded in a longer one scores 1.0
+    // even though Jaccard is far below threshold
+    val subset = Seq(
+      (1L, "p q r s t"),                          // 3 shingles
+      (2L, "p q r s t u v w x y z a b c d e f")) // superset text
+      .toDF("doc_id", "text")
+    val cp = Dedup.containmentPairs(subset, "text", "doc_id", 3, 0.99)
+      .select("a_id", "b_id", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(cp.toSeq == Seq((1L, 2L, 1.0)))
+    assert(Dedup.ngramJaccardPairs(subset, "text", "doc_id", 3, 0.99).isEmpty)
+  }
+
+  test("audio decode degenerate payloads: empty, null, truncated WAV") {
+    assert(graft.ext.Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    assert(graft.ext.Multimodal.decodeAudio(null).isEmpty)
+    // a WAV header chopped mid-stream must not throw
+    val full = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](64)), fmt, 32L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(graft.ext.Multimodal.decodeAudio(full).isDefined)
+    assert(graft.ext.Multimodal.decodeAudio(full.take(20)).isEmpty)
+  }
+
   test("asof semantics: purchase with no prior signup yields null, not a drop") {
     // user 1: signup then purchase; user 2: purchase only
     val ev = Seq(
