@@ -166,4 +166,30 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "not two-phase:\n" + p)
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("zipf top-k runs through TakeOrderedAndProject — the corpus " +
+      "vocabulary is never globally sorted or single-partition-windowed") {
+    val p = plan("q_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only Window (row_number for ranks) must sit ABOVE the top-k,
+    // operating on <= k rows — assert it consumes the TakeOrdered output
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      "rank window below top-k (whole-vocab window):\n" + p)
+  }
+
+  test("containment pairs: inverted-index equi-join, no cartesian, " +
+      "no length-filter predicates (size-ratio-free by design)") {
+    val p = plan("q_containment_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "containment degenerated to all-pairs:\n" + p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("event funnel: signup side pre-aggregates before the join " +
+      "(two-phase), join is keyed on user_id") {
+    val p = plan("q_event_funnel")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("user_id"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
