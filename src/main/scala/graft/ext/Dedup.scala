@@ -198,13 +198,18 @@ object Dedup {
     * numPerms), hash each band, join docs colliding in any band.
     * With b=16, r=4: P(candidate | j=0.9) ≈ 1−(1−0.9⁴)¹⁶ ≈ 1−10⁻⁸.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band_id"), xxhash64(parts: _*).as("band_hash"))
     }
-    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band_id"), col("bb.band_hash"))
+    // the banded frame feeds both self-join sides; without
+    // materialization the whole SIGNATURE aggregation upstream runs
+    // twice (AQE does not reuse the identical exchanges — measured)
+    val banded = materialize(
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band_id"), col("bb.band_hash")))
     banded.as("a").hint("SHUFFLE_HASH").join(banded.as("b").hint("SHUFFLE_HASH"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -234,8 +239,10 @@ object Dedup {
     * lazy and policy-clean either way.
     */
   def minhashNearDupPairsFromSets(sets: DataFrame, numPerms: Int,
-      bands: Int, threshold: Double): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(sets, numPerms), bands, numPerms / bands)
+      bands: Int, threshold: Double,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(sets, numPerms), bands,
+      numPerms / bands, materialize)
     cands
       .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
@@ -308,13 +315,16 @@ object Dedup {
     * on at least one chunk, so only chunk-collisions are compared.
     */
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val fps = simhash(docs, textCol, idCol)
-    val chunks = fps.select(col("doc_id"), col("simhash"),
+    // the chunked frame feeds both self-join sides — without
+    // materialization the 64-bit-sum simhash aggregation runs twice
+    val chunks = materialize(fps.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk_id"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))): _*)).as("ch"))
-      .select(col("doc_id"), col("simhash"), col("ch.chunk_id"), col("ch.chunk_val"))
+      .select(col("doc_id"), col("simhash"), col("ch.chunk_id"), col("ch.chunk_val")))
     chunks.as("a").hint("SHUFFLE_HASH").join(chunks.as("b").hint("SHUFFLE_HASH"),
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk_val") === col("b.chunk_val") &&

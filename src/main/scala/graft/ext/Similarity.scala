@@ -67,17 +67,22 @@ object Similarity {
     * the exact variant in SimilaritySpec.
     */
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
-      numTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+      numTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val tables = (0 until numTables).map(t =>
       hyperplanes(planesPerTable, dim, seed = 1042L + t))
     val bucketCols = array(tables.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("table_id"), lshBucket(col("embedding"), planes).as("bucket"))
     }: _*)
-    val banded = corpus
+    // `banded` (L·r dot products per vector) feeds BOTH self-join sides,
+    // and AQE does not reuse the identical exchanges (measured round 6)
+    // — callers that can materialize pass `_.localCheckpoint()` (the
+    // registered q_neardup_cosine does; default stays lazy).
+    val banded = materialize(corpus
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("tb", explode(bucketCols))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("tb.table_id"), col("tb.bucket"))
+        col("tb.table_id"), col("tb.bucket")))
     // SHUFFLE_HASH: sorting the embedding-laden banded rows for a
     // sort-merge join dominated this query's cost (3-4x measured at
     // sf0.1); a shuffled hash join skips the sort entirely. Per-bucket

@@ -61,14 +61,17 @@ object ExtQueries {
       val sets = Dedup.shingleSets(Tables.documents(s, d), "text", "doc_id",
         n = 3).localCheckpoint()
       Dedup.minhashNearDupPairsFromSets(sets,
-          numPerms = 48, bands = 16, threshold = 0.8)
+          numPerms = 48, bands = 16, threshold = 0.8,
+          // the banded frame feeds both candidate-join sides: without
+          // this the signature aggregation runs twice
+          materialize = _.localCheckpoint())
         .orderBy(col("a_id"), col("b_id"))
     }),
 
     // SimHash near-dup, chunk-blocked (rows-only check: xxhash64-based).
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
-          maxHamming = 3)
+          maxHamming = 3, materialize = _.localCheckpoint())
         .orderBy(col("a_id"), col("b_id"))),
 
     // embedding-cosine near-dup pairs (ids only: scores are float-rep
@@ -82,7 +85,8 @@ object ExtQueries {
     // post-filter makes precision exactly 1 at any parameters.
     "q_neardup_cosine" -> ((s, d) =>
       Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d),
-          threshold = 0.4, numTables = 24, planesPerTable = 3)
+          threshold = 0.4, numTables = 24, planesPerTable = 3,
+          materialize = _.localCheckpoint())
         .select(col("a_id"), col("b_id"))
         .orderBy(col("a_id"), col("b_id"))),
 
