@@ -198,18 +198,26 @@ object Dedup {
     * numPerms), hash each band, join docs colliding in any band.
     * With b=16, r=4: P(candidate | j=0.9) ≈ 1−(1−0.9⁴)¹⁶ ≈ 1−10⁻⁸.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
-      materialize: DataFrame => DataFrame = identity): DataFrame = {
+  /** Banded form of a signature frame: one (doc_id, band_id, band_hash)
+    * row per band. Shared by [[lshCandidates]] and the streaming
+    * near-dup sink, which bands STORED signatures without touching any
+    * text.
+    */
+  def bandedSignatures(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band_id"), xxhash64(parts: _*).as("band_hash"))
     }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id"), col("bb.band_hash"))
+  }
+
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     // the banded frame feeds both self-join sides; without
     // materialization the whole SIGNATURE aggregation upstream runs
     // twice (AQE does not reuse the identical exchanges — measured)
-    val banded = materialize(
-      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band_id"), col("bb.band_hash")))
+    val banded = materialize(bandedSignatures(sigs, bands, rowsPerBand))
     banded.as("a").hint("SHUFFLE_HASH").join(banded.as("b").hint("SHUFFLE_HASH"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&

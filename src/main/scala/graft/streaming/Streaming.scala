@@ -230,6 +230,97 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Continuous near-dup-deduplicated corpus ingestion (the streaming
+    * face of MinHash-LSH dedup): each micro-batch of (doc_id, text)
+    * rows is near-dup-checked within itself AND against everything
+    * already accepted, and only survivors append to `storeDir`.
+    *
+    * The store IS the dedup state: one row per accepted doc carrying
+    * its shingle set and MinHash signature — so checking a new batch
+    * bands the STORED signatures (k longs/doc, no text re-tokenized)
+    * and verifies candidates with exact Jaccard on the stored shingle
+    * sets. At 100 TB the store is bucketed by band and a batch's probe
+    * touches matching buckets only; state per doc is bounded
+    * (signature + shingle hashes), and no step compares unblocked
+    * all-pairs.
+    *
+    * Semantics: greedy by arrival — a doc is rejected iff it is
+    * J ≥ threshold similar to an already-ACCEPTED doc or to a
+    * lower-id doc in its own batch. An accepted doc is never
+    * retroactively dropped (append-only store). Checkpoint replay is
+    * harmless: survivors re-append through an anti-join on stored
+    * doc_ids (zero duplicates — same idempotence contract as
+    * [[archiveSinkExactlyOnce]]).
+    */
+  def nearDupDedupSink(docs: DataFrame, storeDir: String,
+      checkpointDir: String, n: Int = 3, numPerms: Int = 48,
+      bands: Int = 16, threshold: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        acceptNearDupBatch(batch.toDF(), storeDir, n, numPerms, bands,
+          threshold): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
+  /** One micro-batch of the greedy streaming near-dup dedup; returns the
+    * number of newly accepted docs. Batch-callable (backfill works the
+    * same way, one chunk at a time).
+    */
+  def acceptNearDupBatch(batch: DataFrame, storeDir: String, n: Int,
+      numPerms: Int, bands: Int, threshold: Double): Long = {
+    import graft.ext.Dedup
+    val spark = batch.sparkSession
+    val rowsPerBand = numPerms / bands
+    // batch-side state, materialized once: shingle sets + signatures
+    val sets = Dedup.shingleSets(batch, "text", "doc_id", n).localCheckpoint()
+    val sigs = Dedup.minhashSignatures(sets, numPerms).localCheckpoint()
+    def verified(cands: DataFrame, setsA: DataFrame, setsB: DataFrame) =
+      cands
+        .join(setsA.select(col("doc_id").as("a_id"), col("shingles").as("sha")), "a_id")
+        .join(setsB.select(col("doc_id").as("b_id"), col("shingles").as("shb")), "b_id")
+        .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))) >= threshold)
+    // within-batch: drop the higher id of every verified pair
+    val withinDrops = verified(
+        Dedup.lshCandidates(sigs, bands, rowsPerBand, _.localCheckpoint()),
+        sets, sets)
+      .select(col("b_id").as("doc_id")).distinct()
+    // vs the accepted store: band stored signatures (no text involved)
+    val store =
+      try Some(spark.read.parquet(storeDir).localCheckpoint())
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
+    val storeDrops = store match {
+      case Some(st) =>
+        val newBanded = Dedup.bandedSignatures(sigs, bands, rowsPerBand)
+        val oldBanded = Dedup.bandedSignatures(
+          st.select(col("doc_id"), col("sig")), bands, rowsPerBand)
+        val cands = newBanded.as("a").join(oldBanded.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band_hash") === col("b.band_hash"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        verified(cands, sets, st.select(col("doc_id"), col("shingles")))
+          .select(col("a_id").as("doc_id")).distinct()
+      case None => spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
+    }
+    val existingIds = store.map(_.select(col("doc_id")))
+      .getOrElse(storeDrops.select(col("doc_id")).limit(0))
+    val accepted = sets.join(sigs, "doc_id")
+      .join(withinDrops, Seq("doc_id"), "left_anti")
+      .join(storeDrops, Seq("doc_id"), "left_anti")
+      .join(existingIds, Seq("doc_id"), "left_anti") // replay idempotence
+    val nAccepted = accepted.count()
+    if (nAccepted > 0)
+      accepted.write.mode("append")
+        .option("compression", "snappy").parquet(storeDir)
+    nAccepted
+  }
+
   /** Drive a streaming query over already-present files to completion
     * (test/backfill helper): processes everything available, then stops.
     */

@@ -211,6 +211,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup dedup: greedy acceptance across micro-batches, " +
+      "rejects vs both the batch and the accepted store, replay-safe") {
+    import graft.ext.Dedup
+    val ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tb = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    def uniq(k: Int) = (1 to 20).map(i => s"u${k}w$i").mkString(" ")
+    // file 1: group-A seed, group-B pair (within-batch dup), unique 6
+    // file 2: group-A dup (vs store), unique 7
+    // file 3: group-A dup (vs store), unique 8
+    val files = Seq(
+      Seq((1L, ta), (4L, tb), (5L, tb + " extra"), (6L, uniq(6))),
+      Seq((2L, ta), (7L, uniq(7))),
+      Seq((3L, ta), (8L, uniq(8))))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_nd_src").toString
+    files.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      Thread.sleep(5): Unit // distinct mtimes keep trigger order = id order
+      val _ = i
+    }
+    val store = java.nio.file.Files.createTempDirectory("graft_nd_store").toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def run(checkpoint: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = Streaming.nearDupDedupSink(stream, store, checkpoint).start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    run(ckpt)
+    val ids = spark.read.parquet(store).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 4L, 6L, 7L, 8L),
+      s"greedy acceptance set wrong: $ids")
+    // invariant: survivors are pairwise NOT near-dups (J < 0.8)
+    val survivors = files.flatten.filter(r => ids(r._1)).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(survivors, "text", "doc_id", 3, 0.8).isEmpty)
+    // total checkpoint LOSS + full replay: the store stays exactly as is
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_nd_ck2").toString
+    run(ckpt2)
+    assert(spark.read.parquet(store).count() == 5)
+    assert(spark.read.parquet(store).select("doc_id").distinct().count() == 5)
+  }
+
   test("stateful dedup drops duplicate event_ids within watermark") {
     val dir = eventsDir
     // duplicate the source: same rows twice -> dedup must halve them
