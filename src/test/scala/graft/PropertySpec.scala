@@ -116,6 +116,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: token entropy ∈ [0, ln(n_tokens)], 0 iff one distinct " +
+      "token, ln(n) iff all distinct — at any partitioning") {
+    val docGen = Gen.listOfN(30, Gen.choose(1, 6).map(k => s"w$k"))
+    forAllSampled(Gen.listOfN(6, docGen), 5) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text").repartition(3)
+      val ent = TextAnalysis.tokenEntropy(df, "text", "doc_id")
+        .as[(Long, Double)].collect().toMap
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        val h = ent(i.toLong)
+        val bound = math.log(ws.size)
+        assert(h >= 0.0 && h <= bound + 3e-8, s"doc $i: H=$h bound=$bound")
+        if (ws.distinct.size == 1) assert(h == 0.0)
+        if (ws.distinct.size == ws.size) assert(math.abs(h - bound) < 3e-8)
+      }
+    }
+  }
+
+  test("property: containment ≥ Jaccard on every generated pair, and a " +
+      "true subset always scores containment 1.0") {
+    val wordsGen = Gen.listOfN(25, Gen.choose(1, 12).map(k => s"t$k"))
+    forAllSampled(Gen.listOfN(4, wordsGen), 5) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val jac = Dedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.0)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val cont = Dedup.containmentPairs(df, "text", "doc_id", 3, 0.0)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(cont.keySet == jac.keySet)
+      cont.foreach { case (k, c) =>
+        assert(c >= jac(k) - 1e-12 && c <= 1.0, s"pair $k: c=$c j=${jac(k)}")
+      }
+      // honest subset: doc 0's text embedded verbatim in a longer doc
+      val sub = Seq((100L, docs.head.mkString(" ")),
+        (101L, (docs.head ++ Seq("zz1", "zz2", "zz3", "zz4")).mkString(" ")))
+        .toDF("doc_id", "text")
+      val c = Dedup.containmentPairs(sub, "text", "doc_id", 3, 0.0)
+        .filter(col("a_id") === 100L && col("b_id") === 101L)
+        .select("containment").as[Double].collect()
+      assert(c.length == 1 && c.head == 1.0, c.toSeq.toString)
+    }
+  }
+
   test("property: ExactMoneyMean is partitioning-independent and exact") {
     val pricesGen = Gen.listOfN(50, Gen.choose(1, 10000000)
       .map(c => c / 100.0))
