@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pair lists (the near-dup graph being the
+  * motivating instance): PageRank picks the most central doc of every
+  * duplicate cluster — the principled "which copy do we keep" answer
+  * where min-id ([[Dedup.connectedComponents]]) is the arbitrary one.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over an undirected pair list, restricted
+    * to nodes that appear in a pair (isolated docs have nothing to
+    * rank against).
+    *
+    *   r₀ = 1/N;  r_{k+1}(v) = (1−d)/N + d·Σ_{u∼v} r_k(u)/deg(u)
+    *
+    * Cross-engine exactness: each neighbor contribution r/deg rounds
+    * into DECIMAL(28,15) BEFORE the sum, so the aggregate is
+    * order-independent (decimal addition is exact) and the DuckDB
+    * oracle mirroring the same rounding hash-matches bit-for-bit; the
+    * remaining arithmetic is plain IEEE double, identical everywhere.
+    *
+    * Scale shape: one shuffle per iteration keyed by node id over the
+    * PAIR-GRAPH only (orders of magnitude smaller than the corpus),
+    * `localCheckpoint` per round cuts the lineage growth — the same
+    * iterative discipline as [[Dedup.connectedComponents]]. The node
+    * count N is a driver scalar bounded by the pair graph.
+    */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    // edges feed the degree agg AND every iteration's join
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().localCheckpoint()
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg")).localCheckpoint()
+    val n = deg.count()
+    if (n == 0)
+      return deg.select(col("node"), lit(0.0).as("pagerank")).limit(0)
+    val base = (1.0 - damping) / n
+    var ranks = deg.select(col("node"), col("deg"), (lit(1.0) / n).as("r"))
+    for (_ <- 0 until iterations) {
+      val contrib = edges
+        .join(ranks, col("u") === col("node"))
+        .groupBy(col("v"))
+        .agg(sum((col("r") / col("deg")).cast("decimal(28,15)")).as("s"))
+      // every node has deg >= 1 in an undirected pair graph, so the
+      // inner join back to deg loses nothing
+      ranks = deg
+        .join(contrib, col("node") === col("v"))
+        .select(col("node"), col("deg"),
+          (lit(base) + lit(damping) * col("s").cast("double")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("pagerank"))
+  }
+}

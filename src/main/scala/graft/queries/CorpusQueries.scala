@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, TextAnalysis}
 import graft.model.Tables
 
 /** Round-6 corpus-diagnostics queries (SURVEY.md §2.9 north star):
@@ -59,6 +59,20 @@ object CorpusQueries {
         .select(col("user_id"), col("signup_us"), col("purchase_us"),
           (col("purchase_us") - col("signup_us")).as("latency_us"))
         .orderBy(col("user_id"))
+    }),
+
+    // PageRank over the near-dup pair graph (3 iterations, d = 0.85):
+    // the principled "which copy is canonical" answer for dedup groups,
+    // where min-id keep is the arbitrary one. Contribution rounding
+    // into DECIMAL(28,15) makes the ranks bit-identical to the oracle.
+    "q_pagerank" -> ((s, d) => {
+      val sets = Dedup.shingleSets(Tables.documents(s, d), "text", "doc_id",
+        n = 3).localCheckpoint()
+      val pairs = Dedup.ngramJaccardPairsFromSets(sets, threshold = 0.6)
+        .localCheckpoint()
+      Graph.pageRank(pairs, "a_id", "b_id", iterations = 3, damping = 0.85)
+        .select(col("node").as("doc_id"), col("pagerank"))
+        .orderBy(col("doc_id"))
     }),
 
     // real WAV decode (javax.sound.sampled) over deterministic synthetic
@@ -122,6 +136,40 @@ object CorpusQueries {
         |CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
         |  AS INT) AS n_spaces
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Graph.pageRank's arithmetic EXACTLY: contributions round
+    // into DECIMAL(28,15) before each sum (order-independent, exact),
+    // every other op is IEEE double with identical parenthesization —
+    // note (1 - CAST(0.85 AS DOUBLE)), not a 0.15 literal, because
+    // 1 − 0.85 in binary is not 0.15.
+    "q_pagerank" ->
+      s"""$ShingleCte,
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+         |e AS (SELECT a_id AS u, b_id AS v FROM p
+         |  UNION SELECT b_id, a_id FROM p),
+         |dg AS (SELECT u AS node, COUNT(*) AS deg FROM e GROUP BY u),
+         |nn AS (SELECT COUNT(*) AS n FROM dg),
+         |r0 AS (SELECT node, deg, CAST(1 AS DOUBLE) / nn.n AS r FROM dg, nn),
+         |c1 AS (SELECT e.v AS node, SUM(CAST(r0.r / r0.deg AS DECIMAL(28,15))) AS s
+         |  FROM e JOIN r0 ON e.u = r0.node GROUP BY e.v),
+         |r1 AS (SELECT dg.node, dg.deg, (1 - CAST(0.85 AS DOUBLE)) / nn.n +
+         |    CAST(0.85 AS DOUBLE) * CAST(c1.s AS DOUBLE) AS r
+         |  FROM dg JOIN c1 USING (node), nn),
+         |c2 AS (SELECT e.v AS node, SUM(CAST(r1.r / r1.deg AS DECIMAL(28,15))) AS s
+         |  FROM e JOIN r1 ON e.u = r1.node GROUP BY e.v),
+         |r2 AS (SELECT dg.node, dg.deg, (1 - CAST(0.85 AS DOUBLE)) / nn.n +
+         |    CAST(0.85 AS DOUBLE) * CAST(c2.s AS DOUBLE) AS r
+         |  FROM dg JOIN c2 USING (node), nn),
+         |c3 AS (SELECT e.v AS node, SUM(CAST(r2.r / r2.deg AS DECIMAL(28,15))) AS s
+         |  FROM e JOIN r2 ON e.u = r2.node GROUP BY e.v),
+         |r3 AS (SELECT dg.node, dg.deg, (1 - CAST(0.85 AS DOUBLE)) / nn.n +
+         |    CAST(0.85 AS DOUBLE) * CAST(c3.s AS DOUBLE) AS r
+         |  FROM dg JOIN c3 USING (node), nn)
+         |SELECT node AS doc_id, r AS pagerank FROM r3
+         |ORDER BY doc_id""".stripMargin,
 
     "q_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
