@@ -46,6 +46,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining (contrastive-training data): for each query,
+    * the k most cosine-similar corpus vectors carrying a DIFFERENT
+    * label — similar-but-wrong examples, the ones a contrastive loss
+    * learns most from. Same shape as [[topKCosine]] (broadcast query
+    * set, one corpus scan, no shuffle before the per-query window);
+    * the label predicate rides inside the join so mismatched rows are
+    * never scored.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cn = corpus.withColumn("nrm", norm(col("embedding")))
+    val qn = queries.withColumn("qnrm", norm(col("query_vec")))
+    val scored = cn.as("c")
+      .join(broadcast(qn.as("q")),
+        col("q.query_id") =!= col("c.vec_id") &&
+          col("q.qlabel") =!= col("c.label"))
+      .select(col("q.query_id"), col("c.vec_id"), col("c.label"),
+        (dot(col("q.query_vec"), col("c.embedding")) /
+          (col("q.qnrm") * col("c.nrm"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold. Exact variant:
     * block-nested self-join (for modest corpora / verification); at
     * 100 TB use [[cosineNearDupPairsLsh]] instead.

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Graph, Multimodal, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.model.Tables
 
 /** Round-6 corpus-diagnostics queries (SURVEY.md §2.9 north star):
@@ -73,6 +73,20 @@ object CorpusQueries {
       Graph.pageRank(pairs, "a_id", "b_id", iterations = 3, damping = 0.85)
         .select(col("node").as("doc_id"), col("pagerank"))
         .orderBy(col("doc_id"))
+    }),
+
+    // hard-negative mining: per query, top-5 most-similar vectors with
+    // a DIFFERENT label (similar-but-wrong — what a contrastive loss
+    // learns from). Broadcast queries, one corpus scan, label predicate
+    // inside the join.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(emb, q, k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // real WAV decode (javax.sound.sampled) over deterministic synthetic
@@ -170,6 +184,19 @@ object CorpusQueries {
          |  FROM dg JOIN c3 USING (node), nn)
          |SELECT node AS doc_id, r AS pagerank FROM r3
          |ORDER BY doc_id""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, e.vec_id, e.label,
+        |  list_cosine_similarity(q.qv, e.embedding) AS c
+        |  FROM q CROSS JOIN embeddings e
+        |  WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+        |r AS (SELECT query_id, vec_id, label,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, vec_id) AS INT) AS rank FROM s)
+        |SELECT query_id, rank, vec_id, label FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -72,6 +72,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: every neighbor has a different label, and per " +
+      "query equals top-k over the label-filtered corpus") {
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").as("qlabel"))
+    val hn = Similarity.hardNegatives(emb, q, 5)
+      .select("query_id", "rank", "vec_id", "label")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(hn.length == 25)
+    val qLabels = q.select("query_id", "qlabel").as[(Long, Int)].collect().toMap
+    assert(hn.forall { case (qid, _, _, l) => l != qLabels(qid) })
+    // per query: identical to brute-force top-k over only the
+    // wrong-label corpus subset
+    qLabels.foreach { case (qid, ql) =>
+      val expect = Similarity.topKCosine(
+          emb.filter(col("label") =!= ql),
+          q.filter(col("query_id") === qid).drop("qlabel"), 5)
+        .select("rank", "vec_id").as[(Int, Long)].collect().toSet
+      val got = hn.filter(_._1 == qid).map(t => (t._2, t._3)).toSet
+      assert(got == expect, s"query $qid")
+    }
+  }
+
   test("sign-LSH ANN reaches >=40% recall@10 vs brute force on random vectors") {
     val exact = Similarity.topKCosine(emb, queries, 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
