@@ -54,6 +54,27 @@ object Dedup {
     * tokenize+shingle subtree from two evaluations to one — 5.6 s →
     * 3.1 s at sf0.1 for the registered `q_dedup_ngram`.
     */
+  /** Shared inverted-shingle-index blocking: explode sets into 8-byte
+    * hashed postings, SHUFFLE_HASH self-join on the posting (doc_id-
+    * ordered, plus any caller predicate over the aliased `a`/`b`
+    * sides), two-phase count of per-pair intersections. Returns
+    * (a_id, b_id, na, nb, inter) — the raw material both Jaccard and
+    * containment score from, kept in ONE place so blocking fixes
+    * (hash width, join hint, slack) can never diverge between them.
+    */
+  private[ext] def shinglePairCounts(sets: DataFrame,
+      extraJoinPred: Column): DataFrame = {
+    val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh"))
+    inv.as("a").hint("SHUFFLE_HASH").join(inv.as("b").hint("SHUFFLE_HASH"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          extraJoinPred)
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
   def ngramJaccardPairsFromSets(sets: DataFrame,
       threshold: Double): DataFrame = {
     // join on 8-byte shingle hashes, not strings: ~4x smaller shuffle;
@@ -67,9 +88,6 @@ object Dedup {
     // stops working once threshold·n > ~9e6, where half an ulp of the
     // product exceeds it); the final jaccard >= threshold check keeps
     // the output exact.
-    val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh"))
     // n_sh is functionally dependent on doc_id, so grouping by it too is
     // free — and carrying it through the aggregation means the Jaccard
     // denominator needs NO join back to a per-doc size table. The two
@@ -79,16 +97,9 @@ object Dedup {
     // run as SEPARATE stages (AQE does not reuse the identical
     // exchanges; measured round 6), hence the FromSets entry point for
     // callers that materialize `sets`.
-    // SHUFFLE_HASH: the per-shingle groups are tiny, so hashing one side
-    // beats sorting both (2x measured at sf0.1); spill-safety note in
-    // cosineNearDupPairsLsh applies.
-    inv.as("a").hint("SHUFFLE_HASH").join(inv.as("b").hint("SHUFFLE_HASH"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n_sh") * lit(threshold * (1 - 1e-12)) <= col("a.n_sh") &&
+    shinglePairCounts(sets,
+        col("b.n_sh") * lit(threshold * (1 - 1e-12)) <= col("a.n_sh") &&
           col("a.n_sh") * lit(threshold * (1 - 1e-12)) <= col("b.n_sh"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
@@ -167,20 +178,14 @@ object Dedup {
     * [[ngramJaccardPairsFromSets]] for why materialized sets pay).
     */
   def containmentPairsFromSets(sets: DataFrame,
-      threshold: Double): DataFrame = {
-    val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh"))
-    inv.as("a").hint("SHUFFLE_HASH").join(inv.as("b").hint("SHUFFLE_HASH"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
+      threshold: Double): DataFrame =
+    // same blocking as Jaccard (shinglePairCounts) with NO length
+    // predicate — containment is size-ratio-free by design
+    shinglePairCounts(sets, lit(true))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / least(col("na"), col("nb")))
           .as("containment"))
       .filter(col("containment") >= threshold)
-  }
 
   /** MinHash signatures: k independent hash functions simulated as
     * xxhash64 salted with the permutation index; one exploded pass,

@@ -21,6 +21,12 @@ object Graph {
     * order-independent (decimal addition is exact) and the DuckDB
     * oracle mirroring the same rounding hash-matches bit-for-bit; the
     * remaining arithmetic is plain IEEE double, identical everywhere.
+    * The rounding is `bround` (half-to-even) before the decimal cast —
+    * contributions like 1/(N·deg) are exact dyadics that CAN end in a
+    * trailing 5 at digit 15 (e.g. 1/65536), and on such ties Spark's
+    * cast rounds half-up while DuckDB's rounds half-to-even (the
+    * labelCentroids lesson); bround first makes the cast tie-free on
+    * both sides.
     *
     * Scale shape: one shuffle per iteration keyed by node id over the
     * PAIR-GRAPH only (orders of magnitude smaller than the corpus),
@@ -46,7 +52,8 @@ object Graph {
       val contrib = edges
         .join(ranks, col("u") === col("node"))
         .groupBy(col("v"))
-        .agg(sum((col("r") / col("deg")).cast("decimal(28,15)")).as("s"))
+        .agg(sum(bround(col("r") / col("deg"), 15)
+          .cast("decimal(28,15)")).as("s"))
       // every node has deg >= 1 in an undirected pair graph, so the
       // inner join back to deg loses nothing
       ranks = deg

@@ -56,32 +56,43 @@ object Multimodal {
     * pipeline run (the PERMISSIVE-mode stance, same as the JSONL
     * source).
     */
+  /** Raster size cap: 64 M pixels (a 256 MB float array) — metadata
+    * large enough to overflow `w * h` as Int (or blow executor heap)
+    * falls back instead of crashing the task.
+    */
+  private val MaxRasterPixels = 1L << 26
+
   def decodeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Float]] = {
-    if (payload == null || payload.isEmpty || w <= 0 || h <= 0) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-    else {
-      val out = new Array[Float](w * h)
-      var y = 0
-      while (y < h) {
-        val sy = y * img.getHeight / h
-        var x = 0
-        while (x < w) {
-          val sx = x * img.getWidth / w
-          val rgb = img.getRGB(sx, sy)
-          val r = (rgb >> 16) & 0xFF
-          val g = (rgb >> 8) & 0xFF
-          val b = rgb & 0xFF
-          out(y * w + x) =
-            ((0.299f * r + 0.587f * g + 0.114f * b) / 255.0f)
-          x += 1
+    if (payload == null || payload.isEmpty || w <= 0 || h <= 0 ||
+      w.toLong * h > MaxRasterPixels) return None
+    // the whole decode+resample is inside the catch: a corrupt frame or
+    // decoder quirk degrades to the fallback, never a task failure —
+    // the documented PERMISSIVE totality contract
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val out = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          val sy = y * img.getHeight / h
+          var x = 0
+          while (x < w) {
+            val sx = x * img.getWidth / w
+            val rgb = img.getRGB(sx, sy)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            out(y * w + x) =
+              ((0.299f * r + 0.587f * g + 0.114f * b) / 255.0f)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        Some(out)
       }
-      Some(out)
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Fallback decoder for payloads ImageIO cannot parse: bytes → WxH
@@ -90,8 +101,10 @@ object Multimodal {
     * pipeline shape.
     */
   def decodeImageStub(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
-    if (payload == null || payload.isEmpty) return Array.fill(w * h)(0f)
-    val out = new Array[Float](w * h)
+    // same overflow/size guard as decodeImage: degrade, don't crash
+    val n = math.max(0L, math.min(w.toLong * h, MaxRasterPixels)).toInt
+    if (payload == null || payload.isEmpty) return new Array[Float](n)
+    val out = new Array[Float](n)
     var i = 0
     while (i < out.length) {
       out(i) = (payload(i % payload.length) & 0xFF) / 255.0f

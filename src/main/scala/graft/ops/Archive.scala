@@ -229,12 +229,18 @@ object Archive {
     *
     * Staging dirs are dot-prefixed, which `FileInputFormat` ignores —
     * concurrent readers of the archive never see half-written files.
-    * The swap itself is two rename batches (originals → `.…compact_bak`,
-    * rewrite → partition): not transactional on object stores, but a
-    * crash mid-swap always leaves every original row present in either
-    * the partition or the backup dir (rerun or restore recovers; a
-    * table format is the fully-transactional production choice — this
-    * keeps the reference's raw-parquet layout self-maintaining).
+    * Crash safety: before any original moves to the backup dir, the
+    * rewrite's file names are written to a `_MANIFEST` inside it; a
+    * later run finding a leftover backup ROLLS BACK (restores the
+    * originals, removing exactly the manifest-named partially-swapped
+    * files) while rewrite files remain staged, and ROLLS FORWARD
+    * (drops the backup) once the staging dir is empty — i.e. the swap
+    * had completed. Every recovery step is idempotent renames/deletes,
+    * so a crash during recovery re-recovers. Concurrent appends are
+    * safe too: the rewrite covers EXACTLY the file set listed at the
+    * start (read by explicit paths, not by directory), so a file
+    * appended mid-compaction is never digested, backed up, or deleted
+    * — it simply survives the swap untouched.
     *
     * @return (partitions compacted, total files before, after)
     */
@@ -247,10 +253,6 @@ object Archive {
       val r = groupChecksums(df, Seq.empty, canonCols).collect().head
       (r.getLong(r.fieldIndex("n_rows")), r.getLong(r.fieldIndex("checksum")))
     }
-    def dataFiles(dir: Path) = fs.listStatus(dir).filter { f =>
-      val n = f.getPath.getName
-      f.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
     val leafDirs = for {
       y <- fs.listStatus(root).toSeq
       if y.isDirectory && y.getPath.getName.startsWith("year=")
@@ -261,15 +263,19 @@ object Archive {
     var before = 0
     var after = 0
     leafDirs.foreach { part =>
-      val files = dataFiles(part)
+      val tmp = new Path(part.getParent, "." + part.getName + ".compact_tmp")
+      val bak = new Path(part.getParent, "." + part.getName + ".compact_bak")
+      recoverInterruptedCompaction(fs, part, tmp, bak)
+      val files = dataFiles(fs, part)
       before += files.length
       val want = math.max(1, math.ceil(
         files.map(_.getLen).sum.toDouble / (targetMB.toLong << 20)).toInt)
       if (files.length <= want) after += files.length
       else {
-        val df = spark.read.parquet(part.toString)
+        // read EXACTLY this snapshot of files: a concurrently appended
+        // file is neither digested nor backed up nor deleted below
+        val df = spark.read.parquet(files.map(_.getPath.toString): _*)
         val expect = digest(df)
-        val tmp = new Path(part.getParent, "." + part.getName + ".compact_tmp")
         fs.delete(tmp, true): Unit
         // coalesce, not repartition: pure file merge, no shuffle
         df.coalesce(want).write.mode("overwrite")
@@ -278,14 +284,18 @@ object Archive {
         require(got == expect,
           s"compaction digest mismatch for $part: rewrite=$got " +
             s"original=$expect — partition left untouched")
-        val bak = new Path(part.getParent, "." + part.getName + ".compact_bak")
         fs.delete(bak, true): Unit
         require(fs.mkdirs(bak), s"cannot create backup dir $bak")
+        val rewritten = dataFiles(fs, tmp)
+        // manifest BEFORE any original moves: the rollback contract
+        val mf = fs.create(new Path(bak, "_MANIFEST"), true)
+        try mf.write(rewritten.map(_.getPath.getName).mkString("\n")
+          .getBytes("UTF-8"))
+        finally mf.close()
         files.foreach { f =>
           require(fs.rename(f.getPath, new Path(bak, f.getPath.getName)),
             s"backup rename failed: ${f.getPath}")
         }
-        val rewritten = dataFiles(tmp)
         rewritten.foreach { f =>
           require(fs.rename(f.getPath, new Path(part, f.getPath.getName)),
             s"swap-in rename failed: ${f.getPath}")
@@ -297,5 +307,46 @@ object Archive {
       }
     }
     (compacted, before, after)
+  }
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path) =
+    fs.listStatus(dir).filter { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Recovery from a compaction interrupted mid-swap (see
+    * [[compactPartitions]]): backup present + rewrite files still
+    * staged ⇒ the swap did not finish — roll BACK (remove the
+    * manifest-named files already swapped in, restore every original);
+    * backup present + staging empty ⇒ the digest-verified swap
+    * finished — roll FORWARD (drop the backup). A backup without a
+    * manifest means nothing was moved yet: plain cleanup.
+    */
+  private def recoverInterruptedCompaction(
+      fs: org.apache.hadoop.fs.FileSystem,
+      part: Path, tmp: Path, bak: Path): Unit = {
+    if (!fs.exists(bak)) return
+    val manifest = new Path(bak, "_MANIFEST")
+    if (!fs.exists(manifest)) {
+      fs.delete(bak, true): Unit
+      fs.delete(tmp, true): Unit
+      return
+    }
+    val swapIncomplete = fs.exists(tmp) && dataFiles(fs, tmp).nonEmpty
+    if (swapIncomplete) {
+      val in = fs.open(manifest)
+      val names =
+        try new String(in.readAllBytes(), "UTF-8").split("\n")
+          .map(_.trim).filter(_.nonEmpty)
+        finally in.close()
+      names.foreach { nm => fs.delete(new Path(part, nm), false): Unit }
+      dataFiles(fs, bak).foreach { f =>
+        require(fs.rename(f.getPath, new Path(part, f.getPath.getName)),
+          s"recovery restore failed: ${f.getPath}")
+      }
+    }
+    fs.delete(tmp, true): Unit
+    fs.delete(bak, true): Unit
   }
 }

@@ -250,7 +250,11 @@ object Streaming {
     * retroactively dropped (append-only store). Checkpoint replay is
     * harmless: survivors re-append through an anti-join on stored
     * doc_ids (zero duplicates — same idempotence contract as
-    * [[archiveSinkExactlyOnce]]).
+    * [[archiveSinkExactlyOnce]]). Docs too short to shingle (< n
+    * tokens, or NULL text) cannot be near-dup-compared and pass
+    * STRAIGHT THROUGH to the store (null signature/shingles — banding
+    * skips them); compose with exact dedup upstream if byte-identical
+    * short docs must collapse.
     */
   def nearDupDedupSink(docs: DataFrame, storeDir: String,
       checkpointDir: String, n: Int = 3, numPerms: Int = 48,
@@ -275,6 +279,9 @@ object Streaming {
     // batch-side state, materialized once: shingle sets + signatures
     val sets = Dedup.shingleSets(batch, "text", "doc_id", n).localCheckpoint()
     val sigs = Dedup.minhashSignatures(sets, numPerms).localCheckpoint()
+    // the asymmetric generalization of minhashNearDupPairsFromSets'
+    // exact-Jaccard verification (two set frames instead of one self-
+    // joined) — keep the formula in sync with Dedup's
     def verified(cands: DataFrame, setsA: DataFrame, setsB: DataFrame) =
       cands
         .join(setsA.select(col("doc_id").as("a_id"), col("shingles").as("sha")), "a_id")
@@ -297,8 +304,12 @@ object Streaming {
     val storeDrops = store match {
       case Some(st) =>
         val newBanded = Dedup.bandedSignatures(sigs, bands, rowsPerBand)
+        // null-sig store rows are pass-through short docs: they carry
+        // nothing to band (xxhash64 over null parts would collide them
+        // ALL into one bucket), so exclude them from the probe side
         val oldBanded = Dedup.bandedSignatures(
-          st.select(col("doc_id"), col("sig")), bands, rowsPerBand)
+          st.filter(col("sig").isNotNull)
+            .select(col("doc_id"), col("sig")), bands, rowsPerBand)
         val cands = newBanded.as("a").join(oldBanded.as("b"),
             col("a.band_id") === col("b.band_id") &&
               col("a.band_hash") === col("b.band_hash"))
@@ -310,10 +321,15 @@ object Streaming {
     }
     val existingIds = store.map(_.select(col("doc_id")))
       .getOrElse(storeDrops.select(col("doc_id")).limit(0))
-    val accepted = sets.join(sigs, "doc_id")
+    // start from EVERY batch doc id — docs absent from `sets` (under n
+    // tokens / NULL text) have no shingles to compare and must pass
+    // through, not silently vanish; their shingles/sig stay NULL
+    val accepted = batch.select(col("doc_id")).distinct()
       .join(withinDrops, Seq("doc_id"), "left_anti")
       .join(storeDrops, Seq("doc_id"), "left_anti")
       .join(existingIds, Seq("doc_id"), "left_anti") // replay idempotence
+      .join(sets, Seq("doc_id"), "left")
+      .join(sigs, Seq("doc_id"), "left")
     val nAccepted = accepted.count()
     if (nAccepted > 0)
       accepted.write.mode("append")

@@ -219,11 +219,14 @@ class StreamingSpec extends AnyFunSuite {
     val tb = "one two three four five six seven eight nine ten eleven " +
       "twelve thirteen fourteen fifteen sixteen"
     def uniq(k: Int) = (1 to 20).map(i => s"u${k}w$i").mkString(" ")
-    // file 1: group-A seed, group-B pair (within-batch dup), unique 6
+    // file 1: group-A seed, group-B pair (within-batch dup), unique 6,
+    //         and a 2-token doc (too short to shingle — must pass
+    //         through, not silently vanish)
     // file 2: group-A dup (vs store), unique 7
     // file 3: group-A dup (vs store), unique 8
     val files = Seq(
-      Seq((1L, ta), (4L, tb), (5L, tb + " extra"), (6L, uniq(6))),
+      Seq((1L, ta), (4L, tb), (5L, tb + " extra"), (6L, uniq(6)),
+        (9L, "hello world")),
       Seq((2L, ta), (7L, uniq(7))),
       Seq((3L, ta), (8L, uniq(8))))
     val srcDir = java.nio.file.Files.createTempDirectory("graft_nd_src").toString
@@ -249,16 +252,19 @@ class StreamingSpec extends AnyFunSuite {
     run(ckpt)
     val ids = spark.read.parquet(store).select("doc_id")
       .as[Long].collect().toSet
-    assert(ids == Set(1L, 4L, 6L, 7L, 8L),
+    assert(ids == Set(1L, 4L, 6L, 7L, 8L, 9L),
       s"greedy acceptance set wrong: $ids")
+    // the short doc passes through with null signature
+    assert(spark.read.parquet(store).filter(col("doc_id") === 9L)
+      .select("sig").head().isNullAt(0))
     // invariant: survivors are pairwise NOT near-dups (J < 0.8)
     val survivors = files.flatten.filter(r => ids(r._1)).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(survivors, "text", "doc_id", 3, 0.8).isEmpty)
     // total checkpoint LOSS + full replay: the store stays exactly as is
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_nd_ck2").toString
     run(ckpt2)
-    assert(spark.read.parquet(store).count() == 5)
-    assert(spark.read.parquet(store).select("doc_id").distinct().count() == 5)
+    assert(spark.read.parquet(store).count() == 6)
+    assert(spark.read.parquet(store).select("doc_id").distinct().count() == 6)
   }
 
   test("stateful dedup drops duplicate event_ids within watermark") {
