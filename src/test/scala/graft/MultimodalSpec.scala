@@ -109,6 +109,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(jf._2 == 32 && jf._3.isEmpty && jf._5.isEmpty)
   }
 
+  test("oversized/overflowing raster metadata degrades, never crashes") {
+    val png = pngBytes(Array(Array(0xFFFFFF)))
+    // 65536×65536 overflows w*h as Int; 50000×50000 goes negative
+    assert(Multimodal.decodeImage(png, 65536, 65536).isEmpty)
+    assert(Multimodal.decodeImage(png, 50000, 50000).isEmpty)
+    // the stub caps (not drops) oversized rasters: no overflow, no throw
+    assert(Multimodal.decodeImageStub(Array[Byte](1, 2), 65536, 65536)
+      .length <= (1 << 26))
+    assert(Multimodal.decodeImageStub(Array[Byte](1, 2), 50000, 50000)
+      .length <= (1 << 26))
+    assert(Multimodal.decodeImage(png, 0, 4).isEmpty)
+  }
+
   test("frame sampling explodes video rows only, at the requested cadence") {
     val m = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(m, everyMs = 1000)
