@@ -38,19 +38,24 @@ object Bench {
     })
 
     // Warm the session (JVM/codegen/committer init, parquet footers)
-    // so measured numbers reflect plans, not first-hit JIT: r5's
-    // driver-vs-builder totals swung 35% on cold-JIT-shaped deltas in
-    // exactly the heavy codegen paths. Warm-up therefore runs the two
-    // heaviest generated-code shapes — the banded-LSH SHUFFLE_HASH join
-    // chain (q_dedup_minhash) and the 64-column decimal aggregate
-    // (q_kmeans_step) — against the tiny sf0.001 fixture (same plans,
-    // ~100× less data), falling back to sfDir-free warmers if absent.
+    // so measured numbers reflect plans, not first-hit JIT: r5/r6
+    // driver-vs-builder totals swung 35-45% on cold-start-shaped
+    // deltas — r6's broad +0.3-2 s inflation hit ~20 ZERO-SHUFFLE
+    // trivial queries, i.e. fixed per-shape cost (janino codegen
+    // compile + C2 JIT on each query's generated classes), not plan
+    // cost. Warm-up therefore runs EVERY registered query once against
+    // the tiny sf0.001 fixture: identical plans generate identical
+    // code, so the codegen cache and JIT profiles are hot when the
+    // measured sfDir run starts, at ~100x less data per query. Skipped
+    // when the sf-suffix rewrite doesn't produce a distinct existing
+    // directory (otherwise the "warm-up" would re-run the whole suite
+    // against the full measured dataset).
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val warmDir = sfDir.replaceFirst("sf[0-9.]+/*$", "sf0.001")
-    if (new java.io.File(warmDir).isDirectory)
-      Seq("q_dedup_minhash", "q_kmeans_step", "q_neardup_cosine").foreach { q =>
-        try { SparkEntry.queries(q)(spark, warmDir).count(): Unit }
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count(): Unit }
         catch { case scala.util.control.NonFatal(_) => () }
       }
 

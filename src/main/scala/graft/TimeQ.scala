@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local per-query timer (builder tool, like [[TuneMinhash]]): times the
+  * named registered queries against a data dir under driver-like
+  * conditions (local[$SPARK_GRAFT_CPUS], shuffle.partitions = cpus),
+  * after a warm pass of the same shapes at sf0.001 — the same warm-up
+  * discipline [[Bench]] uses, so numbers here track the driver's.
+  *
+  * Usage: runMain graft.TimeQ <sfDir> q_a,q_b,...
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val w = sfDir.replaceFirst("sf[0-9.]+/*$", "sf0.001")
+    if (w != sfDir && new java.io.File(w).isDirectory)
+      names.foreach { n => try SparkEntry.queries(n)(spark, w).count(): Unit
+        catch { case scala.util.control.NonFatal(_) => () } }
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"TIMEQ $n ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+    }
+    spark.stop()
+  }
+}

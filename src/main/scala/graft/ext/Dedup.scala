@@ -47,6 +47,24 @@ object Dedup {
     // Callers that reuse the plan across actions should cache themselves.
     ngramJaccardPairsFromSets(shingleSets(docs, textCol, idCol, n), threshold)
 
+  /** (doc_id, n_sh, shs) — the 64-bit-hashed form of [[shingleSets]]:
+    * `shs` holds the doc's distinct shingles as SORTED xxhash64 values.
+    * This is the frame every count-based pair operator (Jaccard,
+    * containment, PageRank-over-pairs) should materialize instead of
+    * the string sets: the checkpoint stores 8 bytes per shingle
+    * instead of the shingle text (~4x smaller; sets_ckpt was the
+    * dominant phase of q_pagerank at 2.15 s of 3.9 s measured r7), and
+    * the sort makes hash order a global total order — exactly what the
+    * prefix filters slice against. A 64-bit collision among ~10^6
+    * distinct shingles is ~1e-7 — the same accepted error class as the
+    * hashed join postings this replaces.
+    */
+  def hashedShingleSets(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame =
+    shingleSets(docs, textCol, idCol, n)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        sort_array(expr("transform(shingles, s -> xxhash64(s))")).as("shs"))
+
   /** Same, over precomputed shingle sets. `sets` feeds BOTH self-join
     * sides, and the two identical exchanges are NOT deduplicated at
     * runtime (measured: AQE leaves them separate stages), so callers
@@ -54,19 +72,19 @@ object Dedup {
     * tokenize+shingle subtree from two evaluations to one — 5.6 s →
     * 3.1 s at sf0.1 for the registered `q_dedup_ngram`.
     */
-  /** Shared inverted-shingle-index blocking: explode sets into 8-byte
-    * hashed postings, SHUFFLE_HASH self-join on the posting (doc_id-
-    * ordered, plus any caller predicate over the aliased `a`/`b`
-    * sides), two-phase count of per-pair intersections. Returns
-    * (a_id, b_id, na, nb, inter) — the raw material both Jaccard and
-    * containment score from, kept in ONE place so blocking fixes
-    * (hash width, join hint, slack) can never diverge between them.
+  /** Shared inverted-shingle-index blocking: explode the hashed sets
+    * into 8-byte postings, SHUFFLE_HASH self-join on the posting
+    * (doc_id-ordered, plus any caller predicate over the aliased
+    * `a`/`b` sides), two-phase count of per-pair intersections.
+    * Returns (a_id, b_id, na, nb, inter) — the raw material both
+    * Jaccard and containment score from, kept in ONE place so blocking
+    * fixes (hash width, join hint, slack) can never diverge between
+    * them.
     */
-  private[ext] def shinglePairCounts(sets: DataFrame,
+  private[ext] def shinglePairCountsHashed(hsets: DataFrame,
       extraJoinPred: Column): DataFrame = {
-    val inv = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh"))
+    val inv = hsets.select(col("doc_id"), col("n_sh"),
+      explode(col("shs")).as("sh"))
     inv.as("a").hint("SHUFFLE_HASH").join(inv.as("b").hint("SHUFFLE_HASH"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           extraJoinPred)
@@ -74,6 +92,29 @@ object Dedup {
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
   }
+
+  private[ext] def shinglePairCounts(sets: DataFrame,
+      extraJoinPred: Column): DataFrame =
+    shinglePairCountsHashed(
+      sets.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        expr("transform(shingles, s -> xxhash64(s))").as("shs")),
+      extraJoinPred)
+
+  /** Jaccard pairs over a precomputed HASHED set frame
+    * ([[hashedShingleSets]]) — the cheapest entry point: callers
+    * materialize the hashed frame once and both self-join sides read
+    * 8-byte postings. Same output as [[ngramJaccardPairsFromSets]]
+    * (the count path has always compared hashes).
+    */
+  def ngramJaccardPairsFromHashedSets(hsets: DataFrame,
+      threshold: Double): DataFrame =
+    shinglePairCountsHashed(hsets,
+        col("b.n_sh") * lit(threshold * (1 - 1e-12)) <= col("a.n_sh") &&
+          col("a.n_sh") * lit(threshold * (1 - 1e-12)) <= col("b.n_sh"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   def ngramJaccardPairsFromSets(sets: DataFrame,
       threshold: Double): DataFrame = {
@@ -176,6 +217,11 @@ object Dedup {
 
   /** Same, over precomputed shingle sets (see
     * [[ngramJaccardPairsFromSets]] for why materialized sets pay).
+    * UNPRUNED — every posting of every doc meets every co-posting doc;
+    * kept as the verification baseline for [[containmentPairsPrefix]]
+    * (DedupSpec proves output equality), which is the variant the
+    * registered query runs and the only one that survives skewed
+    * shingle document frequencies at scale.
     */
   def containmentPairsFromSets(sets: DataFrame,
       threshold: Double): DataFrame =
@@ -186,6 +232,64 @@ object Dedup {
         (col("inter").cast("double") / least(col("na"), col("nb")))
           .as("containment"))
       .filter(col("containment") >= threshold)
+
+  /** Containment pairs with PREFIX FILTERING over [[hashedShingleSets]]
+    * — the scale-safe formulation. A length filter is rightly absent
+    * (containment is size-ratio-free), but prefix filtering still
+    * applies, on the SMALLER set's bound: if C(A,B) ≥ t and S is the
+    * smaller set (|S| = m), then |A∩B| ≥ ⌈t·m⌉, so at most m − ⌈t·m⌉
+    * of S's elements are outside the intersection — under any global
+    * total order (here: hash ascending, which [[hashedShingleSets]]
+    * pre-sorts), the first m − ⌈t·m⌉ + 1 elements of S contain at
+    * least one intersection element (pigeonhole). The larger side must
+    * stay fully indexed (a shared shingle may sit anywhere in it), so
+    * candidates come from a prefix-postings ⋈ full-postings join with
+    * the smaller-set role fixed by (n_sh, doc_id) order.
+    *
+    * Why this kills the hot-shingle blowup: the unpruned self-join is
+    * quadratic in every posting list's length, so one boilerplate
+    * shingle shared by k docs costs k²/2 comparisons. Here a doc
+    * contributes a posting only from the first ~(1−t) of its sorted
+    * hashes — at t = 0.9 the prefix index is ~10% of the full one, and
+    * a universally-shared shingle lands in almost no prefix (its hash
+    * is uniform over the doc's sorted hash range), so the hot list's
+    * quadratic term collapses to prefix-hits × full-hits. The
+    * (1 − 1e-12) relative slack on the ceil mirrors
+    * [[ngramJaccardPairsPrefix]]: a sub-ulp overshoot of t·m would
+    * shorten the prefix and silently lose recall. Exact final filter ⇒
+    * precision 1; DedupSpec proves equality with the unpruned
+    * baseline.
+    */
+  def containmentPairsPrefix(hsets: DataFrame,
+      threshold: Double): DataFrame = {
+    val p = (col("n_sh") -
+      ceil(lit(threshold * (1 - 1e-12)) * col("n_sh")) + 1).cast("int")
+    val pref = hsets.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("shs"), lit(1), p)).as("sh"))
+    val full = hsets.select(col("doc_id"), col("n_sh"),
+      explode(col("shs")).as("sh"))
+    // role: prefix side = smaller set (ties broken by id), so every
+    // qualifying pair is generated at least once, then normalized to
+    // (min id, max id) for the doc_id-ordered output contract
+    val cands = pref.as("a").hint("SHUFFLE_HASH")
+      .join(full.as("b").hint("SHUFFLE_HASH"),
+        col("a.sh") === col("b.sh") &&
+          (col("a.n_sh") < col("b.n_sh") ||
+            (col("a.n_sh") === col("b.n_sh") &&
+              col("a.doc_id") < col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+    cands
+      .join(hsets.select(col("doc_id").as("a_id"), col("shs").as("sa"),
+        col("n_sh").as("na")), "a_id")
+      .join(hsets.select(col("doc_id").as("b_id"), col("shs").as("sb"),
+        col("n_sh").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          least(col("na"), col("nb"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 
   /** MinHash signatures: k independent hash functions simulated as
     * xxhash64 salted with the permutation index; one exploded pass,

@@ -29,20 +29,31 @@ object Graph {
     * both sides.
     *
     * Scale shape: one shuffle per iteration keyed by node id over the
-    * PAIR-GRAPH only (orders of magnitude smaller than the corpus),
-    * `localCheckpoint` per round cuts the lineage growth — the same
-    * iterative discipline as [[Dedup.connectedComponents]]. The node
+    * PAIR-GRAPH only (orders of magnitude smaller than the corpus).
+    * Exactly TWO eager materializations — edges (feeds every
+    * iteration's join) and deg (the `count()` action needs it anyway);
+    * the fixed small iteration count makes per-round lineage cuts
+    * unnecessary (depth ~3·iterations of tiny stages), and r6 measured
+    * the 7-checkpoint version at 21 s under driver conditions versus
+    * the work itself costing ~1 s — eager jobs on a tiny graph are
+    * pure scheduling overhead. `partitions` coalesces the graph
+    * frames: the near-dup pair graph is orders smaller than its
+    * corpus, so the default 1 keeps every iteration stage a single
+    * task; callers with genuinely large graphs raise it. The node
     * count N is a driver scalar bounded by the pair graph.
     */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
-      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 3, damping: Double = 0.85,
+      partitions: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    // edges feed the degree agg AND every iteration's join
+    // edges feed the degree agg AND every iteration's join; coalesce
+    // folds into distinct's reduce side (no extra shuffle)
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().localCheckpoint()
+      .distinct().coalesce(partitions).localCheckpoint()
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .select(col("u").as("node"), col("deg")).localCheckpoint()
+      .select(col("u").as("node"), col("deg"))
+      .coalesce(partitions).localCheckpoint()
     val n = deg.count()
     if (n == 0)
       return deg.select(col("node"), lit(0.0).as("pagerank")).limit(0)
@@ -60,7 +71,6 @@ object Graph {
         .join(contrib, col("node") === col("v"))
         .select(col("node"), col("deg"),
           (lit(base) + lit(damping) * col("s").cast("double")).as("r"))
-        .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("pagerank"))
   }

@@ -23,10 +23,12 @@ object CorpusQueries {
     // asymmetric containment pairs — subset/quotation duplication that
     // Jaccard misses; same inverted-index blocking as q_dedup_ngram
     "q_containment_pairs" -> ((s, d) => {
-      // same materialized-sets treatment as q_dedup_ngram
-      val sets = Dedup.shingleSets(Tables.documents(s, d), "text", "doc_id",
-        n = 3).localCheckpoint()
-      Dedup.containmentPairsFromSets(sets, threshold = 0.9)
+      // prefix-filtered formulation over materialized hashed sets (the
+      // unpruned containmentPairsFromSets is the spec-side baseline;
+      // DedupSpec proves output equality)
+      val hsets = Dedup.hashedShingleSets(Tables.documents(s, d), "text",
+        "doc_id", n = 3).localCheckpoint()
+      Dedup.containmentPairsPrefix(hsets, threshold = 0.9)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -66,10 +68,13 @@ object CorpusQueries {
     // where min-id keep is the arbitrary one. Contribution rounding
     // into DECIMAL(28,15) makes the ranks bit-identical to the oracle.
     "q_pagerank" -> ((s, d) => {
-      val sets = Dedup.shingleSets(Tables.documents(s, d), "text", "doc_id",
-        n = 3).localCheckpoint()
-      val pairs = Dedup.ngramJaccardPairsFromSets(sets, threshold = 0.6)
-        .localCheckpoint()
+      val hsets = Dedup.hashedShingleSets(Tables.documents(s, d), "text",
+        "doc_id", n = 3).localCheckpoint()
+      // the near-dup pair list is tiny relative to the corpus —
+      // coalesce(1) before the checkpoint so every PageRank iteration
+      // downstream schedules single-task stages, not 32-task waves
+      val pairs = Dedup.ngramJaccardPairsFromHashedSets(hsets, threshold = 0.6)
+        .coalesce(1).localCheckpoint()
       Graph.pageRank(pairs, "a_id", "b_id", iterations = 3, damping = 0.85)
         .select(col("node").as("doc_id"), col("pagerank"))
         .orderBy(col("doc_id"))

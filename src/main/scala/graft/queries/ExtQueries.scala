@@ -36,11 +36,13 @@ object ExtQueries {
     // makes per-pair array_intersect verification dominate; on
     // high-vocabulary corpora the prefix join wins.
     "q_dedup_ngram" -> ((s, d) => {
-      // sets feed both self-join sides as SEPARATE stages (AQE does not
-      // reuse the identical exchanges) — materialize once: 5.6→3.1 s
-      val sets = Dedup.shingleSets(Tables.documents(s, d), "text", "doc_id",
-        n = 3).localCheckpoint()
-      Dedup.ngramJaccardPairsFromSets(sets, threshold = 0.6)
+      // hashed sets feed both self-join sides as SEPARATE stages (AQE
+      // does not reuse the identical exchanges) — materialize once, in
+      // 8-byte-hash form (~4x smaller checkpoint than string shingles;
+      // the count path has always compared hashes)
+      val hsets = Dedup.hashedShingleSets(Tables.documents(s, d), "text",
+        "doc_id", n = 3).localCheckpoint()
+      Dedup.ngramJaccardPairsFromHashedSets(hsets, threshold = 0.6)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -185,12 +187,14 @@ object ExtQueries {
     // pairwise b-drop: a doc near-dup of a near-dup is grouped even
     // with no direct pair). Oracle: DuckDB recursive CTE.
     "q_dedup_groups" -> ((s, d) => {
-      // two materialization points: sets feed both ngram-join sides, and
-      // the pair list feeds both direction-projections of the CC edges
-      val sets = Dedup.shingleSets(Tables.documents(s, d), "text", "doc_id",
-        n = 3).localCheckpoint()
-      val pairs = Dedup.ngramJaccardPairsFromSets(sets, threshold = 0.6)
-        .localCheckpoint()
+      // two materialization points: hashed sets feed both ngram-join
+      // sides, and the (tiny) pair list feeds both direction-projections
+      // of the CC edges — coalesce(1) so CC iterations schedule
+      // single-task stages
+      val hsets = Dedup.hashedShingleSets(Tables.documents(s, d), "text",
+        "doc_id", n = 3).localCheckpoint()
+      val pairs = Dedup.ngramJaccardPairsFromHashedSets(hsets, threshold = 0.6)
+        .coalesce(1).localCheckpoint()
       Dedup.connectedComponents(pairs, "a_id", "b_id")
         .select(col("node").as("doc_id"), col("component").as("group_id"))
         .orderBy(col("doc_id"))

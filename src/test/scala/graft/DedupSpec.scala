@@ -49,6 +49,79 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("hashed-sets jaccard equals the string-sets jaccard") {
+    for (t <- Seq(0.6, 0.8)) {
+      val fromStrings = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val fromHashed = Dedup.ngramJaccardPairsFromHashedSets(
+          Dedup.hashedShingleSets(docs, "text", "doc_id", 3), t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fromHashed == fromStrings, s"threshold $t")
+      assert(fromStrings.nonEmpty)
+    }
+  }
+
+  test("prefix-filtered containment equals the unpruned baseline " +
+      "(fixture corpus, thresholds incl. 1.0)") {
+    val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
+    val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+    for (t <- Seq(0.7, 0.9, 1.0)) {
+      val baseline = Dedup.containmentPairsFromSets(sets, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.containmentPairsPrefix(hsets, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == baseline, s"threshold $t")
+      assert(baseline.nonEmpty, s"threshold $t should find containment pairs")
+    }
+  }
+
+  test("prefix-filtered containment: adversarial shapes — strict subset, " +
+      "equal sizes, hot shingle shared by every doc") {
+    // slices of one base sequence ⇒ dense containment structure; every
+    // doc shares the 'common' prefix tokens ⇒ a maximally hot shingle
+    val base = (0 until 40).map(i => s"tok$i")
+    val docs2 = ((1 to 30).map { i =>
+      val lo = (i * 3) % 20
+      val hi = math.min(40, lo + 8 + (i % 13))
+      (i.toLong, ("common glue words" +: base.slice(lo, hi)).mkString(" "))
+    } :+ (100L, base.mkString(" "))          // superset of many slices
+      :+ (101L, base.slice(5, 13).mkString(" "))   // strict subset
+      :+ (102L, base.slice(5, 13).mkString(" ")) // identical twin (equal n_sh)
+    ).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs2, "text", "doc_id", 3)
+    val hsets = Dedup.hashedShingleSets(docs2, "text", "doc_id", 3)
+    for (t <- Seq(0.5, 0.8, 0.9, 1.0)) {
+      val baseline = Dedup.containmentPairsFromSets(sets, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.containmentPairsPrefix(hsets, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == baseline, s"threshold $t")
+      assert(baseline.nonEmpty)
+    }
+    // the identical twin must appear at containment exactly 1.0
+    val atOne = Dedup.containmentPairsPrefix(hsets, 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(atOne.contains((101L, 102L, 1.0)))
+  }
+
+  test("q_dedup_simhash golden digest (deterministic xxhash64 bit votes " +
+      "— exact output pin at both test scales)") {
+    // (n_rows, bit_xor(xxhash64(a_id, b_id, hamming))) over the full
+    // registered-query output — an order-independent exact digest. Any
+    // change to tokenization, the simhash vote, chunk blocking, or the
+    // hamming filter moves it.
+    def digest(sf: String): (Long, Long) = {
+      val r = SparkEntry.queries("q_dedup_simhash")(spark, sf).select(
+        count(lit(1)), bit_xor(xxhash64(col("a_id"), col("b_id"),
+          col("hamming")))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(digest(TestSpark.Sf0001) == ((1176L, 641921897898642674L)))
+    val sf001 = "/root/testdata/sf0.01"
+    if (new java.io.File(sf001).isDirectory)
+      assert(digest(sf001) == ((1034L, -5705792646171706797L)))
+  }
+
   test("jaccard is symmetric-by-construction and bounded in (0,1]") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .as[(Long, Long, Double)].collect()
