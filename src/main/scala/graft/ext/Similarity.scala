@@ -155,11 +155,18 @@ object Similarity {
     * speed). At 100 TB the (table_id, bucket) pair is the partition
     * key, so a probe touches L partitions instead of the corpus.
     *
-    * Approximate — recall vs `topKCosine` asserted in SimilaritySpec
-    * (random 64-dim vectors, the hardest case: ~0.6 at L=6, r=4).
+    * Approximate — recall vs `topKCosine` asserted in SimilaritySpec.
+    * Defaults (L=12, r=3) are tuned to a ≥0.9 recall@10 target on
+    * random 64-dim vectors — the hardest case (neighbors barely closer
+    * than noise): measured 0.93-0.94 at both test scales, vs ~0.55 for
+    * the old (6, 4). The r6 verdict's point stands as the design rule:
+    * recall rides on L (linear cost), candidate volume on r (each
+    * +1 bit halves bucket occupancy) — at larger corpus scale raise r
+    * and L together so per-bucket candidate counts stay bounded while
+    * the recall product 1 − (1 − pʳ)ᴸ holds.
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numTables: Int = 6, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+      numTables: Int = 12, planesPerTable: Int = 3, dim: Int = 64): DataFrame = {
     val tables = (0 until numTables).map(t =>
       hyperplanes(planesPerTable, dim, seed = 42L + t))
     def bucketsFor(vec: Column): Column = array(tables.zipWithIndex.map {

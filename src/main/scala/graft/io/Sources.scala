@@ -104,13 +104,14 @@ final case class JdbcSource(url: String, props: java.util.Properties,
   */
 object JdbcRetention {
 
-  /** Per-table inclusive id ranges covering exactly the archived rows.
-    * At 100 TB a range list (not an id list) keeps the DELETE statement
-    * count bounded; contiguous ids collapse to single ranges.
+  /** Per-table inclusive id ranges covering exactly the archived rows,
+    * as a (table_name, lo, hi) frame — built distributed: per table,
+    * split ids where gaps occur. At 100 TB a range list (not an id
+    * list) keeps the DELETE statement count bounded; contiguous ids
+    * collapse to single ranges.
     */
-  def archivedKeyRanges(archived: DataFrame): Array[(String, Long, Long)] = {
+  private def keyRangesDf(archived: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // ranges built distributed: per table, split ids where gaps occur
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("table_name")).orderBy(col("id"))
     archived.select(col("table_name"), col("id"))
@@ -118,36 +119,88 @@ object JdbcRetention {
       .groupBy(col("table_name"), col("grp"))
       .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
       .select(col("table_name"), col("lo"), col("hi"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
   }
+
+  def archivedKeyRanges(archived: DataFrame): Array[(String, Long, Long)] =
+    keyRangesDf(archived).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 
   /** Issue the deletes over a caller-supplied connection factory
     * (injectable for tests; production passes
     * `() => DriverManager.getConnection(url, props)`). Returns rows
     * deleted per table. Validates table names against an allowlist
     * instead of interpolating untrusted strings.
+    *
+    * Driver-memory bound: the collected range list is capped at
+    * `maxRanges` (pathologically fragmented archived ids — e.g. every
+    * second id — would otherwise materialize one driver row per id).
+    * Past the cap the delete DEGRADES, never widens: per-id batched
+    * `DELETE WHERE id = ?` statements streamed through
+    * `toLocalIterator` (one partition of ids on the driver at a time),
+    * so memory stays bounded and the delete set is still EXACTLY the
+    * archived rows — slower, but a fragmented id space is already the
+    * slow path server-side, and coarsening ranges instead would
+    * re-introduce the reference's delete-wider-than-extract bug
+    * (main.go:134).
     */
   def deleteArchived(archived: DataFrame, allowedTables: Set[String],
-      connect: () => java.sql.Connection): Map[String, Long] = {
-    val ranges = archivedKeyRanges(archived)
-    val badTables = ranges.map(_._1).toSet -- allowedTables
-    require(badTables.isEmpty, s"tables not in allowlist: $badTables")
-    val conn = connect()
-    try {
-      ranges.groupBy(_._1).map { case (table, rs) =>
-        // table from allowlist only; range bounds are bind params
-        val st = conn.prepareStatement(
-          s"""DELETE FROM "$table" WHERE "id" BETWEEN ? AND ?""")
-        var n = 0L
-        try {
-          rs.foreach { case (_, lo, hi) =>
-            st.setLong(1, lo); st.setLong(2, hi)
-            n += st.executeUpdate()
-          }
-        } finally st.close()
-        table -> n
+      connect: () => java.sql.Connection,
+      maxRanges: Int = 100000): Map[String, Long] = {
+    val rangesDf = keyRangesDf(archived)
+    val nRanges = rangesDf.count()
+    if (nRanges <= maxRanges) {
+      val ranges = rangesDf.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val badTables = ranges.map(_._1).toSet -- allowedTables
+      require(badTables.isEmpty, s"tables not in allowlist: $badTables")
+      val conn = connect()
+      try {
+        ranges.groupBy(_._1).map { case (table, rs) =>
+          // table from allowlist only; range bounds are bind params
+          val st = conn.prepareStatement(
+            s"""DELETE FROM "$table" WHERE "id" BETWEEN ? AND ?""")
+          var n = 0L
+          try {
+            rs.foreach { case (_, lo, hi) =>
+              st.setLong(1, lo); st.setLong(2, hi)
+              n += st.executeUpdate()
+            }
+          } finally st.close()
+          table -> n
+        }
+      } finally conn.close()
+    } else {
+      import org.apache.spark.sql.functions.col
+      val tables = archived.select(col("table_name")).distinct()
+        .collect().map(_.getString(0)).toSet
+      require((tables -- allowedTables).isEmpty,
+        s"tables not in allowlist: ${tables -- allowedTables}")
+      val conn = connect()
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      val stmts = scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
+      val pending = scala.collection.mutable.Map.empty[String, Int]
+      def flush(table: String): Unit = if (pending.getOrElse(table, 0) > 0) {
+        val n = stmts(table).executeBatch().map(_.toLong.max(0L)).sum
+        counts(table) = counts.getOrElse(table, 0L) + n
+        pending(table) = 0
       }
-    } finally conn.close()
+      try {
+        val it = archived.select(col("table_name"), col("id")).toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          val table = r.getString(0)
+          val st = stmts.getOrElseUpdate(table, conn.prepareStatement(
+            s"""DELETE FROM "$table" WHERE "id" = ?"""))
+          st.setLong(1, r.getLong(1)); st.addBatch()
+          pending(table) = pending.getOrElse(table, 0) + 1
+          if (pending(table) >= 10000) flush(table)
+        }
+        stmts.keys.foreach(flush)
+        tables.map(t => t -> counts.getOrElse(t, 0L)).toMap
+      } finally {
+        stmts.values.foreach(_.close())
+        conn.close()
+      }
+    }
   }
 }

@@ -251,7 +251,10 @@ object Archive {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def digest(df: DataFrame): (Long, Long) = {
       val r = groupChecksums(df, Seq.empty, canonCols).collect().head
-      (r.getLong(r.fieldIndex("n_rows")), r.getLong(r.fieldIndex("checksum")))
+      val n = r.getLong(r.fieldIndex("n_rows"))
+      // bit_xor over zero rows is NULL: a partition whose files are all
+      // empty must digest as (0, 0) and compact normally, not NPE the run
+      (n, if (n == 0) 0L else r.getLong(r.fieldIndex("checksum")))
     }
     val leafDirs = for {
       y <- fs.listStatus(root).toSeq

@@ -230,23 +230,43 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Number of band-hash buckets the near-dup store's band index is
+    * partitioned into. A micro-batch probes at most this many
+    * partitions (usually all of them only when the batch itself is
+    * huge); the point is that each batch READ is pruned to the buckets
+    * its own bands hash into, so probe cost follows batch size, not
+    * store size.
+    */
+  val NearDupBandBuckets = 64
+
   /** Continuous near-dup-deduplicated corpus ingestion (the streaming
-    * face of MinHash-LSH dedup): each micro-batch of (doc_id, text)
-    * rows is near-dup-checked within itself AND against everything
-    * already accepted, and only survivors append to `storeDir`.
+    * face of MinHash-LSH dedup): each micro-batch of (doc_id, text,
+    * ...) rows is near-dup-checked within itself AND against
+    * everything already accepted, and only survivors append to the
+    * store.
     *
-    * The store IS the dedup state: one row per accepted doc carrying
-    * its shingle set and MinHash signature — so checking a new batch
-    * bands the STORED signatures (k longs/doc, no text re-tokenized)
-    * and verifies candidates with exact Jaccard on the stored shingle
-    * sets. At 100 TB the store is bucketed by band and a batch's probe
-    * touches matching buckets only; state per doc is bounded
-    * (signature + shingle hashes), and no step compares unblocked
-    * all-pairs.
+    * Store layout — two directories under `storeDir`:
+    *  - `docs/`: one row per accepted doc carrying ALL the batch's
+    *    columns plus its shingle set and MinHash signature (survivors
+    *    are directly usable; nothing from the batch is dropped).
+    *  - `bands/`: the dedup index — (doc_id, band_id, band_hash) rows
+    *    PARTITIONED BY bucket = pmod(band_hash, [[NearDupBandBuckets]]).
+    *    A batch's probe computes its own bands, then reads ONLY the
+    *    matching bucket partitions (partition-pruned scan, asserted in
+    *    StreamingSpec) — replacing r6's whole-store read+checkpoint
+    *    per micro-batch with work proportional to the batch.
+    * Candidate verification joins the (small) candidate id set back to
+    * `docs/` for stored shingles, and replay idempotence anti-joins on
+    * `docs/` ids — both column-pruned scans; at 100 TB bucket `docs/`
+    * by doc_id so these joins prune too.
     *
-    * Semantics: greedy by arrival — a doc is rejected iff it is
-    * J ≥ threshold similar to an already-ACCEPTED doc or to a
-    * lower-id doc in its own batch. An accepted doc is never
+    * Semantics: greedy by arrival — docs are considered in id order
+    * within a batch; a doc is rejected iff it is J ≥ threshold similar
+    * to an already-ACCEPTED doc (store or earlier SURVIVOR of its own
+    * batch). This is the exact sequential greedy: a doc whose only
+    * near-dup partners were themselves rejected IS accepted (computed
+    * by bounded minimal-node iteration, not the r6 approximation that
+    * dropped the higher id of every pair). An accepted doc is never
     * retroactively dropped (append-only store). Checkpoint replay is
     * harmless: survivors re-append through an anti-join on stored
     * doc_ids (zero duplicates — same idempotence contract as
@@ -267,6 +287,18 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
 
+  /** The band index a batch probes against, pruned to `buckets`: the
+    * partition filter reaches the parquet scan, so only matching
+    * bucket directories are read (StreamingSpec asserts via
+    * inputFiles). Factored out so the spec exercises the exact read
+    * path the sink uses.
+    */
+  def probeBands(spark: SparkSession, bandsDir: String,
+      buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(bandsDir)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+
   /** One micro-batch of the greedy streaming near-dup dedup; returns the
     * number of newly accepted docs. Batch-callable (backfill works the
     * same way, one chunk at a time).
@@ -276,8 +308,18 @@ object Streaming {
     import graft.ext.Dedup
     val spark = batch.sparkSession
     val rowsPerBand = numPerms / bands
+    val docsDir = s"$storeDir/docs"
+    val bandsDir = s"$storeDir/bands"
+    def readOpt(dir: String): Option[DataFrame] =
+      try Some(spark.read.parquet(dir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
+    val uniq = batch.dropDuplicates("doc_id")
     // batch-side state, materialized once: shingle sets + signatures
-    val sets = Dedup.shingleSets(batch, "text", "doc_id", n).localCheckpoint()
+    val sets = Dedup.shingleSets(uniq, "text", "doc_id", n).localCheckpoint()
     val sigs = Dedup.minhashSignatures(sets, numPerms).localCheckpoint()
     // the asymmetric generalization of minhashNearDupPairsFromSets'
     // exact-Jaccard verification (two set frames instead of one self-
@@ -288,28 +330,23 @@ object Streaming {
         .join(setsB.select(col("doc_id").as("b_id"), col("shingles").as("shb")), "b_id")
         .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))) >= threshold)
-    // within-batch: drop the higher id of every verified pair
-    val withinDrops = verified(
+    // within-batch verified near-dup pairs (a_id < b_id)
+    val withinPairs = verified(
         Dedup.lshCandidates(sigs, bands, rowsPerBand, _.localCheckpoint()),
         sets, sets)
-      .select(col("b_id").as("doc_id")).distinct()
-    // vs the accepted store: band stored signatures (no text involved)
-    val store =
-      try Some(spark.read.parquet(storeDir).localCheckpoint())
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-      }
-    val storeDrops = store match {
-      case Some(st) =>
-        val newBanded = Dedup.bandedSignatures(sigs, bands, rowsPerBand)
-        // null-sig store rows are pass-through short docs: they carry
-        // nothing to band (xxhash64 over null parts would collide them
-        // ALL into one bucket), so exclude them from the probe side
-        val oldBanded = Dedup.bandedSignatures(
-          st.filter(col("sig").isNotNull)
-            .select(col("doc_id"), col("sig")), bands, rowsPerBand)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    // vs the accepted store: band the BATCH signatures, read only the
+    // band-index buckets those hashes land in (partition-pruned)
+    val newBanded = Dedup.bandedSignatures(sigs, bands, rowsPerBand)
+      .withColumn("bucket",
+        pmod(col("band_hash"), lit(NearDupBandBuckets.toLong)).cast("int"))
+      .localCheckpoint()
+    val docsStore = readOpt(docsDir)
+    val storeDrops = (docsStore, readOpt(bandsDir)) match {
+      case (Some(st), Some(_)) =>
+        val buckets = newBanded.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ NearDupBandBuckets values
+        val oldBanded = probeBands(spark, bandsDir, buckets)
         val cands = newBanded.as("a").join(oldBanded.as("b"),
             col("a.band_id") === col("b.band_id") &&
               col("a.band_hash") === col("b.band_hash"))
@@ -317,23 +354,71 @@ object Streaming {
           .distinct()
         verified(cands, sets, st.select(col("doc_id"), col("shingles")))
           .select(col("a_id").as("doc_id")).distinct()
-      case None => spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
+      case _ => spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
     }
-    val existingIds = store.map(_.select(col("doc_id")))
+    val existingIds = docsStore.map(_.select(col("doc_id")))
       .getOrElse(storeDrops.select(col("doc_id")).limit(0))
-    // start from EVERY batch doc id — docs absent from `sets` (under n
-    // tokens / NULL text) have no shingles to compare and must pass
-    // through, not silently vanish; their shingles/sig stay NULL
-    val accepted = batch.select(col("doc_id")).distinct()
-      .join(withinDrops, Seq("doc_id"), "left_anti")
+    // EXACT sequential greedy by id over the within-batch pair graph,
+    // seeded with the store rejections: round k accepts the MINIMAL
+    // nodes (no remaining lower-id candidate partner), then removes
+    // their higher-id partners; converges in chain-depth rounds (the
+    // near-dup graph is near-clique, so 1-2 in practice). Start from
+    // EVERY batch doc id — docs absent from `sets` (under n tokens /
+    // NULL text) have no shingles to compare and must pass through,
+    // not silently vanish; they are never a pair endpoint, so round 1
+    // accepts them.
+    var candidates = uniq.select(col("doc_id"))
       .join(storeDrops, Seq("doc_id"), "left_anti")
       .join(existingIds, Seq("doc_id"), "left_anti") // replay idempotence
+      .localCheckpoint()
+    var pairs = withinPairs
+      .join(candidates.select(col("doc_id").as("a_id")), Seq("a_id"))
+      .join(candidates.select(col("doc_id").as("b_id")), Seq("b_id"))
+      .localCheckpoint()
+    var acceptedIds = candidates.limit(0)
+    var done = pairs.isEmpty // common case: no within-batch near-dups
+    if (done) acceptedIds = candidates
+    var rounds = 0
+    while (!done && rounds < 1000) {
+      val minimal = candidates.join(
+        pairs.select(col("b_id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      if (minimal.isEmpty) done = true
+      else {
+        acceptedIds = acceptedIds.union(minimal).localCheckpoint()
+        val rejected = pairs
+          .join(minimal.select(col("doc_id").as("a_id")), Seq("a_id"))
+          .select(col("b_id").as("doc_id")).distinct()
+        candidates = candidates
+          .join(minimal, Seq("doc_id"), "left_anti")
+          .join(rejected, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        pairs = pairs
+          .join(candidates.select(col("doc_id").as("a_id")), Seq("a_id"))
+          .join(candidates.select(col("doc_id").as("b_id")), Seq("b_id"))
+          .localCheckpoint()
+        if (candidates.isEmpty) done = true
+      }
+      rounds += 1
+    }
+    require(done, "greedy acceptance did not converge in 1000 rounds")
+    val accepted = uniq
+      .join(acceptedIds, Seq("doc_id"), "left_semi")
       .join(sets, Seq("doc_id"), "left")
       .join(sigs, Seq("doc_id"), "left")
     val nAccepted = accepted.count()
-    if (nAccepted > 0)
+    if (nAccepted > 0) {
       accepted.write.mode("append")
-        .option("compression", "snappy").parquet(storeDir)
+        .option("compression", "snappy").parquet(docsDir)
+      // index rows for the newly accepted, non-null-sig docs only
+      Dedup.bandedSignatures(
+          sigs.join(acceptedIds, Seq("doc_id"), "left_semi"),
+          bands, rowsPerBand)
+        .withColumn("bucket",
+          pmod(col("band_hash"), lit(NearDupBandBuckets.toLong)).cast("int"))
+        .write.mode("append").partitionBy("bucket")
+        .option("compression", "snappy").parquet(bandsDir)
+    }
     nAccepted
   }
 

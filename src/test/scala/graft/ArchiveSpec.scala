@@ -192,6 +192,28 @@ class ArchiveSpec extends AnyFunSuite {
       ((0, 2, 2)))
   }
 
+  test("compaction survives a partition of all-empty files (bit_xor over " +
+      "zero rows is NULL — digest must treat it as 0, not NPE)") {
+    import graft.ops.Scalar
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact0")
+      .toString + "/arch"
+    val part = s"$dir/year=2024/month=1"
+    new java.io.File(part).mkdirs()
+    // three zero-row appends: file count exceeds the 1-file target while
+    // every file holds no rows
+    val empty = iotDf(Seq((1L, "2024-01-15 10:00:00", "d0", 0.5)))
+      .transform(Archive.stampTableName("t")).filter(col("id") < 0L)
+      .transform(Archive.withTimePartitions("timestamp"))
+      .drop("year", "month")
+    (0 until 3).foreach(_ => empty.write.mode("append").parquet(part))
+    val canon = Seq(col("table_name"), col("id"), col("device_id"),
+      Scalar.epochNanos(col("timestamp")), col("value").cast("decimal(18,6)"))
+    val (nParts, before, after) =
+      Archive.compactPartitions(spark, dir, targetMB = 64, canon)
+    assert(nParts == 1 && before == 3 && after == 1, s"($nParts, $before, $after)")
+    assert(spark.read.parquet(dir).isEmpty)
+  }
+
   test("compaction crash recovery: a mid-swap crash rolls back to the " +
       "exact originals, a completed-swap leftover backup rolls forward") {
     import graft.ops.Scalar

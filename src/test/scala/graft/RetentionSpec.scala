@@ -43,6 +43,59 @@ class RetentionSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("iot_data"))
   }
 
+  test("fragmented ids past maxRanges fall back to per-id batched " +
+      "deletes — bounded driver memory, delete set unchanged") {
+    // every second id ⇒ one range per id; cap of 2 forces the fallback
+    val ids = (0L until 20L).map(_ * 2)
+    val archived = ids.map(("iot_data", _)).toDF("table_name", "id")
+
+    val deleted = scala.collection.mutable.ArrayBuffer[Long]()
+    val conn = stubBatchConnection((sql, id) => {
+      assert(sql == """DELETE FROM "iot_data" WHERE "id" = ?""")
+      deleted += id
+    })
+    val counts = JdbcRetention.deleteArchived(archived, Set("iot_data"),
+      () => conn, maxRanges = 2)
+    assert(counts == Map("iot_data" -> ids.size.toLong))
+    assert(deleted.toSet == ids.toSet) // exactly the archived ids, no widening
+    // allowlist still enforced on the fallback path
+    val bad = intercept[IllegalArgumentException] {
+      JdbcRetention.deleteArchived(archived, Set("other"), () => conn,
+        maxRanges = 2)
+    }
+    assert(bad.getMessage.contains("iot_data"))
+  }
+
+  /** Batch-capable stub: records (sql, id) per batched row; executeBatch
+    * reports 1 affected row per entry.
+    */
+  private def stubBatchConnection(record: (String, Long) => Unit): java.sql.Connection = {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    def proxy[T](cls: Class[T])(h: (Object, Method, Array[Object]) => Object): T =
+      Proxy.newProxyInstance(cls.getClassLoader, Array(cls),
+        new InvocationHandler {
+          override def invoke(p: Object, m: Method, a: Array[Object]): Object = h(p, m, a)
+        }).asInstanceOf[T]
+    proxy(classOf[java.sql.Connection]) { (_, m, args) =>
+      m.getName match {
+        case "prepareStatement" =>
+          val sql = args(0).asInstanceOf[String]
+          var cur = 0L
+          var batched = 0
+          proxy(classOf[java.sql.PreparedStatement]) { (_, pm, pa) =>
+            pm.getName match {
+              case "setLong" => cur = pa(1).asInstanceOf[java.lang.Long]; null
+              case "addBatch" => record(sql, cur); batched += 1; null
+              case "executeBatch" =>
+                val r = Array.fill(batched)(1); batched = 0; r
+              case _ => null
+            }
+          }
+        case _ => null
+      }
+    }
+  }
+
   /** Minimal dynamic-proxy JDBC stub: records (sql, lo, hi) per
     * executeUpdate, returns 1 affected row each.
     */

@@ -250,21 +250,69 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable(); q.stop(); q.awaitTermination()
     }
     run(ckpt)
-    val ids = spark.read.parquet(store).select("doc_id")
+    val docsStore = s"$store/docs"
+    val ids = spark.read.parquet(docsStore).select("doc_id")
       .as[Long].collect().toSet
     assert(ids == Set(1L, 4L, 6L, 7L, 8L, 9L),
       s"greedy acceptance set wrong: $ids")
+    // survivors carry the batch columns (text) — the store is the
+    // corpus, not just dedup state
+    assert(spark.read.parquet(docsStore).filter(col("doc_id") === 6L)
+      .select("text").as[String].head() == uniq(6))
     // the short doc passes through with null signature
-    assert(spark.read.parquet(store).filter(col("doc_id") === 9L)
+    assert(spark.read.parquet(docsStore).filter(col("doc_id") === 9L)
       .select("sig").head().isNullAt(0))
     // invariant: survivors are pairwise NOT near-dups (J < 0.8)
     val survivors = files.flatten.filter(r => ids(r._1)).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(survivors, "text", "doc_id", 3, 0.8).isEmpty)
+    // the band index holds exactly the shingle-able survivors, bucketed
+    val bandsDir = s"$store/bands"
+    val idx = spark.read.parquet(bandsDir)
+    assert(idx.select("doc_id").distinct().as[Long].collect().toSet ==
+      (ids - 9L))
+    // a probe for a bucket subset is PARTITION-PRUNED: the scan reads
+    // only matching bucket=... directories (the r6 whole-store
+    // checkpoint is gone)
+    val allBuckets = idx.select("bucket").distinct().as[Int].collect().toSeq
+    assert(allBuckets.length > 1, "fixture should spread over >1 bucket")
+    val probe = Streaming.probeBands(spark, bandsDir, allBuckets.take(1))
+    assert(probe.collect().nonEmpty)
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "probe scan has no PartitionFilters — bucket pruning lost")
+    val nFilesRead = scan.metrics("numFiles").value
+    assert(nFilesRead > 0 && nFilesRead < idx.inputFiles.length,
+      s"probe read $nFilesRead of ${idx.inputFiles.length} files — not pruned")
     // total checkpoint LOSS + full replay: the store stays exactly as is
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_nd_ck2").toString
     run(ckpt2)
-    assert(spark.read.parquet(store).count() == 6)
-    assert(spark.read.parquet(store).select("doc_id").distinct().count() == 6)
+    assert(spark.read.parquet(docsStore).count() == 6)
+    assert(spark.read.parquet(docsStore).select("doc_id").distinct().count() == 6)
+  }
+
+  test("streaming near-dup dedup: exact greedy within a batch — a doc " +
+      "whose only near-dup partner was itself rejected is accepted") {
+    import graft.ext.Dedup
+    // chain a<b<c with J(a,b)>=0.8, J(b,c)>=0.8, J(a,c)<0.8: greedy
+    // accepts a, drops b, ACCEPTS c (r6's pairwise b-drop lost c)
+    val base = (1 to 38).map(i => s"w$i")
+    val a = base.take(32).mkString(" ")      // tokens 1..32: J(a,b)=27/33
+    val b = base.slice(3, 35).mkString(" ")  // tokens 4..35: J(b,c)=27/33
+    val c = base.slice(6, 38).mkString(" ")  // tokens 7..38: J(a,c)=24/36
+    val batch = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // sanity on the fixture's jaccard structure
+    val j = Dedup.ngramJaccardPairs(batch, "text", "doc_id", 3, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(j == Set((1L, 2L), (2L, 3L)), s"fixture pair structure wrong: $j")
+    val store = java.nio.file.Files.createTempDirectory("graft_nd_chain")
+      .toString + "/store"
+    val n = Streaming.acceptNearDupBatch(batch, store, 3, 48, 16, 0.8)
+    assert(n == 2)
+    val ids = spark.read.parquet(s"$store/docs").select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"exact greedy should accept {1,3}: $ids")
   }
 
   test("stateful dedup drops duplicate event_ids within watermark") {
