@@ -37,8 +37,14 @@ object Curation {
     * and order-free: the drop set is { b | ∃ (a,b), a<b, J(a,b) ≥ t }.
     */
   def dropNearDupes(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double): DataFrame = {
-    val drops = Dedup.ngramJaccardPairs(docs, textCol, idCol, 3, threshold)
+      threshold: Double,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // hashed sets feed both pair-join sides as separate stages (AQE
+    // does not reuse the identical exchanges) — callers that can
+    // materialize pass `_.localCheckpoint()` and tokenize+shingle once
+    val hsets = materialize(
+      Dedup.hashedShingleSets(docs, textCol, idCol, 3))
+    val drops = Dedup.ngramJaccardPairsFromHashedSets(hsets, threshold)
       .select(col("b_id").as(idCol)).distinct()
     docs.join(drops, Seq(idCol), "left_anti")
   }
@@ -61,19 +67,23 @@ object Curation {
 
   /** The full pipeline. Returns surviving rows with quality features.
     *
-    * `materialize` is applied to the exact-dedup stage, which feeds BOTH
-    * the near-dup pair generation and the final anti-join — callers that
-    * can afford it pass `_.localCheckpoint()` (the registered
-    * `q_curation_pipeline` does) to evaluate the gate+exact subtree once
-    * instead of per-consumer; the default keeps the builder fully lazy
-    * (no hidden state — same policy as ngramJaccardPairs).
+    * `materialize` is applied to the two multiply-consumed subtrees:
+    * the exact-dedup stage (feeds the near-dup pair generation AND the
+    * final anti-join) and the near-dup stage's hashed shingle sets
+    * (feed both pair-join sides) — callers that can afford it pass
+    * `_.localCheckpoint()` (the registered `q_curation_pipeline` does)
+    * to evaluate each subtree once instead of per-consumer; the
+    * default keeps the builder fully lazy (no hidden state — same
+    * policy as ngramJaccardPairs).
     */
   def curate(docs: DataFrame, textCol: String, idCol: String,
       minTokens: Int = 20, nearDupThreshold: Double = 0.8,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     val gated = qualityGate(docs, textCol, minTokens)
     val exact = materialize(dropExactDupes(gated, textCol, idCol))
-    dropNearDupes(exact, textCol, idCol, nearDupThreshold)
+    // materialize flows into the near-dup stage too: its hashed shingle
+    // sets feed both pair-join sides
+    dropNearDupes(exact, textCol, idCol, nearDupThreshold, materialize)
   }
 
   // ------------------------------------------------- corpus assembly ops
@@ -259,11 +269,18 @@ object Curation {
   def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
       minOverlap: Int = 1): DataFrame = {
+    // both sides compare 64-bit shingle hashes, not strings: the
+    // broadcast is 8 bytes per benchmark shingle (a 1M-shingle bench
+    // set broadcasts as ~8 MB at any text length) and the probe is a
+    // long equality — same accepted collision class as the dedup
+    // family's hashed postings (~1e-7 among 10^6 shingles)
     val benchShingles = Dedup.shingleSets(benchmark, textCol, idCol, n)
-      .select(explode(col("shingles")).as("s")).distinct()
+      .select(explode(col("shingles")).as("s"))
+      .select(xxhash64(col("s")).as("sh")).distinct()
     val corpusShingles = Dedup.shingleSets(corpus, textCol, idCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-    corpusShingles.join(broadcast(benchShingles), "s")
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    corpusShingles.join(broadcast(benchShingles), "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc
       .filter(col("n_overlap") >= minOverlap)
