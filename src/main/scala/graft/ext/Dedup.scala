@@ -162,15 +162,14 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol, n)
-    // Global order = shingle-hash ascending. Any fixed total order keeps
-    // the prefix guarantee; hash order makes the per-doc sort a row-local
-    // `array_sort` (NO shuffle), where the classic rarest-first order
-    // would cost a doc-frequency join + collect_list shuffle that
-    // dominates at moderate scale.
-    val sorted = sets.select(col("doc_id"),
-        sort_array(expr("transform(shingles, s -> xxhash64(s))")).as("shs"),
-        size(col("shingles")).as("n_sh"))
+    // Global order = shingle-hash ascending, via the canonical
+    // [[hashedShingleSets]] frame (ONE definition of the sorted-hash
+    // total order shared with the containment prefix filter). Any
+    // fixed total order keeps the prefix guarantee; hash order makes
+    // the per-doc sort a row-local `array_sort` (NO shuffle), where
+    // the classic rarest-first order would cost a doc-frequency join +
+    // collect_list shuffle that dominates at moderate scale.
+    val sorted = hashedShingleSets(docs, textCol, idCol, n)
     // (1 − 1e-12) relative slack: if threshold·n_sh lands a sub-ulp
     // ABOVE an integer, ceil would round up and shorten the prefix by
     // one — silently losing recall (no later filter can restore a

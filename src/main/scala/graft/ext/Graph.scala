@@ -36,24 +36,27 @@ object Graph {
     * unnecessary (depth ~3·iterations of tiny stages), and r6 measured
     * the 7-checkpoint version at 21 s under driver conditions versus
     * the work itself costing ~1 s — eager jobs on a tiny graph are
-    * pure scheduling overhead. `partitions` coalesces the graph
-    * frames: the near-dup pair graph is orders smaller than its
-    * corpus, so the default 1 keeps every iteration stage a single
-    * task; callers with genuinely large graphs raise it. The node
-    * count N is a driver scalar bounded by the pair graph.
+    * pure scheduling overhead. `partitions` (when > 0) coalesces the
+    * graph frames — callers whose pair graph is known-tiny relative to
+    * the corpus (every registered near-dup query) pass 1 so iteration
+    * stages are single tasks; the default 0 preserves the input's
+    * parallelism, which is the right library default for a graph of
+    * unknown size. The node count N is a driver scalar bounded by the
+    * pair graph.
     */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
       iterations: Int = 3, damping: Double = 0.85,
-      partitions: Int = 1): DataFrame = {
+      partitions: Int = 0): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    def shrink(df: DataFrame): DataFrame =
+      if (partitions > 0) df.coalesce(partitions) else df
     // edges feed the degree agg AND every iteration's join; coalesce
     // folds into distinct's reduce side (no extra shuffle)
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = shrink(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().coalesce(partitions).localCheckpoint()
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .select(col("u").as("node"), col("deg"))
-      .coalesce(partitions).localCheckpoint()
+      .distinct()).localCheckpoint()
+    val deg = shrink(edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))).localCheckpoint()
     val n = deg.count()
     if (n == 0)
       return deg.select(col("node"), lit(0.0).as("pagerank")).limit(0)

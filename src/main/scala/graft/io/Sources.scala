@@ -146,11 +146,13 @@ object JdbcRetention {
   def deleteArchived(archived: DataFrame, allowedTables: Set[String],
       connect: () => java.sql.Connection,
       maxRanges: Int = 100000): Map[String, Long] = {
-    val rangesDf = keyRangesDf(archived)
-    val nRanges = rangesDf.count()
-    if (nRanges <= maxRanges) {
-      val ranges = rangesDf.collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // one job serves both the cap check and the data: maxRanges + 1
+    // rows decide which path runs without re-running the window/group
+    // over all archived rows
+    val headRanges = keyRangesDf(archived).limit(maxRanges + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (headRanges.length <= maxRanges) {
+      val ranges = headRanges
       val badTables = ranges.map(_._1).toSet -- allowedTables
       require(badTables.isEmpty, s"tables not in allowlist: $badTables")
       val conn = connect()
@@ -180,7 +182,14 @@ object JdbcRetention {
       val stmts = scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
       val pending = scala.collection.mutable.Map.empty[String, Int]
       def flush(table: String): Unit = if (pending.getOrElse(table, 0) > 0) {
-        val n = stmts(table).executeBatch().map(_.toLong.max(0L)).sum
+        // per-id deletes affect at most one row each; drivers that
+        // report SUCCESS_NO_INFO (-2: Postgres batch rewriting, Oracle)
+        // still executed the statement, so count it as its one row —
+        // clamping to 0 would report "deleted 0" for successful batches
+        val n = stmts(table).executeBatch().map {
+          case java.sql.Statement.SUCCESS_NO_INFO => 1L
+          case k => k.toLong.max(0L)
+        }.sum
         counts(table) = counts.getOrElse(table, 0L) + n
         pending(table) = 0
       }
@@ -189,6 +198,12 @@ object JdbcRetention {
         while (it.hasNext) {
           val r = it.next()
           val table = r.getString(0)
+          // re-validate per row: `archived` is re-evaluated by this
+          // iterator, and a non-deterministic frame could yield a table
+          // the up-front distinct() never saw — nothing unvalidated may
+          // reach the interpolated DELETE
+          require(allowedTables.contains(table),
+            s"table not in allowlist: $table")
           val st = stmts.getOrElseUpdate(table, conn.prepareStatement(
             s"""DELETE FROM "$table" WHERE "id" = ?"""))
           st.setLong(1, r.getLong(1)); st.addBatch()

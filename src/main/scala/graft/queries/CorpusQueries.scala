@@ -75,7 +75,8 @@ object CorpusQueries {
       // downstream schedules single-task stages, not 32-task waves
       val pairs = Dedup.ngramJaccardPairsFromHashedSets(hsets, threshold = 0.6)
         .coalesce(1).localCheckpoint()
-      Graph.pageRank(pairs, "a_id", "b_id", iterations = 3, damping = 0.85)
+      Graph.pageRank(pairs, "a_id", "b_id", iterations = 3, damping = 0.85,
+          partitions = 1)
         .select(col("node").as("doc_id"), col("pagerank"))
         .orderBy(col("doc_id"))
     }),

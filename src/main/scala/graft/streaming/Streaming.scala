@@ -378,6 +378,13 @@ object Streaming {
     var acceptedIds = candidates.limit(0)
     var done = pairs.isEmpty // common case: no within-batch near-dups
     if (done) acceptedIds = candidates
+    // Round cap: peeling depth equals the greedy chain depth, which is
+    // 1-2 for near-clique dup groups. If a pathological batch (a
+    // >1000-deep drifting-boilerplate chain) hits the cap, FAIL SAFE
+    // by dropping every still-undecided doc rather than throwing —
+    // a thrown foreachBatch error would replay the same poison batch
+    // forever, while over-dropping keeps the store invariant (no two
+    // accepted docs are near-dups) at the cost of some false drops.
     var rounds = 0
     while (!done && rounds < 1000) {
       val minimal = candidates.join(
@@ -401,16 +408,20 @@ object Streaming {
       }
       rounds += 1
     }
-    require(done, "greedy acceptance did not converge in 1000 rounds")
     val accepted = uniq
       .join(acceptedIds, Seq("doc_id"), "left_semi")
       .join(sets, Seq("doc_id"), "left")
       .join(sigs, Seq("doc_id"), "left")
     val nAccepted = accepted.count()
     if (nAccepted > 0) {
-      accepted.write.mode("append")
-        .option("compression", "snappy").parquet(docsDir)
-      // index rows for the newly accepted, non-null-sig docs only
+      // WRITE ORDER IS THE CRASH-SAFETY INVARIANT: bands/ first, docs/
+      // second. Replay idempotence keys on docs/ ids, so a crash
+      // between the two writes must leave the doc ABSENT from docs/
+      // (replay re-accepts it and re-appends both) — the reverse order
+      // would strand an accepted doc with no index rows, and its
+      // future near-dups would be accepted forever. The benign cost is
+      // duplicate band rows after such a replay; every candidate set
+      // downstream is distinct()'d, so duplicates change nothing.
       Dedup.bandedSignatures(
           sigs.join(acceptedIds, Seq("doc_id"), "left_semi"),
           bands, rowsPerBand)
@@ -418,6 +429,8 @@ object Streaming {
           pmod(col("band_hash"), lit(NearDupBandBuckets.toLong)).cast("int"))
         .write.mode("append").partitionBy("bucket")
         .option("compression", "snappy").parquet(bandsDir)
+      accepted.write.mode("append")
+        .option("compression", "snappy").parquet(docsDir)
     }
     nAccepted
   }
