@@ -83,6 +83,21 @@ class EdgeCaseSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(cp.toSeq == Seq((1L, 2L, 1.0)))
     assert(Dedup.ngramJaccardPairs(subset, "text", "doc_id", 3, 0.99).isEmpty)
+    // prefix-filtered containment: same degenerate behavior — empty in
+    // empty out, the fully-embedded doc found at threshold 0.99 even
+    // when the subset doc has a ONE-element prefix (n_sh=3, t=0.99 ⇒
+    // prefix length 3−3+1=1), and a single-doc corpus yields no pairs
+    assert(Dedup.containmentPairsPrefix(
+      Dedup.hashedShingleSets(emptyDocs, "text", "doc_id"), 0.9).isEmpty)
+    val cpp = Dedup.containmentPairsPrefix(
+        Dedup.hashedShingleSets(subset, "text", "doc_id", 3), 0.99)
+      .select("a_id", "b_id", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(cpp.toSeq == Seq((1L, 2L, 1.0)))
+    assert(Dedup.containmentPairsPrefix(
+      Dedup.hashedShingleSets(
+        Seq((1L, "p q r s t")).toDF("doc_id", "text"), "text", "doc_id"),
+      0.9).isEmpty)
   }
 
   test("audio decode degenerate payloads: empty, null, truncated WAV") {

@@ -125,6 +125,52 @@ class ScaleSpec extends AnyFunSuite {
       s"candidate growth not linear: 1x=$c1, 4x=$c4 (quadratic would be ${16 * c1})")
   }
 
+  test("containment prefix filter collapses the hot-shingle candidate " +
+      "space: prefix-join candidates are a fraction of the unpruned join's") {
+    // every doc shares a glue phrase ⇒ its shingles are maximally hot
+    // (document frequency = corpus size) — the exact regime where the
+    // unpruned posting self-join goes quadratic. The prefix join only
+    // indexes a doc's first ~(1−t) sorted hashes on the smaller-set
+    // side, so a hot shingle contributes prefix-hits × full-hits
+    // instead of df²/2. Counting JOIN OUTPUT rows (pre-aggregation)
+    // makes the assertion exact and load-independent.
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"),
+        concat(lit("shared glue phrase common to every document "),
+          col("text")).as("text"))
+    val t = 0.9
+    val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+      .localCheckpoint()
+    val full = hsets.select(col("doc_id"), col("n_sh"),
+      explode(col("shs")).as("sh"))
+    val unpruned = full.as("a").join(full.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    val p = (col("n_sh") -
+      ceil(lit(t * (1 - 1e-12)) * col("n_sh")) + 1).cast("int")
+    val pref = hsets.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("shs"), lit(1), p)).as("sh"))
+    val prefixed = pref.as("a").join(full.as("b"),
+        col("a.sh") === col("b.sh") &&
+          (col("a.n_sh") < col("b.n_sh") ||
+            (col("a.n_sh") === col("b.n_sh") &&
+              col("a.doc_id") < col("b.doc_id"))))
+      .count()
+    assert(unpruned > 0)
+    assert(prefixed < unpruned / 2,
+      s"prefix join did not prune: $prefixed of $unpruned candidate rows")
+    info(f"hot-shingle candidate rows: prefix $prefixed vs unpruned " +
+      f"$unpruned (${100.0 * prefixed / unpruned}%.1f%%)")
+    // and the pruning loses nothing on this adversarial corpus
+    val sets = Dedup.shingleSets(docs, "text", "doc_id", 3).localCheckpoint()
+    val baseline = Dedup.containmentPairsFromSets(sets, t)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaPrefix = Dedup.containmentPairsPrefix(hsets, t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaPrefix == baseline)
+  }
+
   test("forced spill through the LSH join leaves the pair set identical " +
       "(nonzero spill metrics observed)") {
     // The force-spill threshold is a SparkConf the shuffle sorter reads
