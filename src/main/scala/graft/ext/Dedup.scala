@@ -395,14 +395,18 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, col("v") === col("node"))
         .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
+      // the changed flag rides INSIDE the checkpointed frame, so the
+      // convergence check below is a filter over already-materialized
+      // rows — not a second join job per round
       val next = labels.join(nbrMin, col("node") === col("u"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component"))
+            .as("changed"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.component") =!= col("o.component")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       i += 1
     }
     require(converged, s"label propagation did not converge in $maxIter rounds")
