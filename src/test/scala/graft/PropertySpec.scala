@@ -82,6 +82,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: prefix-filtered containment and jaccard equal their " +
+      "unpruned baselines on random overlapping-slice corpora") {
+    // docs = random slices of a shared token sequence (dense overlap /
+    // containment structure, repeated hot tokens) — the regime where a
+    // wrong prefix bound silently loses pairs
+    val corpusGen = for {
+      base <- Gen.const((0 until 60).map(i => s"t$i"))
+      nDocs <- Gen.choose(8, 24)
+      docs <- Gen.listOfN(nDocs, for {
+        lo <- Gen.choose(0, 40)
+        len <- Gen.choose(3, 20)
+      } yield base.slice(lo, math.min(60, lo + len)).mkString(" "))
+    } yield docs
+    forAllSampled(corpusGen, 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
+      val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+      for (t <- Seq(0.6, 0.9)) {
+        val cBase = Dedup.containmentPairsFromSets(sets, t)
+          .as[(Long, Long, Double)].collect().toSet
+        val cPref = Dedup.containmentPairsPrefix(hsets, t)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(cPref == cBase, s"containment t=$t on ${texts.size} docs")
+        val jBase = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, t)
+          .as[(Long, Long, Double)].collect().toSet
+        val jPref = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", 3, t)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(jPref == jBase, s"jaccard t=$t on ${texts.size} docs")
+      }
+    }
+  }
+
   test("property: connectedComponents equals driver-side union-find on " +
       "random graphs") {
     val edgesGen = for {
