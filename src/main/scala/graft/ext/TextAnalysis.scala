@@ -53,9 +53,14 @@ object TextAnalysis {
     * a corpus-level quality gate. The top-k runs through a distributed
     * TakeOrderedAndProject (never a global sort); the k-row window and
     * regression sums are driver-scale. ln values round into
-    * DECIMAL(18,9) (exact summation, libm drift rounded away); the
-    * closed-form slope divides two exactly-derived doubles, so the
-    * result is bit-stable across engines.
+    * DECIMAL(18,9) (exact summation) and the FINAL slope rounds
+    * through DECIMAL(28,9) too: a libm ln() that differs by one ulp
+    * between engines can land a term on a per-term 1e-9 rounding
+    * boundary (observed at sf0.1 — one of 400 terms flipped, moving
+    * the slope by ~1e-13), and the final coarser rounding absorbs
+    * exactly that class of drift. `bround` first so Spark's half-up
+    * decimal cast can't diverge from DuckDB's half-even on a tie (the
+    * labelCentroids lesson).
     */
   def zipfSlope(docs: DataFrame, textCol: String, k: Int = 200): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -73,10 +78,11 @@ object TextAnalysis {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("n_ranked"),
-        ((col("n_ranked") * col("sxy").cast("double") -
+        bround((col("n_ranked") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
           (col("n_ranked") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")))
+            col("sx").cast("double") * col("sx").cast("double")), 9)
+          .cast("decimal(28,9)").cast("double")
           .as("zipf_slope"))
   }
 

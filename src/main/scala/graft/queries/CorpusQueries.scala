@@ -139,10 +139,12 @@ object CorpusQueries {
         |s AS (SELECT COUNT(*) AS n_ranked, SUM(x) AS sx, SUM(y) AS sy,
         |  SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy)
         |SELECT n_ranked,
+        |  CAST(CAST(
         |  (n_ranked * CAST(sxy AS DOUBLE) -
         |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |  (n_ranked * CAST(sxx AS DOUBLE) -
-        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  AS DECIMAL(28,9)) AS DOUBLE) AS zipf_slope
         |FROM s""".stripMargin,
 
     "q_text_charclasses" ->

@@ -315,6 +315,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Set(1L, 3L), s"exact greedy should accept {1,3}: $ids")
   }
 
+  test("streaming near-dup store: crash between the bands/ and docs/ " +
+      "appends self-heals on replay (bands-first write order)") {
+    import graft.ext.Dedup
+    val text = (1 to 25).map(i => s"c$i").mkString(" ")
+    val batch = Seq((1L, text)).toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft_nd_crash")
+      .toString + "/store"
+    // simulate the crash window: the bands append completed, the docs
+    // append did not — exactly the state acceptNearDupBatch can leave
+    // because it writes bands/ FIRST (the reverse order would strand a
+    // doc with no index rows and silently accept its future near-dups)
+    val sets = Dedup.shingleSets(batch, "text", "doc_id", 3).localCheckpoint()
+    val sigs = Dedup.minhashSignatures(sets, 48)
+    Dedup.bandedSignatures(sigs, 16, 3)
+      .withColumn("bucket", pmod(col("band_hash"), lit(64L)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$store/bands")
+    assert(!new java.io.File(s"$store/docs").exists())
+    // replay of the same batch: the doc must be accepted (it is absent
+    // from docs/), and its near-dups must then be rejected
+    assert(Streaming.acceptNearDupBatch(batch, store, 3, 48, 16, 0.8) == 1L)
+    assert(spark.read.parquet(s"$store/docs").select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+    val nearDup = Seq((2L, text + " extra")).toDF("doc_id", "text")
+    assert(Streaming.acceptNearDupBatch(nearDup, store, 3, 48, 16, 0.8) == 0L)
+    // duplicate band rows from the replay are tolerated: candidates
+    // are distinct()'d, and the store still holds exactly doc 1
+    assert(spark.read.parquet(s"$store/docs").count() == 1L)
+  }
+
   test("stateful dedup drops duplicate event_ids within watermark") {
     val dir = eventsDir
     // duplicate the source: same rows twice -> dedup must halve them
