@@ -259,7 +259,14 @@ object Dedup {
     * precision 1; DedupSpec proves equality with the unpruned
     * baseline.
     */
-  def containmentPairsPrefix(hsets: DataFrame,
+  /** The prefix-postings ⋈ full-postings join output of
+    * [[containmentPairsPrefix]], PRE-distinct — one row per
+    * (prefix hit, full hit) collision. Shared with ScaleSpec, whose
+    * hot-shingle pruning assertion counts exactly these rows: keeping
+    * the prefix-length formula and smaller-set role in ONE place means
+    * the measured join is always the join production runs.
+    */
+  private[graft] def containmentPrefixCandidateRows(hsets: DataFrame,
       threshold: Double): DataFrame = {
     val p = (col("n_sh") -
       ceil(lit(threshold * (1 - 1e-12)) * col("n_sh")) + 1).cast("int")
@@ -270,7 +277,7 @@ object Dedup {
     // role: prefix side = smaller set (ties broken by id), so every
     // qualifying pair is generated at least once, then normalized to
     // (min id, max id) for the doc_id-ordered output contract
-    val cands = pref.as("a").hint("SHUFFLE_HASH")
+    pref.as("a").hint("SHUFFLE_HASH")
       .join(full.as("b").hint("SHUFFLE_HASH"),
         col("a.sh") === col("b.sh") &&
           (col("a.n_sh") < col("b.n_sh") ||
@@ -278,7 +285,11 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id"))))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
-      .distinct()
+  }
+
+  def containmentPairsPrefix(hsets: DataFrame,
+      threshold: Double): DataFrame = {
+    val cands = containmentPrefixCandidateRows(hsets, threshold).distinct()
     cands
       .join(hsets.select(col("doc_id").as("a_id"), col("shs").as("sa"),
         col("n_sh").as("na")), "a_id")

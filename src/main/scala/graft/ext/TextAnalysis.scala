@@ -78,11 +78,18 @@ object TextAnalysis {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("n_ranked"),
-        bround((col("n_ranked") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n_ranked") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")), 9)
-          .cast("decimal(28,9)").cast("double")
+        (col("n_ranked") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")).as("num"),
+        (col("n_ranked") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")).as("den"))
+      // degenerate corpora (one distinct token ⇒ den = 0) yield NULL,
+      // not NaN: ANSI mode rejects casting NaN to decimal, and the
+      // engines disagree on NaN handling anyway — NULL is the honest
+      // "no slope defined" on both
+      .select(col("n_ranked"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(bround(col("num") / col("den"), 9)
+            .cast("decimal(28,9)").cast("double"))
           .as("zipf_slope"))
   }
 

@@ -137,15 +137,17 @@ object CorpusQueries {
         |    AS DECIMAL(18,9)) AS x,
         |  CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,9)) AS y FROM top),
         |s AS (SELECT COUNT(*) AS n_ranked, SUM(x) AS sx, SUM(y) AS sy,
-        |  SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy)
+        |  SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy),
+        |nd AS (SELECT n_ranked,
+        |  n_ranked * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |  n_ranked * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den FROM s)
         |SELECT n_ranked,
-        |  CAST(CAST(
-        |  (n_ranked * CAST(sxy AS DOUBLE) -
-        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |  (n_ranked * CAST(sxx AS DOUBLE) -
-        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |  AS DECIMAL(28,9)) AS DOUBLE) AS zipf_slope
-        |FROM s""".stripMargin,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(CAST(num / den AS DECIMAL(28,9)) AS DOUBLE)
+        |  END AS zipf_slope
+        |FROM nd""".stripMargin,
 
     "q_text_charclasses" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_total,

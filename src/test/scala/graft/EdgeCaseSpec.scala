@@ -63,6 +63,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.tokenEntropy(emptyDocs, "text", "doc_id").isEmpty)
     assert(TextAnalysis.charClasses(emptyDocs, "text", "doc_id").isEmpty)
     assert(TextAnalysis.zipfSlope(emptyDocs, "text").count() == 1) // global agg row
+    // one distinct token ⇒ regression denominator 0: slope must be
+    // NULL (not NaN — ANSI rejects casting NaN to decimal; engines
+    // disagree on NaN anyway), and the query must not throw
+    val oneTok = Seq((1L, "x x x"), (2L, "x x")).toDF("doc_id", "text")
+    val zs = TextAnalysis.zipfSlope(oneTok, "text").collect()(0)
+    assert(zs.getLong(0) == 1L && zs.isNullAt(1))
     // all-one-token doc: entropy must be exactly +0.0 (not -0.0 — the
     // 0− formulation), uniform k tokens: exactly ln(k)
     val docs = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")

@@ -147,16 +147,9 @@ class ScaleSpec extends AnyFunSuite {
     val unpruned = full.as("a").join(full.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .count()
-    val p = (col("n_sh") -
-      ceil(lit(t * (1 - 1e-12)) * col("n_sh")) + 1).cast("int")
-    val pref = hsets.select(col("doc_id"), col("n_sh"),
-      explode(slice(col("shs"), lit(1), p)).as("sh"))
-    val prefixed = pref.as("a").join(full.as("b"),
-        col("a.sh") === col("b.sh") &&
-          (col("a.n_sh") < col("b.n_sh") ||
-            (col("a.n_sh") === col("b.n_sh") &&
-              col("a.doc_id") < col("b.doc_id"))))
-      .count()
+    // the production candidate join itself (pre-distinct) — shared
+    // helper, so this count can never measure a stale formulation
+    val prefixed = Dedup.containmentPrefixCandidateRows(hsets, t).count()
     assert(unpruned > 0)
     assert(prefixed < unpruned / 2,
       s"prefix join did not prune: $prefixed of $unpruned candidate rows")

@@ -329,7 +329,8 @@ class StreamingSpec extends AnyFunSuite {
     val sets = Dedup.shingleSets(batch, "text", "doc_id", 3).localCheckpoint()
     val sigs = Dedup.minhashSignatures(sets, 48)
     Dedup.bandedSignatures(sigs, 16, 3)
-      .withColumn("bucket", pmod(col("band_hash"), lit(64L)).cast("int"))
+      .withColumn("bucket", pmod(col("band_hash"),
+        lit(Streaming.NearDupBandBuckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(s"$store/bands")
     assert(!new java.io.File(s"$store/docs").exists())
     // replay of the same batch: the doc must be accepted (it is absent
