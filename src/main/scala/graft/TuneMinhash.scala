@@ -42,6 +42,20 @@ object TuneMinhash {
           f"pairs=${got.size}%3d missing=${miss.size}%2d " +
           f"cand=$tCand%5.1fs full=$tFull%5.1fs")
       }
+      // hashed-basis variants (what the registered query ships):
+      // exactness must hold for the shipped (48, 16) at both scales
+      for ((perms, bands) <- Seq((48, 16), (64, 16))) {
+        val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+          .localCheckpoint()
+        val t0 = System.nanoTime()
+        val got = Dedup.minhashNearDupPairsFromHashedSets(hsets, perms, bands, 0.8)
+          .select("a_id", "b_id").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        val tFull = (System.nanoTime() - t0) / 1e9
+        val miss = exact -- got
+        println(f"HASHED perms=$perms%2d b=$bands%2d r=${perms / bands} " +
+          f"pairs=${got.size}%3d missing=${miss.size}%2d full=$tFull%5.1fs")
+      }
     }
     spark.stop()
   }

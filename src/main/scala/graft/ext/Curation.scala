@@ -274,12 +274,10 @@ object Curation {
     // set broadcasts as ~8 MB at any text length) and the probe is a
     // long equality — same accepted collision class as the dedup
     // family's hashed postings (~1e-7 among 10^6 shingles)
-    val benchShingles = Dedup.shingleSets(benchmark, textCol, idCol, n)
-      .select(explode(col("shingles")).as("s"))
-      .select(xxhash64(col("s")).as("sh")).distinct()
-    val corpusShingles = Dedup.shingleSets(corpus, textCol, idCol, n)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val benchShingles = Dedup.hashedShingleSets(benchmark, textCol, idCol, n)
+      .select(explode(col("shs")).as("sh")).distinct()
+    val corpusShingles = Dedup.hashedShingleSets(corpus, textCol, idCol, n)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
     corpusShingles.join(broadcast(benchShingles), "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc

@@ -58,12 +58,18 @@ object Dedup {
     * prefix filters slice against. A 64-bit collision among ~10^6
     * distinct shingles is ~1e-7 — the same accepted error class as the
     * hashed join postings this replaces.
+    *
+    * Computed by the native one-pass [[graft.functions.HashedWordShingles]]
+    * (zero string construction — shingles are hashed as byte slices of
+    * the original text); TextHashSpec proves byte-equality with the
+    * split/concat_ws/xxhash64 SQL formulation this replaced.
     */
   def hashedShingleSets(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame =
-    shingleSets(docs, textCol, idCol, n)
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        sort_array(expr("transform(shingles, s -> xxhash64(s))")).as("shs"))
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextHash.hashedShingles(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), col("shs"))
 
   /** Same, over precomputed shingle sets. `sets` feeds BOTH self-join
     * sides, and the two identical exchanges are NOT deduplicated at
@@ -304,9 +310,32 @@ object Dedup {
   /** MinHash signatures: k independent hash functions simulated as
     * xxhash64 salted with the permutation index; one exploded pass,
     * k partial-aggregated mins — no per-doc loops.
+    *
+    * This is the STRING-basis signature (permutation i hashes the
+    * shingle text): the streaming near-dup store persists signatures,
+    * so its basis is pinned here for store compatibility. Batch-side
+    * consumers that don't persist signatures should prefer
+    * [[minhashSignaturesFromHashed]].
     */
   def minhashSignatures(sets: DataFrame, numPerms: Int): DataFrame = {
     val inv = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mins = (0 until numPerms).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    inv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerms).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash signatures over HASHED shingle sets: permutation i hashes
+    * the 8-byte shingle hash instead of re-traversing the shingle text
+    * — with k = 48 permutations the string basis hashes every shingle's
+    * bytes 48 times, this one once (in [[hashedShingleSets]]) plus 48
+    * cheap fixed-width long-hashes. Same LSH family (k independent
+    * salted hashes of the set's distinct element ids), so the
+    * candidate-probability math is unchanged; signatures are NOT
+    * comparable across bases (see [[minhashSignatures]]).
+    */
+  def minhashSignaturesFromHashed(hsets: DataFrame, numPerms: Int): DataFrame = {
+    val inv = hsets.select(col("doc_id"), explode(col("shs")).as("sh"))
     val mins = (0 until numPerms).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     inv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -379,6 +408,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Same over [[hashedShingleSets]] — hashed-basis signatures
+    * ([[minhashSignaturesFromHashed]]) and exact-Jaccard verification
+    * on the hashed sets (equal to string Jaccard modulo the accepted
+    * 64-bit collision class). The registered `q_dedup_minhash` runs
+    * this; output equality with the exact pair set is re-validated at
+    * sf0.01 AND sf0.1 via `graft.TuneMinhash` and asserted in
+    * DedupSpec.
+    */
+  def minhashNearDupPairsFromHashedSets(hsets: DataFrame, numPerms: Int,
+      bands: Int, threshold: Double,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val cands = lshCandidates(minhashSignaturesFromHashed(hsets, numPerms),
+      bands, numPerms / bands, materialize)
+    cands
+      .join(hsets.select(col("doc_id").as("a_id"), col("shs").as("sa")), "a_id")
+      .join(hsets.select(col("doc_id").as("b_id"), col("shs").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over an undirected pair list (near-dup pairs →
     * dedup GROUPS): iterative min-label propagation. Each round is one
     * join + one aggregation; labels converge to the component-minimum id
@@ -429,9 +480,12 @@ object Dedup {
     * pass over the exploded tokens — no UDF, fully codegen'd.
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // n=1 word shingles ARE the distinct token hashes — the native
+    // one-pass scanner replaces split+array_distinct+explode+xxhash64
+    // with identical hash values (TextHashSpec equality incl. n=1)
     val tok = docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+        explode(graft.functions.TextHash.hashedShingles(col(textCol), 1))
+          .as("h"))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)

@@ -60,9 +60,12 @@ object ExtQueries {
     // in moderate-similarity pairs. Output equals the exact pair set on
     // both sf0.01 and sf0.1 (TuneMinhash: 0 missing at every config).
     "q_dedup_minhash" -> ((s, d) => {
-      val sets = Dedup.shingleSets(Tables.documents(s, d), "text", "doc_id",
-        n = 3).localCheckpoint()
-      Dedup.minhashNearDupPairsFromSets(sets,
+      // hashed basis (r7): shingles hash once in the native scanner,
+      // the 48 permutations salt the 8-byte hashes — the string basis
+      // re-traversed every shingle's text 48 times
+      val hsets = Dedup.hashedShingleSets(Tables.documents(s, d), "text",
+        "doc_id", n = 3).localCheckpoint()
+      Dedup.minhashNearDupPairsFromHashedSets(hsets,
           numPerms = 48, bands = 16, threshold = 0.8,
           // the banded frame feeds both candidate-join sides: without
           // this the signature aggregation runs twice

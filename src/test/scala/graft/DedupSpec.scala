@@ -38,6 +38,19 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("hashed-basis minhash LSH pairs equal the exact pair set too — " +
+      "at BOTH the spec config (64,16) and the shipped (48,16)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+    for ((perms, bands) <- Seq((64, 16), (48, 16))) {
+      val lsh = Dedup.minhashNearDupPairsFromHashedSets(hsets, perms, bands, 0.8)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(lsh == exact, s"($perms, $bands)")
+    }
+    assert(exact.nonEmpty)
+  }
+
   test("prefix-filtered jaccard join equals the naive inverted-index join") {
     for (t <- Seq(0.6, 0.8)) {
       val naive = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, t)
