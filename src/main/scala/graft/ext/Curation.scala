@@ -268,15 +268,23 @@ object Curation {
     */
   def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
-      minOverlap: Int = 1): DataFrame = {
+      minOverlap: Int = 1,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     // both sides compare 64-bit shingle hashes, not strings: the
     // broadcast is 8 bytes per benchmark shingle (a 1M-shingle bench
     // set broadcasts as ~8 MB at any text length) and the probe is a
     // long equality — same accepted collision class as the dedup
-    // family's hashed postings (~1e-7 among 10^6 shingles)
-    val benchShingles = Dedup.hashedShingleSets(benchmark, textCol, idCol, n)
+    // family's hashed postings (~1e-7 among 10^6 shingles).
+    // `materialize` wraps the hashed-set frames: when the plan stays
+    // lazy, InferFiltersFromGenerate turns each explode into
+    // size(...) > 0 / isnotnull(...) predicates that the pushdown
+    // inlines as TWO extra evaluations of the shingle scan per row
+    // (observed in the r7 plan dump); a checkpoint makes it one.
+    val benchShingles = materialize(
+        Dedup.hashedShingleSets(benchmark, textCol, idCol, n))
       .select(explode(col("shs")).as("sh")).distinct()
-    val corpusShingles = Dedup.hashedShingleSets(corpus, textCol, idCol, n)
+    val corpusShingles = materialize(
+        Dedup.hashedShingleSets(corpus, textCol, idCol, n))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
     corpusShingles.join(broadcast(benchShingles), "sh")
       .groupBy(col("doc_id"))

@@ -63,12 +63,23 @@ object Dedup {
     * (zero string construction — shingles are hashed as byte slices of
     * the original text); TextHashSpec proves byte-equality with the
     * split/concat_ws/xxhash64 SQL formulation this replaced.
+    *
+    * Unlike [[shingleSets]] there is deliberately NO under-n-tokens row
+    * filter: a `filter(size(shs) > 0)` here gets predicate-pushed below
+    * the projection and the optimizer then inlines the expression into
+    * both the size and inferred isnotnull predicates — three
+    * evaluations of the scan per row (observed in the r7 plan dump).
+    * Docs too short to shingle keep a row with an EMPTY `shs`
+    * (n_sh = 0), which every consumer already ignores structurally:
+    * posting and banding paths reach shingles through `explode` (empty
+    * array ⇒ no rows ⇒ never a posting, never a candidate, never a
+    * signature), and verification joins only ever look up ids that
+    * appeared as candidates.
     */
   def hashedShingleSets(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         graft.functions.TextHash.hashedShingles(col(textCol), n).as("shs"))
-      .filter(size(col("shs")) > 0)
       .select(col("doc_id"), size(col("shs")).as("n_sh"), col("shs"))
 
   /** Same, over precomputed shingle sets. `sets` feeds BOTH self-join

@@ -246,7 +246,8 @@ object ExtQueries {
       graft.ext.Curation.contaminatedDocs(
           docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0),
-          "text", "doc_id", n = 3, minOverlap = 5)
+          "text", "doc_id", n = 3, minOverlap = 5,
+          materialize = _.localCheckpoint())
         .orderBy(col("doc_id"))
     }),
 
