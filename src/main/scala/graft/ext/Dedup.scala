@@ -179,6 +179,10 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    // same prefix-length failure mode as containmentPairsPrefix: t > 1
+    // yields a negative slice length that throws mid-job
+    require(threshold > 0 && threshold <= 1,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     // Global order = shingle-hash ascending, via the canonical
     // [[hashedShingleSets]] frame (ONE definition of the sorted-hash
     // total order shared with the containment prefix filter). Any
@@ -187,26 +191,7 @@ object Dedup {
     // the classic rarest-first order would cost a doc-frequency join +
     // collect_list shuffle that dominates at moderate scale.
     val sorted = hashedShingleSets(docs, textCol, idCol, n)
-    // (1 − 1e-12) relative slack: if threshold·n_sh lands a sub-ulp
-    // ABOVE an integer, ceil would round up and shorten the prefix by
-    // one — silently losing recall (no later filter can restore a
-    // dropped candidate). Relative, not absolute, so the guard holds at
-    // any shingle-set size (same treatment as the length filters).
-    val withPrefix = sorted.withColumn("p",
-        (col("n_sh") - ceil(lit(threshold * (1 - 1e-12)) * col("n_sh")) + 1).cast("int"))
-      .withColumn("prefix", slice(col("shs"), lit(1), col("p")))
-    val pref = withPrefix.select(col("doc_id"), col("n_sh"),
-      explode(col("prefix")).as("sh"))
-    val cands = pref.as("a").join(pref.as("b"),
-        col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          // length filter: sizes of a qualifying pair differ by ≤ 1/t
-          // ((1 − 1e-12) relative slack against sub-ulp rounding at
-          // exact-threshold pairs — scale-invariant, see ngramJaccardPairs)
-          col("b.n_sh") * lit(threshold * (1 - 1e-12)) <= col("a.n_sh") &&
-          col("a.n_sh") * lit(threshold * (1 - 1e-12)) <= col("b.n_sh"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    val cands = jaccardPrefixCandidateRows(sorted, threshold).distinct()
     cands
       .join(sorted.select(col("doc_id"), col("shs"), col("n_sh")).as("sa"),
         col("a_id") === col("sa.doc_id"))
@@ -217,6 +202,36 @@ object Dedup {
           (col("sa.n_sh") + col("sb.n_sh") -
             size(array_intersect(col("sa.shs"), col("sb.shs"))))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The prefix-filter candidate join of [[ngramJaccardPairsPrefix]]
+    * (pre-distinct) — shared with ScaleSpec exactly like
+    * [[containmentPrefixCandidateRows]], so skew measurements always
+    * count the join production runs.
+    *
+    * (1 − 1e-12) relative slack on the prefix length: if threshold·n_sh
+    * lands a sub-ulp ABOVE an integer, ceil would round up and shorten
+    * the prefix by one — silently losing recall (no later filter can
+    * restore a dropped candidate). Relative, not absolute, so the guard
+    * holds at any shingle-set size (same treatment as the length
+    * filters).
+    */
+  private[graft] def jaccardPrefixCandidateRows(hsets: DataFrame,
+      threshold: Double): DataFrame = {
+    val withPrefix = hsets.withColumn("p",
+        (col("n_sh") - ceil(lit(threshold * (1 - 1e-12)) * col("n_sh")) + 1).cast("int"))
+      .withColumn("prefix", slice(col("shs"), lit(1), col("p")))
+    val pref = withPrefix.select(col("doc_id"), col("n_sh"),
+      explode(col("prefix")).as("sh"))
+    pref.as("a").join(pref.as("b"),
+      col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        // length filter: sizes of a qualifying pair differ by ≤ 1/t
+        // ((1 − 1e-12) relative slack against sub-ulp rounding at
+        // exact-threshold pairs — scale-invariant, see ngramJaccardPairs)
+        col("b.n_sh") * lit(threshold * (1 - 1e-12)) <= col("a.n_sh") &&
+        col("a.n_sh") * lit(threshold * (1 - 1e-12)) <= col("b.n_sh"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
@@ -306,6 +321,12 @@ object Dedup {
 
   def containmentPairsPrefix(hsets: DataFrame,
       threshold: Double): DataFrame = {
+    // t > 1 would make the prefix length n_sh − ceil(t·n_sh) + 1
+    // NEGATIVE and slice() would throw mid-job, where the unpruned
+    // containmentPairsFromSets just returns empty — validate up front
+    // so both variants reject the same nonsense the same way.
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
     val cands = containmentPrefixCandidateRows(hsets, threshold).distinct()
     cands
       .join(hsets.select(col("doc_id").as("a_id"), col("shs").as("sa"),

@@ -204,13 +204,22 @@ object Similarity {
     * train offline and persist the cell assignment as a partition key.
     */
   def ivfAssign(vecs: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    // argmin over cells via the lexicographic min(struct(cdist, cell_id))
+    // — same tie-break as a (cdist, cell_id)-ordered rank-1 window, but
+    // it partial-aggregates map-side, so the shuffle carries ONE row per
+    // vector instead of one per (vector, cell) with the embedding
+    // payload ×cells (the window formulation this replaced).
+    val passthrough = vecs.columns.filter(c => c != "vec_id" && c != vecCol)
     val scored = vecs.join(broadcast(centroids),
         col(vecCol).isNotNull && col("centroid").isNotNull)
       .withColumn("cdist", -dot(col(vecCol), col("centroid")) /
         (norm(col(vecCol)) * norm(col("centroid"))))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cell_id"))
-    scored.withColumn("crank", row_number().over(w)).filter(col("crank") === 1)
-      .drop("cdist", "crank", "centroid")
+    val aggs = min(struct(col("cdist"), col("cell_id"))).as("m") +:
+      (vecCol +: passthrough.toSeq).map(c => first(col(c)).as(c))
+    scored.groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +: col("m.cell_id").as("cell_id") +:
+        (vecCol +: passthrough.toSeq).map(col): _*)
   }
 
   /** Deterministic centroids: the first `cells` vectors by id (seed
@@ -230,11 +239,24 @@ object Similarity {
     * instead of the corpus; recall/cost is tuned by (cells, nprobe)
     * with no data movement. Approximate — recall vs [[topKCosine]]
     * asserted in SimilaritySpec.
+    *
+    * Centroid training ([[Clustering.lloyd]]) runs with `materialize` as
+    * its per-iteration lineage cut; the trained k-row frame feeds BOTH
+    * the corpus assignment and the probe ranking, so callers that
+    * execute the query should pass `materialize = _.localCheckpoint()`
+    * (each iteration's assignment scan then runs exactly once) or hand
+    * in pre-trained `centroids` (whose materialization the caller then
+    * owns). Fully lazy training re-runs per broadcast of the centroid
+    * frame — measured SLOWER than the per-iteration cut even
+    * single-node, and the r7 3-checkpoint variant (an extra eager job
+    * on the seed frame) hit 6.3 s driver-conditions for ~1 s of work.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int,
-      nprobe: Int, centroids: Option[DataFrame] = None): DataFrame = {
+      nprobe: Int, centroids: Option[DataFrame] = None,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(nprobe >= 1 && nprobe <= cells, "need 1 <= nprobe <= cells")
-    val cents = centroids.getOrElse(Clustering.lloyd(corpus, cells, iters = 2))
+    val cents = centroids.getOrElse(
+      Clustering.lloyd(corpus, cells, iters = 2, materialize = materialize))
     val indexed = ivfAssign(
       corpus.withColumn("nrm", norm(col("embedding"))), "embedding", cents)
     // nprobe nearest cells per query, by the same metric ivfAssign uses

@@ -102,6 +102,51 @@ final case class JdbcSource(url: String, props: java.util.Properties,
   * (the reference string-interpolates the table name — injection-prone,
   * main.go:88).
   */
+/** Identifier handling differs across the engines the retention path
+  * targets, and a live server for each doesn't exist in every
+  * environment — so the generated SQL is a first-class, unit-testable
+  * surface (RetentionSpec pins the exact strings per dialect).
+  *
+  * The differences that matter for a DELETE:
+  *  - PostgreSQL folds UNQUOTED identifiers to lower case, so a table
+  *    created unquoted (`CREATE TABLE events ...`) is stored as
+  *    `events` — quote the name as-is.
+  *  - Derby (and the other ANSI-default engines: Oracle, DB2, H2) folds
+  *    unquoted identifiers to UPPER case — the same table is stored as
+  *    `EVENTS`, so addressing it with a quoted name must upper-case it
+  *    first.
+  * Both quote with double quotes, doubling embedded quotes (defense in
+  * depth behind the allowlist — a quote in a table name can never
+  * terminate the identifier).
+  */
+sealed trait SqlDialect {
+  /** How this engine stores identifiers that were CREATEd unquoted. */
+  def foldCase(name: String): String
+  final def quoteIdent(name: String): String =
+    "\"" + foldCase(name).replace("\"", "\"\"") + "\""
+  final def deleteRangeSql(table: String): String =
+    s"DELETE FROM ${quoteIdent(table)} WHERE ${quoteIdent("id")} BETWEEN ? AND ?"
+  final def deleteIdSql(table: String): String =
+    s"DELETE FROM ${quoteIdent(table)} WHERE ${quoteIdent("id")} = ?"
+}
+object SqlDialect {
+  /** PostgreSQL: unquoted DDL folds to lower case. */
+  case object Postgres extends SqlDialect {
+    override def foldCase(name: String): String = name.toLowerCase
+  }
+  /** Derby / ANSI default: unquoted DDL folds to UPPER case. */
+  case object Derby extends SqlDialect {
+    override def foldCase(name: String): String = name.toUpperCase
+  }
+  /** Address identifiers exactly as given — for tables that were
+    * CREATEd with quoted names (what the embedded-Derby integration
+    * tests do, and the pre-r8 behavior).
+    */
+  case object Verbatim extends SqlDialect {
+    override def foldCase(name: String): String = name
+  }
+}
+
 object JdbcRetention {
 
   /** Per-table inclusive id ranges covering exactly the archived rows,
@@ -131,6 +176,15 @@ object JdbcRetention {
     * deleted per table. Validates table names against an allowlist
     * instead of interpolating untrusted strings.
     *
+    * Count semantics: on drivers that batch-rewrite and report
+    * SUCCESS_NO_INFO (Postgres `reWriteBatchedInserts`, Oracle), the
+    * per-id fallback counts STATEMENTS EXECUTED, not rows matched — an
+    * id already absent (a retried/replayed delete) still counts 1, so
+    * the returned map can overreport there. Callers needing exact
+    * row counts under such drivers should verify with a follow-up
+    * SELECT count; the ranged fast path always reports true update
+    * counts.
+    *
     * Driver-memory bound: the collected range list is capped at
     * `maxRanges` (pathologically fragmented archived ids — e.g. every
     * second id — would otherwise materialize one driver row per id).
@@ -145,7 +199,8 @@ object JdbcRetention {
     */
   def deleteArchived(archived: DataFrame, allowedTables: Set[String],
       connect: () => java.sql.Connection,
-      maxRanges: Int = 100000): Map[String, Long] = {
+      maxRanges: Int = 100000,
+      dialect: SqlDialect = SqlDialect.Verbatim): Map[String, Long] = {
     // one job serves both the cap check and the data: maxRanges + 1
     // rows decide which path runs without re-running the window/group
     // over all archived rows
@@ -159,8 +214,7 @@ object JdbcRetention {
       try {
         ranges.groupBy(_._1).map { case (table, rs) =>
           // table from allowlist only; range bounds are bind params
-          val st = conn.prepareStatement(
-            s"""DELETE FROM "$table" WHERE "id" BETWEEN ? AND ?""")
+          val st = conn.prepareStatement(dialect.deleteRangeSql(table))
           var n = 0L
           try {
             rs.foreach { case (_, lo, hi) =>
@@ -204,8 +258,8 @@ object JdbcRetention {
           // reach the interpolated DELETE
           require(allowedTables.contains(table),
             s"table not in allowlist: $table")
-          val st = stmts.getOrElseUpdate(table, conn.prepareStatement(
-            s"""DELETE FROM "$table" WHERE "id" = ?"""))
+          val st = stmts.getOrElseUpdate(table,
+            conn.prepareStatement(dialect.deleteIdSql(table)))
           st.setLong(1, r.getLong(1)); st.addBatch()
           pending(table) = pending.getOrElse(table, 0) + 1
           if (pending(table) >= 10000) flush(table)

@@ -310,6 +310,23 @@ object Streaming {
     val rowsPerBand = numPerms / bands
     val docsDir = s"$storeDir/docs"
     val bandsDir = s"$storeDir/bands"
+    // Layout guard: before the docs/ + bands/ split, the store was flat
+    // parquet directly under storeDir. readOpt would treat such a store
+    // as empty — silently re-accepting near-dups of every already-
+    // accepted doc — so fail loudly instead. A config/layout error is
+    // the one case where throwing in foreachBatch is right: replay
+    // keeps failing (visibly) until the operator migrates, rather than
+    // corrupting the store on the first batch. Migration: rewrite the
+    // flat store's rows into docs/ and re-derive bands/ from its
+    // signatures (see DEPLOY.md).
+    val flatFiles = new java.io.File(storeDir).listFiles()
+    if (flatFiles != null && flatFiles.exists(f =>
+        f.isFile && (f.getName.endsWith(".parquet") ||
+          f.getName.endsWith(".parquet.crc"))))
+      throw new IllegalStateException(
+        s"near-dup store at $storeDir uses the pre-split flat parquet " +
+          "layout; migrate it to docs/ + bands/ (DEPLOY.md 'Streaming " +
+          "near-dup store layout') before resuming ingestion")
     def readOpt(dir: String): Option[DataFrame] =
       try Some(spark.read.parquet(dir))
       catch {
@@ -407,6 +424,17 @@ object Streaming {
         if (candidates.isEmpty) done = true
       }
       rounds += 1
+    }
+    // Fail-safe over-drop must be OBSERVABLE: if the cap fired, every
+    // still-undecided doc is being dropped — record how many, so an
+    // operator can distinguish "converged" from "gave up".
+    if (!done) {
+      val dropped = candidates.count()
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"near-dup peeling hit the $rounds-round cap; force-dropping " +
+            s"$dropped undecided doc(s) to keep the store invariant " +
+            "(no two accepted docs are near-dups)")
     }
     val accepted = uniq
       .join(acceptedIds, Seq("doc_id"), "left_semi")

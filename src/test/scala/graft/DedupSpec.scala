@@ -120,11 +120,15 @@ class DedupSpec extends AnyFunSuite {
   test("q_dedup_simhash golden digest (deterministic xxhash64 bit votes " +
       "— exact output pin at both test scales)") {
     // (n_rows, bit_xor(xxhash64(a_id, b_id, hamming))) over the full
-    // registered-query output — an order-independent exact digest. Any
-    // change to tokenization, the simhash vote, chunk blocking, or the
-    // hamming filter moves it.
+    // pair frame — an order-independent exact digest. Any change to
+    // tokenization, the simhash vote, chunk blocking, or the hamming
+    // filter moves it. The registered query (r8+) returns this digest
+    // directly so the driver's pinned-constant oracle can check it; the
+    // sf0.01 constant asserted here MUST equal the one in
+    // ExtQueries.oracles("q_dedup_simhash").
     def digest(sf: String): (Long, Long) = {
-      val r = SparkEntry.queries("q_dedup_simhash")(spark, sf).select(
+      val r = Dedup.simhashNearDupPairs(Tables.documents(spark, sf),
+          "text", "doc_id", maxHamming = 3).select(
         count(lit(1)), bit_xor(xxhash64(col("a_id"), col("b_id"),
           col("hamming")))).collect()(0)
       (r.getLong(0), r.getLong(1))
@@ -133,6 +137,14 @@ class DedupSpec extends AnyFunSuite {
     val sf001 = "/root/testdata/sf0.01"
     if (new java.io.File(sf001).isDirectory)
       assert(digest(sf001) == ((1034L, -5705792646171706797L)))
+    // the registered digest form agrees with the direct pair digest
+    val reg = SparkEntry.queries("q_dedup_simhash")(spark, TestSpark.Sf0001)
+      .collect()(0)
+    assert((reg.getLong(0), reg.getLong(1)) ==
+      ((1176L, 641921897898642674L)))
+    // and its oracle pins the sf0.01 constants verbatim
+    val osql = SparkEntry.oracleSql("q_dedup_simhash")
+    assert(osql.contains("1034") && osql.contains("-5705792646171706797"))
   }
 
   test("jaccard is symmetric-by-construction and bounded in (0,1]") {

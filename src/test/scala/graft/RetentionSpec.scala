@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.io.JdbcRetention
+import graft.io.{JdbcRetention, SqlDialect}
 
 /** Retention write-back (SURVEY.md §7 step 6): the delete set must be
   * keyed to the actually-archived rows — NOT the reference's wider
@@ -64,6 +64,49 @@ class RetentionSpec extends AnyFunSuite {
         maxRanges = 2)
     }
     assert(bad.getMessage.contains("iot_data"))
+  }
+
+  test("dialects generate the engine's stored form of an unquoted table " +
+      "name — PG lower-folds, Derby upper-folds, Verbatim passes through") {
+    // A table CREATEd unquoted as `IoT_Data` is stored as `iot_data` on
+    // PG and `IOT_DATA` on Derby; the quoted DELETE must address the
+    // stored form or it hits a missing-table error on a live server.
+    assert(SqlDialect.Postgres.deleteRangeSql("IoT_Data") ==
+      """DELETE FROM "iot_data" WHERE "id" BETWEEN ? AND ?""")
+    assert(SqlDialect.Derby.deleteRangeSql("IoT_Data") ==
+      """DELETE FROM "IOT_DATA" WHERE "ID" BETWEEN ? AND ?""")
+    assert(SqlDialect.Verbatim.deleteRangeSql("IoT_Data") ==
+      """DELETE FROM "IoT_Data" WHERE "id" BETWEEN ? AND ?""")
+    assert(SqlDialect.Postgres.deleteIdSql("events") ==
+      """DELETE FROM "events" WHERE "id" = ?""")
+    assert(SqlDialect.Derby.deleteIdSql("events") ==
+      """DELETE FROM "EVENTS" WHERE "ID" = ?""")
+    // embedded quotes can never terminate the identifier (defense in
+    // depth behind the allowlist)
+    assert(SqlDialect.Verbatim.quoteIdent("""we"ird""") == "\"we\"\"ird\"")
+  }
+
+  test("deleteArchived applies the dialect on both the ranged and the " +
+      "per-id fallback path") {
+    val archived = Seq(("IoT_Data", 1L), ("IoT_Data", 2L))
+      .toDF("table_name", "id")
+    val ranged = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val conn = stubConnection((sql, lo, hi) => ranged += ((sql, lo, hi)))
+    JdbcRetention.deleteArchived(archived, Set("IoT_Data"), () => conn,
+      dialect = SqlDialect.Postgres): Unit
+    assert(ranged.toSet ==
+      Set(("""DELETE FROM "iot_data" WHERE "id" BETWEEN ? AND ?""", 1L, 2L)))
+
+    val fragmented = Seq(("IoT_Data", 1L), ("IoT_Data", 3L), ("IoT_Data", 5L))
+      .toDF("table_name", "id")
+    val perId = scala.collection.mutable.ArrayBuffer[Long]()
+    val bconn = stubBatchConnection((sql, id) => {
+      assert(sql == """DELETE FROM "IOT_DATA" WHERE "ID" = ?""")
+      perId += id
+    })
+    JdbcRetention.deleteArchived(fragmented, Set("IoT_Data"), () => bconn,
+      maxRanges = 2, dialect = SqlDialect.Derby): Unit
+    assert(perId.toSet == Set(1L, 3L, 5L))
   }
 
   /** Batch-capable stub: records (sql, id) per batched row; executeBatch

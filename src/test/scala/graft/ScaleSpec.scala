@@ -164,6 +164,59 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaPrefix == baseline)
   }
 
+  test("one shingle hot in 50% of docs: unpruned candidates go quadratic " +
+      "in the hot docs, the jaccard prefix filter stays sub-quadratic " +
+      "with zero recall loss") {
+    // The adversarial skew regime for the inverted index: vocabularies
+    // are otherwise disjoint per doc (replica-prefixed tokens), but ONE
+    // 3-gram shingle is injected into every even doc. Each hot doc
+    // collides with every other hot doc on that single posting, so the
+    // unpruned join's output has a hard C(hot, 2) floor — quadratic in
+    // the hot-doc count, unbounded at corpus scale. The prefix filter
+    // only emits the collision when the hot hash sorts into BOTH docs'
+    // ~(1−t)·n_sh prefixes (≈ (1−t)² of hot pairs) and the length
+    // filter prunes the rest — candidates stay a small fraction.
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"),
+        // per-doc-disjoint vocab + the one shared hot 3-gram up front
+        when(col("doc_id") % 2 === 0,
+            concat(lit("hot0 hot1 hot2 "),
+              expr("concat_ws(' ', transform(split(text, ' '), " +
+                "w -> concat('d', CAST(doc_id AS STRING), '_', w)))")))
+          .otherwise(
+            expr("concat_ws(' ', transform(split(text, ' '), " +
+              "w -> concat('d', CAST(doc_id AS STRING), '_', w)))"))
+          .as("text"))
+    val t = 0.8
+    val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+      .localCheckpoint()
+    val hotDocs = docs.filter(col("doc_id") % 2 === 0).count()
+    val quadraticFloor = hotDocs * (hotDocs - 1) / 2
+    val full = hsets.select(col("doc_id"), col("n_sh"),
+      explode(col("shs")).as("sh"))
+    val unpruned = full.as("a").join(full.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    // production candidate joins (shared helpers — never a stale twin)
+    val jacPref = Dedup.jaccardPrefixCandidateRows(hsets, t).count()
+    val conPref = Dedup.containmentPrefixCandidateRows(hsets, t).count()
+    assert(unpruned >= quadraticFloor,
+      s"expected the quadratic hot-pair floor $quadraticFloor, got $unpruned")
+    assert(jacPref < unpruned / 4,
+      s"jaccard prefix did not prune the hot shingle: $jacPref of $unpruned")
+    info(f"hot-in-50%% candidates: unpruned $unpruned (floor " +
+      f"$quadraticFloor from $hotDocs hot docs), jaccard-prefix $jacPref " +
+      f"(${100.0 * jacPref / unpruned}%.1f%%), containment-prefix $conPref " +
+      f"(${100.0 * conPref / unpruned}%.1f%%)")
+    // pruning loses nothing: prefix output == unpruned-blocking output
+    val viaPrefix = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", 3, t)
+      .as[(Long, Long, Double)].collect().toSet
+    val baseline = Dedup.ngramJaccardPairsFromHashedSets(hsets, t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaPrefix == baseline)
+  }
+
   test("forced spill through the LSH join leaves the pair set identical " +
       "(nonzero spill metrics observed)") {
     // The force-spill threshold is a SparkConf the shuffle sorter reads

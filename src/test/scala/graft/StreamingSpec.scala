@@ -345,6 +345,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/docs").count() == 1L)
   }
 
+  test("streaming near-dup store: pre-split flat store layout fails " +
+      "with a migration error instead of being treated as empty") {
+    val text = (1 to 25).map(i => s"m$i").mkString(" ")
+    val batch = Seq((1L, text)).toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft_nd_flat")
+      .toString + "/store"
+    // an r6-era store: accepted rows as flat parquet directly under
+    // storeDir (no docs/ or bands/ subdirs)
+    batch.write.parquet(store)
+    val e = intercept[IllegalStateException] {
+      Streaming.acceptNearDupBatch(batch, store, 3, 48, 16, 0.8)
+    }
+    assert(e.getMessage.contains("flat parquet"))
+    assert(e.getMessage.contains("DEPLOY.md"))
+    // a proper split-layout store on the same code path still works
+    val fresh = java.nio.file.Files.createTempDirectory("graft_nd_fresh")
+      .toString + "/store"
+    assert(Streaming.acceptNearDupBatch(batch, fresh, 3, 48, 16, 0.8) == 1L)
+  }
+
   test("stateful dedup drops duplicate event_ids within watermark") {
     val dir = eventsDir
     // duplicate the source: same rows twice -> dedup must halve them
