@@ -124,7 +124,9 @@ object Dedup {
     * (the count path has always compared hashes).
     */
   def ngramJaccardPairsFromHashedSets(hsets: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     shinglePairCountsHashed(hsets,
         col("b.n_sh") * lit(threshold * (1 - 1e-12)) <= col("a.n_sh") &&
           col("a.n_sh") * lit(threshold * (1 - 1e-12)) <= col("b.n_sh"))
@@ -132,9 +134,12 @@ object Dedup {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
   def ngramJaccardPairsFromSets(sets: DataFrame,
       threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     // join on 8-byte shingle hashes, not strings: ~4x smaller shuffle;
     // a 64-bit collision among ~10^6 distinct shingles is ~1e-7 — far
     // below the bit-exactness bar of everything else here. Each inverted
@@ -255,7 +260,9 @@ object Dedup {
     * shingle document frequencies at scale.
     */
   def containmentPairsFromSets(sets: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
     // same blocking as Jaccard (shinglePairCounts) with NO length
     // predicate — containment is size-ratio-free by design
     shinglePairCounts(sets, lit(true))
@@ -263,6 +270,7 @@ object Dedup {
         (col("inter").cast("double") / least(col("na"), col("nb")))
           .as("containment"))
       .filter(col("containment") >= threshold)
+  }
 
   /** Containment pairs with PREFIX FILTERING over [[hashedShingleSets]]
     * — the scale-safe formulation. A length filter is rightly absent
@@ -322,9 +330,10 @@ object Dedup {
   def containmentPairsPrefix(hsets: DataFrame,
       threshold: Double): DataFrame = {
     // t > 1 would make the prefix length n_sh − ceil(t·n_sh) + 1
-    // NEGATIVE and slice() would throw mid-job, where the unpruned
-    // containmentPairsFromSets just returns empty — validate up front
-    // so both variants reject the same nonsense the same way.
+    // NEGATIVE and slice() would throw mid-job — validate up front, the
+    // same check every pair entry point (pruned or not) now applies, so
+    // prefix and baseline variants reject the same nonsense the same way
+    // instead of one throwing and the other silently returning empty.
     require(threshold > 0 && threshold <= 1,
       s"containment threshold must be in (0, 1], got $threshold")
     val cands = containmentPrefixCandidateRows(hsets, threshold).distinct()

@@ -130,13 +130,18 @@ sealed trait SqlDialect {
     s"DELETE FROM ${quoteIdent(table)} WHERE ${quoteIdent("id")} = ?"
 }
 object SqlDialect {
-  /** PostgreSQL: unquoted DDL folds to lower case. */
+  /** PostgreSQL: unquoted DDL folds to lower case. Locale.ROOT: the
+    * default locale would turn "id" into "İD" under a Turkish-family
+    * JVM locale — engines fold per ASCII, not per user locale.
+    */
   case object Postgres extends SqlDialect {
-    override def foldCase(name: String): String = name.toLowerCase
+    override def foldCase(name: String): String =
+      name.toLowerCase(java.util.Locale.ROOT)
   }
   /** Derby / ANSI default: unquoted DDL folds to UPPER case. */
   case object Derby extends SqlDialect {
-    override def foldCase(name: String): String = name.toUpperCase
+    override def foldCase(name: String): String =
+      name.toUpperCase(java.util.Locale.ROOT)
   }
   /** Address identifiers exactly as given — for tables that were
     * CREATEd with quoted names (what the embedded-Derby integration

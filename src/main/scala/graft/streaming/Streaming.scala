@@ -319,14 +319,23 @@ object Streaming {
     // corrupting the store on the first batch. Migration: rewrite the
     // flat store's rows into docs/ and re-derive bands/ from its
     // signatures (see DEPLOY.md).
-    val flatFiles = new java.io.File(storeDir).listFiles()
-    if (flatFiles != null && flatFiles.exists(f =>
-        f.isFile && (f.getName.endsWith(".parquet") ||
-          f.getName.endsWith(".parquet.crc"))))
+    // Hadoop FS, not java.io.File: the store can live on any FS the
+    // sink writes to (hdfs://, s3a://, file:) — a local-only check
+    // would silently skip the guard exactly where replay corruption is
+    // hardest to notice.
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val storeFs = storePath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val flatFiles =
+      if (storeFs.exists(storePath)) storeFs.listStatus(storePath)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    if (flatFiles.exists(f => f.isFile &&
+        (f.getPath.getName.endsWith(".parquet") ||
+          f.getPath.getName.endsWith(".parquet.crc"))))
       throw new IllegalStateException(
         s"near-dup store at $storeDir uses the pre-split flat parquet " +
-          "layout; migrate it to docs/ + bands/ (DEPLOY.md 'Streaming " +
-          "near-dup store layout') before resuming ingestion")
+          "layout; migrate it to docs/ + bands/ (DEPLOY.md 'Store " +
+          "layout migration') before resuming ingestion")
     def readOpt(dir: String): Option[DataFrame] =
       try Some(spark.read.parquet(dir))
       catch {

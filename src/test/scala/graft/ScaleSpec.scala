@@ -177,16 +177,16 @@ class ScaleSpec extends AnyFunSuite {
     // ~(1−t)·n_sh prefixes (≈ (1−t)² of hot pairs) and the length
     // filter prunes the rest — candidates stay a small fraction.
     import graft.ext.Dedup
+    // per-doc-disjoint vocab (replica-prefixed tokens), hot 3-gram
+    // prepended to every even doc — ONE definition of the prefixing so
+    // hot and cold vocabularies can't silently diverge
+    val disjointVocab = expr("concat_ws(' ', transform(split(text, ' '), " +
+      "w -> concat('d', CAST(doc_id AS STRING), '_', w)))")
     val docs = Tables.documents(spark, TestSpark.Sf0001)
       .select(col("doc_id"),
-        // per-doc-disjoint vocab + the one shared hot 3-gram up front
         when(col("doc_id") % 2 === 0,
-            concat(lit("hot0 hot1 hot2 "),
-              expr("concat_ws(' ', transform(split(text, ' '), " +
-                "w -> concat('d', CAST(doc_id AS STRING), '_', w)))")))
-          .otherwise(
-            expr("concat_ws(' ', transform(split(text, ' '), " +
-              "w -> concat('d', CAST(doc_id AS STRING), '_', w)))"))
+            concat(lit("hot0 hot1 hot2 "), disjointVocab))
+          .otherwise(disjointVocab)
           .as("text"))
     val t = 0.8
     val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)

@@ -358,7 +358,9 @@ class StreamingSpec extends AnyFunSuite {
       Streaming.acceptNearDupBatch(batch, store, 3, 48, 16, 0.8)
     }
     assert(e.getMessage.contains("flat parquet"))
-    assert(e.getMessage.contains("DEPLOY.md"))
+    // the pointer must name the DEPLOY.md subsection VERBATIM — a stale
+    // pointer sends the operator grepping for a heading that isn't there
+    assert(e.getMessage.contains("DEPLOY.md 'Store layout migration'"))
     // a proper split-layout store on the same code path still works
     val fresh = java.nio.file.Files.createTempDirectory("graft_nd_fresh")
       .toString + "/store"
