@@ -125,8 +125,8 @@ object Dedup {
     */
   def ngramJaccardPairsFromHashedSets(hsets: DataFrame,
       threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"jaccard threshold must be in (0, 1], got $threshold")
+    require(threshold >= 0 && threshold <= 1,
+      s"jaccard threshold must be in [0, 1], got $threshold")
     shinglePairCountsHashed(hsets,
         col("b.n_sh") * lit(threshold * (1 - 1e-12)) <= col("a.n_sh") &&
           col("a.n_sh") * lit(threshold * (1 - 1e-12)) <= col("b.n_sh"))
@@ -138,8 +138,8 @@ object Dedup {
 
   def ngramJaccardPairsFromSets(sets: DataFrame,
       threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"jaccard threshold must be in (0, 1], got $threshold")
+    require(threshold >= 0 && threshold <= 1,
+      s"jaccard threshold must be in [0, 1], got $threshold")
     // join on 8-byte shingle hashes, not strings: ~4x smaller shuffle;
     // a 64-bit collision among ~10^6 distinct shingles is ~1e-7 — far
     // below the bit-exactness bar of everything else here. Each inverted
@@ -186,8 +186,8 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
     // same prefix-length failure mode as containmentPairsPrefix: t > 1
     // yields a negative slice length that throws mid-job
-    require(threshold > 0 && threshold <= 1,
-      s"jaccard threshold must be in (0, 1], got $threshold")
+    require(threshold >= 0 && threshold <= 1,
+      s"jaccard threshold must be in [0, 1], got $threshold")
     // Global order = shingle-hash ascending, via the canonical
     // [[hashedShingleSets]] frame (ONE definition of the sorted-hash
     // total order shared with the containment prefix filter). Any
@@ -261,8 +261,8 @@ object Dedup {
     */
   def containmentPairsFromSets(sets: DataFrame,
       threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"containment threshold must be in (0, 1], got $threshold")
+    require(threshold >= 0 && threshold <= 1,
+      s"containment threshold must be in [0, 1], got $threshold")
     // same blocking as Jaccard (shinglePairCounts) with NO length
     // predicate — containment is size-ratio-free by design
     shinglePairCounts(sets, lit(true))
@@ -334,8 +334,8 @@ object Dedup {
     // same check every pair entry point (pruned or not) now applies, so
     // prefix and baseline variants reject the same nonsense the same way
     // instead of one throwing and the other silently returning empty.
-    require(threshold > 0 && threshold <= 1,
-      s"containment threshold must be in (0, 1], got $threshold")
+    require(threshold >= 0 && threshold <= 1,
+      s"containment threshold must be in [0, 1], got $threshold")
     val cands = containmentPrefixCandidateRows(hsets, threshold).distinct()
     cands
       .join(hsets.select(col("doc_id").as("a_id"), col("shs").as("sa"),
