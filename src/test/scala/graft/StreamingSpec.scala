@@ -361,6 +361,13 @@ class StreamingSpec extends AnyFunSuite {
     // the pointer must name the DEPLOY.md subsection VERBATIM — a stale
     // pointer sends the operator grepping for a heading that isn't there
     assert(e.getMessage.contains("DEPLOY.md 'Store layout migration'"))
+    // the guard must fire for FS-URI store paths too — listing through
+    // java.io.File would return null for "file:/..." and silently skip
+    // the check (the corruption it guards against would be silent)
+    val e2 = intercept[IllegalStateException] {
+      Streaming.acceptNearDupBatch(batch, "file:" + store, 3, 48, 16, 0.8)
+    }
+    assert(e2.getMessage.contains("flat parquet"))
     // a proper split-layout store on the same code path still works
     val fresh = java.nio.file.Files.createTempDirectory("graft_nd_fresh")
       .toString + "/store"
