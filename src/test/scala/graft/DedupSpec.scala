@@ -147,6 +147,39 @@ class DedupSpec extends AnyFunSuite {
     assert(osql.contains("1034") && osql.contains("-5705792646171706797"))
   }
 
+  test("every pair entry point rejects threshold > 1 the same way, and " +
+      "accepts the boundary values 0 and 1") {
+    val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+    val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
+    // t > 1: uniform IllegalArgumentException up front — not a negative-
+    // slice crash mid-job (prefix) or a silent empty frame (baselines)
+    for (bad <- Seq(1.0000001, 1.5)) {
+      intercept[IllegalArgumentException](
+        Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", 3, bad))
+      intercept[IllegalArgumentException](
+        Dedup.ngramJaccardPairsFromHashedSets(hsets, bad))
+      intercept[IllegalArgumentException](
+        Dedup.ngramJaccardPairsFromSets(sets, bad))
+      intercept[IllegalArgumentException](
+        Dedup.containmentPairsPrefix(hsets, bad))
+      intercept[IllegalArgumentException](
+        Dedup.containmentPairsFromSets(sets, bad))
+    }
+    // boundaries stay legal: 1.0 (exact duplicates only) and 0.0 (every
+    // co-posting pair — what the property tests enumerate with); prefix
+    // and baseline agree at both
+    val p0 = Dedup.containmentPairsPrefix(hsets, 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val b0 = Dedup.containmentPairsFromSets(sets, 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p0 == b0)
+    val j0 = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", 3, 0.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val jb = Dedup.ngramJaccardPairsFromSets(sets, 0.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(j0 == jb && jb.nonEmpty)
+  }
+
   test("jaccard is symmetric-by-construction and bounded in (0,1]") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .as[(Long, Long, Double)].collect()
