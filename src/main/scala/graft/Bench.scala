@@ -56,21 +56,20 @@ object Bench {
     // deltas — r6's broad +0.3-2 s inflation hit ~20 ZERO-SHUFFLE
     // trivial queries, i.e. fixed per-shape cost (janino codegen
     // compile + C2 JIT on each query's generated classes), not plan
-    // cost. Warm-up therefore runs EVERY registered query once against
-    // the tiny sf0.001 fixture: identical plans generate identical
-    // code, so the codegen cache and JIT profiles are hot when the
-    // measured sfDir run starts, at ~100x less data per query. Skipped
-    // when the sf-suffix rewrite doesn't produce a distinct existing
-    // directory (otherwise the "warm-up" would re-run the whole suite
-    // against the full measured dataset).
+    // cost. Warm-up runs EVERY registered query once at the MEASURED
+    // sfDir (steady-state measurement, the JMH discipline): r8 measured
+    // that warming at sf0.001 leaves a one-time +0.5-1.0 s residual on
+    // each complex-plan query in the first measured pass (second-tier
+    // C2 compilation only triggers at real data volume, and sf0.001
+    // plans can pick different join strategies than the measured scale)
+    // — first-run total 51.8 s vs 40.1/41.6 s steady on identical code.
+    // The extra warm pass costs ~40 s once, outside every timer.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    val warmDir = sfDir.replaceFirst("sf[0-9.]+/*$", "sf0.001")
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count(): Unit }
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(): Unit }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
     // Deterministic inter-query cleanup, OUTSIDE the timed window:
     // localCheckpoint blocks from a finished query otherwise linger in
@@ -85,6 +84,10 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
     }
     releaseCheckpoints() // clear warm-up debt before the first timer
+    // in-flight warm-up task events would otherwise land AFTER the
+    // first query's counter snapshot and inflate its deltas
+    org.apache.spark.GraftListenerBridge.drainListenerBus(
+      spark.sparkContext, 10000)
 
     case class R(sec: Double, shuffleMb: Double, spillMb: Double,
       gcMs: Long, jobs: Long)

@@ -7,8 +7,9 @@ import java.util.concurrent.atomic.AtomicLong
 /** Local per-query timer (builder tool, like [[TuneMinhash]]): times the
   * named registered queries against a data dir under driver-like
   * conditions (local[$SPARK_GRAFT_CPUS], shuffle.partitions = cpus),
-  * after a warm pass of the same shapes at sf0.001 — the same warm-up
-  * discipline [[Bench]] uses, so numbers here track the driver's.
+  * after a warm pass of the same queries at the SAME dir — the
+  * steady-state warm-up discipline [[Bench]] uses (r8), so numbers
+  * here track the driver's.
   * Also reports jobs/stages/tasks per timed run — at the test scales
   * most queries are scheduling-bound, so these counts predict
   * driver-condition cost better than local wall time does.
@@ -41,10 +42,8 @@ object TimeQ {
       }
     })
     spark.range(1000).selectExpr("sum(id)").collect()
-    val w = sfDir.replaceFirst("sf[0-9.]+/*$", "sf0.001")
-    if (w != sfDir && new java.io.File(w).isDirectory)
-      names.foreach { n => try SparkEntry.queries(n)(spark, w).count(): Unit
-        catch { case scala.util.control.NonFatal(_) => () } }
+    names.foreach { n => try SparkEntry.queries(n)(spark, sfDir).count(): Unit
+      catch { case scala.util.control.NonFatal(_) => () } }
     names.foreach { n =>
       org.apache.spark.GraftListenerBridge.drainListenerBus(
         spark.sparkContext, 10000)
