@@ -345,6 +345,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/docs").count() == 1L)
   }
 
+  test("streaming near-dup store works on a non-file FS scheme " +
+      "(object-store stand-in): accept, reject near-dup, flat guard") {
+    // the store is the streaming dedup state — at 100 TB it lives on an
+    // object store, so the whole path (probe read, bands/docs append,
+    // layout guard) must resolve through the Hadoop FS abstraction
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockobj.impl", classOf[MockObjectStoreFs].getName)
+    val text = (1 to 25).map(i => s"o$i").mkString(" ")
+    val batch = Seq((1L, text)).toDF("doc_id", "text")
+    val local = java.nio.file.Files.createTempDirectory("graft_nd_obj")
+      .toString
+    val store = "mockobj:" + local + "/store"
+    assert(Streaming.acceptNearDupBatch(batch, store, 3, 48, 16, 0.8) == 1L)
+    val nearDup = Seq((2L, text + " extra")).toDF("doc_id", "text")
+    assert(Streaming.acceptNearDupBatch(nearDup, store, 3, 48, 16, 0.8) == 0L)
+    assert(spark.read.parquet(s"$store/docs").count() == 1L)
+    // flat-layout guard fires through the scheme too
+    val flat = "mockobj:" + local + "/flat"
+    batch.write.parquet(flat)
+    val e = intercept[IllegalStateException] {
+      Streaming.acceptNearDupBatch(batch, flat, 3, 48, 16, 0.8)
+    }
+    assert(e.getMessage.contains("flat parquet"))
+  }
+
   test("streaming near-dup store: pre-split flat store layout fails " +
       "with a migration error instead of being treated as empty") {
     val text = (1 to 25).map(i => s"m$i").mkString(" ")
