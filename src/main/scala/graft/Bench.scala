@@ -64,13 +64,6 @@ object Bench {
     // plans can pick different join strategies than the measured scale)
     // — first-run total 51.8 s vs 40.1/41.6 s steady on identical code.
     // The extra warm pass costs ~40 s once, outside every timer.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count(): Unit }
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
-
     // Deterministic inter-query cleanup, OUTSIDE the timed window:
     // localCheckpoint blocks from a finished query otherwise linger in
     // the block manager until the ContextCleaner notices the dropped
@@ -83,7 +76,18 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
     }
-    releaseCheckpoints() // clear warm-up debt before the first timer
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(): Unit }
+      catch { case scala.util.control.NonFatal(_) => () }
+      // release per warm query — at-scale checkpoint blocks from all 90
+      // queries would otherwise accumulate across the whole warm pass
+      // (block-manager pressure the timed loop never sees, since it
+      // releases at every boundary)
+      releaseCheckpoints()
+    }
     // in-flight warm-up task events would otherwise land AFTER the
     // first query's counter snapshot and inflate its deltas
     org.apache.spark.GraftListenerBridge.drainListenerBus(

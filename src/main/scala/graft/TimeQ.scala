@@ -41,9 +41,21 @@ object TimeQ {
         tasks.addAndGet(s.stageInfo.numTasks): Unit
       }
     })
+    // same boundary discipline as Bench: warm-pass (and prior timed
+    // queries') checkpoint blocks are released synchronously OUTSIDE
+    // the timers, so async ContextCleaner work never bills a
+    // measurement
+    def releaseCheckpoints(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
+    }
     spark.range(1000).selectExpr("sum(id)").collect()
-    names.foreach { n => try SparkEntry.queries(n)(spark, sfDir).count(): Unit
-      catch { case scala.util.control.NonFatal(_) => () } }
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count(): Unit
+      catch { case scala.util.control.NonFatal(_) => () }
+      releaseCheckpoints()
+    }
     names.foreach { n =>
       org.apache.spark.GraftListenerBridge.drainListenerBus(
         spark.sparkContext, 10000)
@@ -55,6 +67,7 @@ object TimeQ {
         spark.sparkContext, 10000)
       println(f"TIMEQ $n $sec%.2f s rows=$c jobs=${jobs.get() - j0} " +
         f"stages=${stages.get() - s0} tasks=${tasks.get() - t0c}")
+      releaseCheckpoints()
     }
     spark.stop()
   }

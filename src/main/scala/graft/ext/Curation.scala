@@ -39,6 +39,12 @@ object Curation {
   def dropNearDupes(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // STRICTLY positive here, though the pair APIs accept 0: this
+    // operator DROPS rows, and t = 0 (the unset-Double default) would
+    // silently discard every doc sharing a single shingle with any
+    // lower-id doc — near-total corpus loss, not a curation setting
+    require(threshold > 0 && threshold <= 1,
+      s"drop threshold must be in (0, 1], got $threshold")
     // hashed sets feed both pair-join sides as separate stages (AQE
     // does not reuse the identical exchanges) — callers that can
     // materialize pass `_.localCheckpoint()` and tokenize+shingle once
@@ -58,6 +64,10 @@ object Curation {
     */
   def dropNearDupesTransitive(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
+    // same strictly-positive guard as [[dropNearDupes]]: t = 0 here
+    // would collapse every co-posting doc into one component
+    require(threshold > 0 && threshold <= 1,
+      s"drop threshold must be in (0, 1], got $threshold")
     val pairs = Dedup.ngramJaccardPairs(docs, textCol, idCol, 3, threshold)
     val drops = Dedup.connectedComponents(pairs, "a_id", "b_id")
       .filter(col("node") =!= col("component"))

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   * through an inverted shingle index; MinHash compares only
   * band-bucket collisions; SimHash compares only pairs sharing one of
   * four 16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ some chunk equal).
+  *
+  * Threshold-0 semantics (applies to every Jaccard/containment pair
+  * operator): blocking only ever produces CO-POSTING pairs (≥ 1 shared
+  * shingle). For any t > 0 that is exactly the documented
+  * { pairs | score ≥ t } — a qualifying pair must share a shingle — so
+  * blocking loses nothing. At the t = 0 boundary the output is the
+  * co-posting pair set, NOT all n² pairs: disjoint pairs (score 0) are
+  * definitionally absent. The property tests use t = 0 as precisely
+  * that enumeration. Destructive consumers ([[Curation.dropNearDupes]])
+  * require t > 0 instead — dropping on "shares any shingle" is corpus
+  * loss, not curation.
   */
 object Dedup {
 
@@ -438,6 +449,16 @@ object Dedup {
   def minhashNearDupPairsFromSets(sets: DataFrame, numPerms: Int,
       bands: Int, threshold: Double,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // t = 0 is excluded (unlike the enumeration-style jaccard entry
+    // points): banded LSH is a threshold-tuned filter — at 0 the
+    // verification keeps every banded candidate, which is neither the
+    // full pair set nor a meaningful near-dup set. A non-divisible
+    // (numPerms, bands) would silently drop numPerms % bands
+    // permutations from every signature.
+    require(threshold > 0 && threshold <= 1,
+      s"minhash threshold must be in (0, 1], got $threshold")
+    require(bands >= 1 && numPerms % bands == 0,
+      s"numPerms ($numPerms) must be a positive multiple of bands ($bands)")
     val cands = lshCandidates(minhashSignatures(sets, numPerms), bands,
       numPerms / bands, materialize)
     cands
@@ -460,6 +481,11 @@ object Dedup {
   def minhashNearDupPairsFromHashedSets(hsets: DataFrame, numPerms: Int,
       bands: Int, threshold: Double,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // same bounds as minhashNearDupPairsFromSets (see there for why)
+    require(threshold > 0 && threshold <= 1,
+      s"minhash threshold must be in (0, 1], got $threshold")
+    require(bands >= 1 && numPerms % bands == 0,
+      s"numPerms ($numPerms) must be a positive multiple of bands ($bands)")
     val cands = lshCandidates(minhashSignaturesFromHashed(hsets, numPerms),
       bands, numPerms / bands, materialize)
     cands
@@ -536,13 +562,20 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16):
-    * blocked by four 16-bit chunks — a pair within Hamming 3 must agree
-    * on at least one chunk, so only chunk-collisions are compared.
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming: blocked
+    * by four 16-bit chunks — pigeonhole over 4 chunks guarantees a pair
+    * within Hamming 3 agrees on at least one chunk, so only
+    * chunk-collisions are compared. maxHamming is therefore capped at
+    * 3: a larger bound would VALIDATE but the blocking would silently
+    * miss pairs whose differing bits touch all four chunks (recall
+    * loss, not an error an output filter can surface).
     */
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (4-chunk pigeonhole guarantees " +
+        s"recall only through hamming 3), got $maxHamming")
     val fps = simhash(docs, textCol, idCol)
     // the chunked frame feeds both self-join sides — without
     // materialization the 64-bit-sum simhash aggregation runs twice

@@ -165,6 +165,22 @@ class DedupSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](
         Dedup.containmentPairsFromSets(sets, bad))
     }
+    // LSH and destructive entry points validate too — minhash is
+    // threshold-tuned (t = 0 excluded) and rejects non-divisible
+    // (numPerms, bands); simhash caps maxHamming at the pigeonhole
+    // guarantee; curation refuses the drop-everything t = 0
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDupPairsFromHashedSets(hsets, 48, 16, 1.5))
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDupPairsFromSets(sets, 48, 16, 0.0))
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDupPairsFromSets(sets, 50, 16, 0.8))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 4))
+    intercept[IllegalArgumentException](
+      graft.ext.Curation.dropNearDupes(docs, "text", "doc_id", 0.0))
+    intercept[IllegalArgumentException](
+      graft.ext.Curation.dropNearDupesTransitive(docs, "text", "doc_id", 0.0))
     // boundaries stay legal: 1.0 (exact duplicates only) and 0.0 (every
     // co-posting pair — what the property tests enumerate with); prefix
     // and baseline agree at both
