@@ -123,6 +123,15 @@ object Similarity {
       // pair, so filtering first is equivalent — and the dedup shuffle
       // then carries only surviving near-dup pairs instead of every
       // candidate collision (a ~1000x reduction on dense corpora).
+      // Measured (r8): the candidates-first alternative — skinny
+      // (vec_id, table_id, bucket) self-join, distinct id-pairs, THEN
+      // attach embeddings and score once per pair — is 1.8x SLOWER at
+      // the registered (L=24, r=3): r=3 leaves only 8 buckets/table, so
+      // nearly every pair collides somewhere and the pre-scoring
+      // distinct shuffles the ~50M-row collision set, where this shape
+      // pipelines scoring inside the join stage and shuffles only the
+      // ~1k survivors. Duplicate dot products across tables are cheap
+      // codegen'd flops; a wide pre-score shuffle is not.
       .filter(col("score") >= threshold)
       .distinct()
   }

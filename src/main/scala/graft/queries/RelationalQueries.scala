@@ -59,11 +59,17 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    // TPC-H Q18 shape: a group-HAVING subquery (large orders) feeds a
-    // LEFT SEMI join into the 3-table rollup. The big-big l⋈o join
-    // shuffles once on orderkey; the customer dim broadcasts; the
-    // HAVING sum runs in DECIMAL so the > threshold compare is exact
-    // on both engines.
+    // TPC-H Q18 shape: a group-HAVING subquery (large orders) feeds the
+    // 3-table rollup. The HAVING sum runs in DECIMAL so the > threshold
+    // compare is exact on both engines. One lineitem pass (r8): the
+    // output grouping (c_name, c_custkey, o_orderkey, o_orderdate,
+    // o_totalprice) is order-granular — o_orderkey functionally
+    // determines every other group column — so total_qty per group IS
+    // the per-order qty the HAVING filter already computed. The
+    // textbook plan re-joins lineitem and re-aggregates; reusing the
+    // HAVING aggregate removes the second lineitem scan, the o⋈l
+    // shuffle join, and the final grouping shuffle, and shrinks the
+    // o-side join to the few HAVING survivors (AQE broadcasts them).
     "q18_large_orders" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -71,13 +77,11 @@ object RelationalQueries {
       val big = l.groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
         .filter(col("qty") > 250)
-        .select(col("l_orderkey").as("big_orderkey"))
-      o.join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
-        .join(l, col("o_orderkey") === col("l_orderkey"))
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
-        .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("qty").cast("double").as("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
         .limit(100)
         .orderBy(col("o_orderkey"))

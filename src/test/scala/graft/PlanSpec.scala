@@ -143,14 +143,20 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 4, "aggs not two-phase:\n" + p)
   }
 
-  test("q18: HAVING subquery joins LEFT SEMI, customer dim broadcasts, " +
-      "quantity rollup two-phase") {
+  test("q18: single lineitem pass — the HAVING aggregate IS the output " +
+      "aggregate (order-granular grouping), no re-join, dims broadcast") {
     val p = plan("q18_large_orders")
-    assert(p.contains("LeftSemi"), "big-order filter not a semi join:\n" + p)
-    assert(p.contains("BroadcastHashJoin"), "customer not broadcast:\n" + p)
+    // exactly 3 scans: lineitem once (not re-joined), orders, customer
+    assert("Scan parquet".r.findAllIn(p).length == 3,
+      "lineitem re-scanned or extra scan:\n" + p)
+    // exactly one two-phase aggregate chain: partial+final for the
+    // HAVING sum, and NO second grouping aggregate after the joins
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      "output aggregation not reused from the HAVING agg:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "dims not broadcast:\n" + p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), "top-100 not fused:\n" + p)
   }
 
   test("weighted sample fuses to TakeOrderedAndProject (per-partition " +
