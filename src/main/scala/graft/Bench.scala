@@ -11,6 +11,22 @@ import java.util.concurrent.atomic.AtomicLong
   * than local wall time does.
   */
 object Bench {
+
+  /** Deterministic inter-query cleanup, run OUTSIDE any timed window:
+    * localCheckpoint blocks from a finished query otherwise linger in
+    * the block manager until the ContextCleaner notices the dropped
+    * references on some later GC — background work that then bills
+    * whichever queries happen to run next (the consecutive slow windows
+    * measured in r7). Unpersisting synchronously between queries pins
+    * that cost to the boundary, not the next measurement. Shared with
+    * [[TimeQ]] so the builder tool's boundary discipline cannot drift
+    * from the driver bench's.
+    */
+  private[graft] def releaseCheckpoints(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.sharedState.cacheManager.clearCache()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -64,19 +80,6 @@ object Bench {
     // plans can pick different join strategies than the measured scale)
     // — first-run total 51.8 s vs 40.1/41.6 s steady on identical code.
     // The extra warm pass costs ~40 s once, outside every timer.
-    // Deterministic inter-query cleanup, OUTSIDE the timed window:
-    // localCheckpoint blocks from a finished query otherwise linger in
-    // the block manager until the ContextCleaner notices the dropped
-    // references on some later GC — background work that then bills
-    // whichever queries happen to run next (the measured consecutive
-    // slow windows above). Unpersisting synchronously between queries
-    // pins that cost to the boundary, not the next measurement.
-    def releaseCheckpoints(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.sharedState.cacheManager.clearCache()
-    }
-
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -86,7 +89,7 @@ object Bench {
       // queries would otherwise accumulate across the whole warm pass
       // (block-manager pressure the timed loop never sees, since it
       // releases at every boundary)
-      releaseCheckpoints()
+      releaseCheckpoints(spark)
     }
     // in-flight warm-up task events would otherwise land AFTER the
     // first query's counter snapshot and inflate its deltas
@@ -109,7 +112,7 @@ object Bench {
       val r = R(sec,
         (shuffleBytes.get() - s0) / 1e6, (spillBytes.get() - p0) / 1e6,
         gcMs.get() - g0, jobCount.get() - j0)
-      releaseCheckpoints()
+      releaseCheckpoints(spark)
       name -> r
     }
     def num(v: Double, dp: Int): String =

@@ -41,20 +41,15 @@ object TimeQ {
         tasks.addAndGet(s.stageInfo.numTasks): Unit
       }
     })
-    // same boundary discipline as Bench: warm-pass (and prior timed
-    // queries') checkpoint blocks are released synchronously OUTSIDE
-    // the timers, so async ContextCleaner work never bills a
-    // measurement
-    def releaseCheckpoints(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.sharedState.cacheManager.clearCache()
-    }
+    // same boundary discipline as Bench (shared helper): warm-pass
+    // (and prior timed queries') checkpoint blocks are released
+    // synchronously OUTSIDE the timers, so async ContextCleaner work
+    // never bills a measurement
     spark.range(1000).selectExpr("sum(id)").collect()
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count(): Unit
       catch { case scala.util.control.NonFatal(_) => () }
-      releaseCheckpoints()
+      Bench.releaseCheckpoints(spark)
     }
     names.foreach { n =>
       org.apache.spark.GraftListenerBridge.drainListenerBus(
@@ -67,7 +62,7 @@ object TimeQ {
         spark.sparkContext, 10000)
       println(f"TIMEQ $n $sec%.2f s rows=$c jobs=${jobs.get() - j0} " +
         f"stages=${stages.get() - s0} tasks=${tasks.get() - t0c}")
-      releaseCheckpoints()
+      Bench.releaseCheckpoints(spark)
     }
     spark.stop()
   }

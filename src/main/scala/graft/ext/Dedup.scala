@@ -457,7 +457,7 @@ object Dedup {
     // permutations from every signature.
     require(threshold > 0 && threshold <= 1,
       s"minhash threshold must be in (0, 1], got $threshold")
-    require(bands >= 1 && numPerms % bands == 0,
+    require(numPerms >= 1 && bands >= 1 && numPerms % bands == 0,
       s"numPerms ($numPerms) must be a positive multiple of bands ($bands)")
     val cands = lshCandidates(minhashSignatures(sets, numPerms), bands,
       numPerms / bands, materialize)
@@ -484,7 +484,7 @@ object Dedup {
     // same bounds as minhashNearDupPairsFromSets (see there for why)
     require(threshold > 0 && threshold <= 1,
       s"minhash threshold must be in (0, 1], got $threshold")
-    require(bands >= 1 && numPerms % bands == 0,
+    require(numPerms >= 1 && bands >= 1 && numPerms % bands == 0,
       s"numPerms ($numPerms) must be a positive multiple of bands ($bands)")
     val cands = lshCandidates(minhashSignaturesFromHashed(hsets, numPerms),
       bands, numPerms / bands, materialize)

@@ -278,7 +278,10 @@ object Streaming {
     */
   def nearDupDedupSink(docs: DataFrame, storeDir: String,
       checkpointDir: String, n: Int = 3, numPerms: Int = 48,
-      bands: Int = 16, threshold: Double = 0.8): DataStreamWriter[Row] =
+      bands: Int = 16, threshold: Double = 0.8): DataStreamWriter[Row] = {
+    // fail at sink CONSTRUCTION, not inside the first foreachBatch —
+    // a bad parameter inside the batch would throw on every replay
+    requireNearDupParams(n, numPerms, bands, threshold)
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         acceptNearDupBatch(batch.toDF(), storeDir, n, numPerms, bands,
@@ -286,6 +289,26 @@ object Streaming {
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
+  }
+
+  /** Parameter guard shared by the sink and the batch-callable entry:
+    * mirrors [[graft.ext.Dedup.minhashNearDupPairsFromSets]] (divisible
+    * positive perms/bands) and [[graft.ext.Curation.dropNearDupes]]
+    * (strictly positive threshold) — this path REJECTS docs
+    * irreversibly, so t = 0, which would reject every co-posting doc
+    * from the corpus forever, is a config error, not a setting; a
+    * non-divisible (numPerms, bands) would silently drop
+    * numPerms % bands permutations from every STORED signature, baking
+    * recall loss into the store.
+    */
+  private def requireNearDupParams(n: Int, numPerms: Int, bands: Int,
+      threshold: Double): Unit = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    require(threshold > 0 && threshold <= 1,
+      s"near-dup reject threshold must be in (0, 1], got $threshold")
+    require(numPerms >= 1 && bands >= 1 && numPerms % bands == 0,
+      s"numPerms ($numPerms) must be a positive multiple of bands ($bands)")
+  }
 
   /** The band index a batch probes against, pruned to `buckets`: the
     * partition filter reaches the parquet scan, so only matching
@@ -306,6 +329,7 @@ object Streaming {
   def acceptNearDupBatch(batch: DataFrame, storeDir: String, n: Int,
       numPerms: Int, bands: Int, threshold: Double): Long = {
     import graft.ext.Dedup
+    requireNearDupParams(n, numPerms, bands, threshold)
     val spark = batch.sparkSession
     val rowsPerBand = numPerms / bands
     val docsDir = s"$storeDir/docs"

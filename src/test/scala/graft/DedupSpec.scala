@@ -147,8 +147,10 @@ class DedupSpec extends AnyFunSuite {
     assert(osql.contains("1034") && osql.contains("-5705792646171706797"))
   }
 
-  test("every pair entry point rejects threshold > 1 the same way, and " +
-      "accepts the boundary values 0 and 1") {
+  test("every pair entry point rejects threshold > 1 the same way; the " +
+      "enumeration-style jaccard/containment entry points accept the " +
+      "boundary values 0 and 1, while LSH and destructive entry points " +
+      "reject t = 0 and degenerate parameters") {
     val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
     val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
     // t > 1: uniform IllegalArgumentException up front — not a negative-
@@ -175,6 +177,13 @@ class DedupSpec extends AnyFunSuite {
       Dedup.minhashNearDupPairsFromSets(sets, 48, 16, 0.0))
     intercept[IllegalArgumentException](
       Dedup.minhashNearDupPairsFromSets(sets, 50, 16, 0.8))
+    // "positive multiple" means positive: 0 and negative exact
+    // multiples (0 % b == 0, -16 % 16 == 0) must not slip through to
+    // an opaque head-of-empty-list crash in signature construction
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDupPairsFromSets(sets, 0, 1, 0.8))
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDupPairsFromHashedSets(hsets, -16, 16, 0.8))
     intercept[IllegalArgumentException](
       Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 4))
     intercept[IllegalArgumentException](

@@ -399,6 +399,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streaming.acceptNearDupBatch(batch, fresh, 3, 48, 16, 0.8) == 1L)
   }
 
+  test("streaming near-dup sink and batch entry validate parameters up " +
+      "front: t = 0 (reject-everything), non-divisible or non-positive " +
+      "(numPerms, bands), and n < 1 all fail before touching the store") {
+    val text = (1 to 25).map(i => s"v$i").mkString(" ")
+    val batch = Seq((1L, text)).toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft_nd_val")
+      .toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_valck")
+      .toString
+    // the sink throws at CONSTRUCTION (not on first micro-batch replay)
+    intercept[IllegalArgumentException](
+      Streaming.nearDupDedupSink(batch, store, ckpt, threshold = 0.0))
+    intercept[IllegalArgumentException](
+      Streaming.nearDupDedupSink(batch, store, ckpt, numPerms = 50))
+    // the batch-callable entry rejects the same parameters, and the
+    // guard fires before any store I/O (nothing is created under store)
+    intercept[IllegalArgumentException](
+      Streaming.acceptNearDupBatch(batch, store, 3, 48, 16, 0.0))
+    intercept[IllegalArgumentException](
+      Streaming.acceptNearDupBatch(batch, store, 3, 0, 1, 0.8))
+    intercept[IllegalArgumentException](
+      Streaming.acceptNearDupBatch(batch, store, 0, 48, 16, 0.8))
+    assert(!new java.io.File(store).exists())
+    // legal parameters on the same paths still work
+    assert(Streaming.acceptNearDupBatch(batch, store, 3, 48, 16, 0.8) == 1L)
+  }
+
   test("stateful dedup drops duplicate event_ids within watermark") {
     val dir = eventsDir
     // duplicate the source: same rows twice -> dedup must halve them
