@@ -42,7 +42,15 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
     // 2.3 equi-join chain (TPC-H Q3 shape): broadcast dim → fact,
-    // revenue top-10 via TakeOrderedAndProject.
+    // revenue top-10 via TakeOrderedAndProject. Join-then-aggregate is
+    // kept, unlike q18 below: an eager-aggregation variant (lineitem
+    // pre-aggregated below the join) measured at PARITY at sf0.1 (r8,
+    // 0.6-0.8 s steady both) — the selective o/c filters mean
+    // pre-aggregation pays full aggregate cost on the ~90% of orders
+    // the join discards, and on a randomly-partitioned lineitem the
+    // map-side partial combine only shaved ~20% of shuffled rows.
+    // Revisit only for an orderkey-clustered layout, where partial
+    // combine collapses each order to one row per map partition.
     "q3_top_orders" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
