@@ -399,6 +399,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streaming.acceptNearDupBatch(batch, fresh, 3, 48, 16, 0.8) == 1L)
   }
 
+  test("property: streaming greedy acceptance equals the driver-side " +
+      "sequential greedy on a randomized near-dup corpus, across any " +
+      "batch split") {
+    // The contract under test (scaladoc on nearDupDedupSink): docs are
+    // considered in id order; a doc is rejected iff J >= t against an
+    // already-ACCEPTED doc; rejected docs never block anyone; docs too
+    // short to shingle pass straight through. A seeded random corpus
+    // with planted mutation chains exercises shapes the fixed fixtures
+    // can't (rejected-blocker chains, mutual near-dups across batches,
+    // short docs interleaved), and the reference below is an
+    // independent 15-line driver-side implementation of the same
+    // contract — not a re-run of the Spark path.
+    val rnd = new scala.util.Random(4242)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val n = 3
+    val t = 0.8
+    def randDoc(len: Int): Vector[String] =
+      Vector.fill(len)(vocab(rnd.nextInt(vocab.length)))
+    // ~1/3 fresh docs, ~2/3 mutations of an earlier doc (swap 0-3
+    // tokens — some land above the threshold, some below)
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    for (id <- 1L to 60L) {
+      val toks =
+        if (docs.isEmpty || rnd.nextInt(3) == 0)
+          randDoc(2 + rnd.nextInt(28)) // includes sub-n shorties
+        else {
+          val base = docs(rnd.nextInt(docs.size))._2.split(" ").toVector
+          val nMut = rnd.nextInt(4)
+          (0 until nMut).foldLeft(base) { (v, _) =>
+            v.updated(rnd.nextInt(v.length), vocab(rnd.nextInt(vocab.length)))
+          }
+        }
+      docs += ((id, toks.mkString(" ")))
+    }
+    // driver-side reference greedy over string shingles
+    def shingles(text: String): Set[String] = {
+      val w = text.split(" ")
+      if (w.length < n) Set.empty
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    def jaccard(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty || b.isEmpty) 0.0
+      else (a & b).size.toDouble / (a | b).size
+    val expected = scala.collection.mutable.LinkedHashMap.empty[Long, Set[String]]
+    for ((id, text) <- docs) {
+      val sh = shingles(text)
+      val dup = sh.nonEmpty && expected.values.exists(acc =>
+        acc.nonEmpty && jaccard(sh, acc) >= t)
+      if (!dup) expected += ((id, sh))
+    }
+    // stream the same corpus through the store in 4 uneven batches
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_nd_prop").toString + "/store"
+    val splits = Seq(docs.slice(0, 7), docs.slice(7, 25),
+      docs.slice(25, 26), docs.slice(26, 60))
+    splits.foreach { chunk =>
+      Streaming.acceptNearDupBatch(chunk.toSeq.toDF("doc_id", "text"),
+        store, n, 48, 16, t): Unit
+    }
+    val got = spark.read.parquet(s"$store/docs").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == expected.keySet.toSet,
+      s"greedy sets differ: extra=${got -- expected.keySet} " +
+        s"missing=${expected.keySet.toSet -- got}")
+    // sanity: the corpus actually exercised both outcomes
+    assert(got.size > 5 && got.size < 60)
+  }
+
   test("streaming near-dup sink and batch entry validate parameters up " +
       "front: t = 0 (reject-everything), non-divisible or non-positive " +
       "(numPerms, bands), and n < 1 all fail before touching the store") {
