@@ -46,19 +46,37 @@ object Clustering {
 
   /** Nearest-centroid assignment: (idCol, cell_id, d2, vecCol) — ties
     * break toward the smaller cell_id via the lexicographic
-    * `min(struct(d2, cell_id))`, which partial-aggregates map-side so
-    * the shuffle is one row per vector regardless of k.
+    * `array_min(struct(d2, cell_id))` fold over the packed centroid
+    * array. ZERO shuffle (r8): the ≤k centroid rows collapse into ONE
+    * broadcast array row and the argmin runs per corpus row map-side —
+    * the `crossJoin(broadcast) + groupBy(min(struct))` formulation this
+    * replaced shuffled one row per VECTOR, i.e. a full-corpus exchange
+    * per Lloyd iteration at 100 TB. The distance HOF is interpreted
+    * (HigherOrderFunctions are CodegenFallback), a per-row constant
+    * factor traded for the corpus-wide shuffle; `array_min` over
+    * struct(d2, cell_id) keeps the exact lexicographic tie-break of
+    * `min(struct(...))`, and cells with a null centroid are filtered
+    * before the fold (they could otherwise win the argmin — struct
+    * ordering puts nulls first).
     */
   def assign(vecs: DataFrame, centroids: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding"): DataFrame = {
+    val packed = centroids
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))
+        .as("cells"))
+    val scored = transform(
+      filter(col("cells"), c => c.getField("centroid").isNotNull),
+      c => struct(l2sqF(col(vecCol), c.getField("centroid")).as("d2"),
+        c.getField("cell_id").as("cell_id")))
     vecs.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", l2sqF(col(vecCol), col("centroid")))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("d2"), col("cell_id"))).as("m"),
-        first(col(vecCol)).as(vecCol))
+      .crossJoin(broadcast(packed))
+      .withColumn("m", array_min(scored))
+      // empty/all-null centroid set: the old inner join dropped every
+      // row; keep that contract
+      .filter(col("m.cell_id").isNotNull)
       .select(col(idCol), col("m.cell_id").as("cell_id"),
         col("m.d2").as("d2"), col(vecCol))
+  }
 
   /** Per-(cell, dim) mean of the assigned vectors, decimal-summed for
     * order-independence: (cell_id, dim, n, centroid). This long form is

@@ -213,20 +213,28 @@ object Similarity {
     * train offline and persist the cell assignment as a partition key.
     */
   def ivfAssign(vecs: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
-    // argmin over cells via the lexicographic min(struct(cdist, cell_id))
-    // — same tie-break as a (cdist, cell_id)-ordered rank-1 window, but
-    // it partial-aggregates map-side, so the shuffle carries ONE row per
-    // vector instead of one per (vector, cell) with the embedding
-    // payload ×cells (the window formulation this replaced).
+    // argmin over cells via the lexicographic array_min(struct(cdist,
+    // cell_id)) fold over the packed centroid array — ZERO shuffle
+    // (r8): the ≤cells centroid rows collapse into one broadcast array
+    // row and the argmin runs per corpus row map-side. The groupBy
+    // min(struct) formulation this replaced shuffled one row per
+    // vector — a full-corpus exchange per execution at 100 TB (itself
+    // the replacement for the ×cells window formulation). Same
+    // tie-break (smaller cell_id), null centroids filtered before the
+    // fold, null vectors dropped — the old join condition's contract.
     val passthrough = vecs.columns.filter(c => c != "vec_id" && c != vecCol)
-    val scored = vecs.join(broadcast(centroids),
-        col(vecCol).isNotNull && col("centroid").isNotNull)
-      .withColumn("cdist", -dot(col(vecCol), col("centroid")) /
-        (norm(col(vecCol)) * norm(col("centroid"))))
-    val aggs = min(struct(col("cdist"), col("cell_id"))).as("m") +:
-      (vecCol +: passthrough.toSeq).map(c => first(col(c)).as(c))
-    scored.groupBy(col("vec_id"))
-      .agg(aggs.head, aggs.tail: _*)
+    val packed = centroids
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))
+        .as("cells"))
+    val scored = transform(
+      filter(col("cells"), c => c.getField("centroid").isNotNull),
+      c => struct((-dot(col(vecCol), c.getField("centroid")) /
+          (norm(col(vecCol)) * norm(c.getField("centroid")))).as("cdist"),
+        c.getField("cell_id").as("cell_id")))
+    vecs.filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(packed))
+      .withColumn("m", array_min(scored))
+      .filter(col("m.cell_id").isNotNull)
       .select(col("vec_id") +: col("m.cell_id").as("cell_id") +:
         (vecCol +: passthrough.toSeq).map(col): _*)
   }
@@ -268,17 +276,25 @@ object Similarity {
       Clustering.lloyd(corpus, cells, iters = 2, materialize = materialize))
     val indexed = ivfAssign(
       corpus.withColumn("nrm", norm(col("embedding"))), "embedding", cents)
-    // nprobe nearest cells per query, by the same metric ivfAssign uses
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist"), col("cell_id"))
+    // nprobe nearest cells per query, by the same metric ivfAssign
+    // uses: slice(array_sort(...), 1, nprobe) over the packed centroid
+    // array — ascending lexicographic struct order = the (cdist,
+    // cell_id) window rank it replaced, with ZERO exchange (the window
+    // formulation shuffled the query set per execution)
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))
+        .as("cells"))
     val probes = queries
       .withColumn("qnrm", norm(col("query_vec")))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdist", -dot(col("query_vec"), col("centroid")) /
-        (col("qnrm") * norm(col("centroid"))))
-      .withColumn("crank", row_number().over(qw))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("query_vec"), col("qnrm"), col("cell_id"))
+      .crossJoin(broadcast(packed))
+      .select(col("query_id"), col("query_vec"), col("qnrm"),
+        explode(slice(array_sort(transform(
+          filter(col("cells"), c => c.getField("centroid").isNotNull),
+          c => struct((-dot(col("query_vec"), c.getField("centroid")) /
+              (col("qnrm") * norm(c.getField("centroid")))).as("cdist"),
+            c.getField("cell_id").as("cell_id")))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("query_vec"), col("qnrm"),
+        col("p.cell_id").as("cell_id"))
     val scored = indexed.as("c")
       .join(broadcast(probes.as("q")),
         col("q.cell_id") === col("c.cell_id") &&

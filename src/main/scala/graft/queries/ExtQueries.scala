@@ -402,7 +402,12 @@ object ExtQueries {
           k = 10, cells = 8, nprobe = 3,
           materialize = _.localCheckpoint())
         .select(col("query_id"), col("rank"), col("vec_id"))
-        .orderBy(col("query_id"), col("rank")))
+        // 50-row result: coalesce(1) + in-partition sort gives the
+        // same deterministic output as a global orderBy WITHOUT the
+        // range-partitioner sampling job + exchange — this query's
+        // cost is pure per-job scheduling (24 single-task jobs), so
+        // every job removed is wall-clock
+        .coalesce(1).sortWithinPartitions(col("query_id"), col("rank")))
   )
 
   private val ShingleCte =

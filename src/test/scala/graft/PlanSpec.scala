@@ -109,18 +109,25 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "vote agg not two-phase:\n" + p)
   }
 
-  test("kmeans step: centroids broadcast, argmin collapses map-side " +
-      "(partial min before the vec_id shuffle), codegen'd l2sq") {
+  test("kmeans step: packed centroids broadcast as ONE array row, " +
+      "assignment is a zero-shuffle map-side array_min fold, codegen'd " +
+      "l2sq inside the fold") {
     val p = plan("q_kmeans_step")
     assert(!p.contains("CartesianProduct"), p)
-    // the one nested-loop is the constant k-row centroid broadcast
+    // the one nested-loop is the constant 1-row packed-centroid broadcast
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
     assert(p.contains("l2sq_f32"), "assignment not the native expression:\n" + p)
+    assert(p.contains("array_min(transform"),
+      "assignment not the per-row argmin fold:\n" + p)
     assert(!p.contains("ScalaUDF"), p)
-    // argmin is a two-phase SortAggregate (struct-min has no hash-agg
-    // buffer): partial_min collapses map-side, the exchange carries one
-    // row per vector
-    assert(p.contains("partial_min(struct(d2"), "argmin not map-side:\n" + p)
+    // the assignment contributes NO exchange (the groupBy formulation
+    // shuffled one row per vector — a full-corpus exchange per Lloyd
+    // iteration at scale): the only exchanges left are the (cell, dim)
+    // recompute agg and the output sort
+    val plainExchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length -
+      "ReusedExchange".r.findAllIn(p).length
+    assert(plainExchanges == 2, "assignment added a shuffle:\n" + p)
     // recompute is the usual two-phase hash agg
     assert("HashAggregate".r.findAllIn(p).length >= 2, "recompute not two-phase:\n" + p)
   }
