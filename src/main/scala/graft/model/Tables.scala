@@ -45,23 +45,69 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
-    * natively ([PARQUET_TYPE_ILLEGAL]); read it as a nanos Long via the
-    * legacy flag and truncate to Spark's µs timestamp precision
-    * (`ts div 1000` — floor, matching DuckDB's ns→µs cast).
+  /** `events.ts` has shipped under two physical parquet types across
+    * fixture generations: TIMESTAMP(NANOS) (r1-r7; unreadable natively,
+    * [PARQUET_TYPE_ILLEGAL], so the legacy flag surfaces it as a nanos
+    * Long) and plain timestamp[us] (r8 regeneration; arrives as
+    * TIMESTAMP_NTZ under Spark 4's parquet NTZ inference). Loading with
+    * the flag set is safe for both — it only affects NANOS columns — so
+    * `eventsNative` reads once and callers branch on the loaded dtype.
+    * Any OTHER dtype is fixture drift and must fail loudly, not produce
+    * silently-wrong timestamps (see FixtureCheck / FixtureSchemaSpec).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def eventsNative(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
-  /** Raw events with `ts` as an epoch-nanos Long (for F3-style queries). */
-  def eventsRawNanos(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+  private def badTsType(dt: DataType): Nothing = throw new IllegalStateException(
+    s"events.ts has unsupported dtype ${dt.sql}: expected BIGINT (epoch " +
+      "nanos, legacy fixtures), TIMESTAMP, or TIMESTAMP_NTZ (current " +
+      "fixtures). The testdata schema drifted again — update Tables.events.")
+
+  /** Canonical events view: `ts` is always Spark TimestampType (µs, UTC
+    * session). Nanos-Long fixtures floor-truncate ns→µs (`ts div 1000`,
+    * matching DuckDB's ns→µs cast); timestamp fixtures pass through
+    * (NTZ reinterpreted as UTC — the generator writes naive-UTC wall
+    * times, so the epoch-µs values are identical to the legacy path's).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = eventsNative(s, d)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => badTsType(other)
+    }
   }
+
+  /** Raw events with `ts` as an epoch-nanos Long (for F3-style queries).
+    * On timestamp-typed fixtures the nanos view is derived
+    * (`unix_micros(ts) * 1000` — zero-padded ns, the same convention as
+    * the archive shape); note a predicate on the DERIVED column cannot
+    * reach the scan — filter-pushdown paths must branch on
+    * [[eventsTsIsNanosLong]] and compare in the native column space
+    * (see RefQueries.eventsAsIotBefore).
+    */
+  def eventsRawNanos(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = eventsNative(s, d)
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => badTsType(other)
+    }
+  }
+
+  /** True when the on-disk `events.ts` is the legacy nanos-as-Long
+    * encoding (schema-only probe; reads footers, not data).
+    */
+  def eventsTsIsNanosLong(s: SparkSession, d: String): Boolean =
+    eventsNative(s, d).schema("ts").dataType == LongType
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
