@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.model.FixtureCheck
+
+/** The r8 incident regression guard: the driver regenerated testdata
+  * mid-round and `events.ts` silently changed physical type, costing 18
+  * queries and 34 tests for a round. This spec (a) fails with a
+  * readable, column-naming message if the CURRENT testdata drifts
+  * outside the accepted contract again, and (b) proves the canary
+  * itself detects drift (red on synthetic drifted schemas — a canary
+  * that can't fire is worse than none).
+  */
+class FixtureSchemaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("canary: current testdata matches the fixture schema contract " +
+    "(footer-only probe; a failure here means the driver regenerated " +
+    "fixtures — read the message, fix the reader or the contract)") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val drift = FixtureCheck.driftAll(spark, sf)
+      assert(drift.isEmpty, s"\nFIXTURE DRIFT at $sf:\n  " + drift.mkString("\n  "))
+    }
+  }
+
+  test("canary fires on a retyped column, naming table.column, the " +
+    "arrived dtype, and the accepted set (the r8 events.ts class)") {
+    // events with ts as String — the shape of an incompatible regeneration
+    val drifted = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", StringType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val msgs = FixtureCheck.drift("events", drifted)
+    assert(msgs.size == 1, msgs)
+    assert(msgs.head.contains("events.ts") && msgs.head.contains("DRIFTED") &&
+      msgs.head.contains("STRING"), msgs.head)
+  }
+
+  test("canary accepts every encoding the events reader handles and " +
+    "rejects none of them (Long ns | TIMESTAMP | TIMESTAMP_NTZ)") {
+    for (dt <- Seq(LongType, TimestampType, TimestampNTZType)) {
+      val s = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", dt),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      assert(FixtureCheck.drift("events", s).isEmpty, dt)
+    }
+  }
+
+  test("canary fires on missing and unexpected columns") {
+    val s = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("payload", BinaryType))) // props gone, payload new
+    val msgs = FixtureCheck.drift("events", s)
+    assert(msgs.exists(m => m.contains("events.props") && m.contains("MISSING")), msgs)
+    assert(msgs.exists(m => m.contains("events.payload") && m.contains("UNEXPECTED")), msgs)
+  }
+
+  test("canary fires red end-to-end on a synthetic drifted PARQUET " +
+    "fixture on disk, green on an untouched copy") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_canary").toString
+    // untouched: copy the real events fixture through a re-write
+    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .write.mode("overwrite").parquet(s"$dir/ok/events.parquet")
+    for (t <- FixtureCheck.expected.keys if t != "events")
+      spark.read.parquet(s"${TestSpark.Sf0001}/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/ok/$t.parquet")
+    assert(FixtureCheck.driftAll(spark, s"$dir/ok").isEmpty)
+    // drifted: ts re-typed to String on disk
+    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .withColumn("ts", col("ts").cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/bad/events.parquet")
+    for (t <- FixtureCheck.expected.keys if t != "events")
+      spark.read.parquet(s"${TestSpark.Sf0001}/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/bad/$t.parquet")
+    val drift = FixtureCheck.driftAll(spark, s"$dir/bad")
+    assert(drift.size == 1 && drift.head.contains("events.ts"), drift)
+  }
+}
