@@ -29,6 +29,12 @@ object Bench {
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Self-test hook for the loud-failure contract: queries named here
+    // throw at execution time, which must surface as n_failed>0 +
+    // "failed":[...] in the stdout line and an "errs" entry in the
+    // detail file. Never set by the driver.
+    val injectFail = sys.env.get("SPARK_GRAFT_FAIL_INJECT")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,6 +58,16 @@ object Bench {
     val spillBytes = new AtomicLong(0L)
     val gcMs = new AtomicLong(0L)
     val jobCount = new AtomicLong(0L)
+    // r9 wall-vs-work attribution (the r8 inflation cluster had +8 s
+    // wall with gc_ms 0 and no spill — invisible to the old counters):
+    // per-query sums of executor RUN time (work actually done) and
+    // scheduler delay (task sat unlaunched / undelivered — the UI's
+    // AppStatusUtils formula). wall >> exec_ms+overheads with low
+    // sched_delay_ms = driver/machine stall between jobs; high
+    // sched_delay_ms = executor-side contention. Both ≈ wall = the
+    // plan itself is the cost.
+    val execRunMs = new AtomicLong(0L)
+    val schedDelayMs = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -59,6 +75,16 @@ object Bench {
           shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
           spillBytes.addAndGet(m.memoryBytesSpilled): Unit
           gcMs.addAndGet(m.jvmGCTime): Unit
+          execRunMs.addAndGet(m.executorRunTime): Unit
+          val info = t.taskInfo
+          if (info != null) {
+            val gettingResult =
+              if (info.gettingResultTime > 0) info.finishTime - info.gettingResultTime
+              else 0L
+            schedDelayMs.addAndGet(math.max(0L,
+              info.duration - m.executorRunTime - m.executorDeserializeTime -
+                m.resultSerializationTime - gettingResult)): Unit
+          }
         }
       }
       override def onJobStart(j: SparkListenerJobStart): Unit = {
@@ -82,9 +108,14 @@ object Bench {
     // The extra warm pass costs ~40 s once, outside every timer.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.foreach { case (name, fn) =>
       try { fn(spark, sfDir).count(): Unit }
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        // loud even in warm-up: a query that cannot run here will fail
+        // the measured pass too — surface the first evidence
+        System.err.println(s"[bench] WARM-PASS FAILURE $name: " +
+          s"${e.getClass.getName}: ${e.getMessage}")
+      }
       // release per warm query — at-scale checkpoint blocks from all 90
       // queries would otherwise accumulate across the whole warm pass
       // (block-manager pressure the timed loop never sees, since it
@@ -97,13 +128,28 @@ object Bench {
       spark.sparkContext, 10000)
 
     case class R(sec: Double, shuffleMb: Double, spillMb: Double,
-      gcMs: Long, jobs: Long)
+      gcMs: Long, jobs: Long, execMs: Long, schedDelayMs: Long,
+      err: Option[String])
     val results = SparkEntry.queries.map { case (name, fn) =>
       val s0 = shuffleBytes.get(); val p0 = spillBytes.get()
       val g0 = gcMs.get(); val j0 = jobCount.get()
+      val e0 = execRunMs.get(); val d0 = schedDelayMs.get()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case scala.util.control.NonFatal(_) => -1L }
+      // A query that throws is a FAILURE, not a fast success: record
+      // the error per-query and count it in the stdout line. r8's 18
+      // fixture-broken queries each appeared as a ~0.07 s "pass"
+      // inside a rc-0 bench because this catch was silent.
+      val err = try {
+        if (injectFail(name))
+          throw new RuntimeException("injected failure (SPARK_GRAFT_FAIL_INJECT)")
+        fn(spark, sfDir).count(); None
+      }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] FAILURE $name: ${e.getClass.getName}: " +
+          s"${e.getMessage}")
+        Some(s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").replace('\n', ' ').take(300))
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events are delivered async; drain the bus so the
       // delta lands on the query that caused it
@@ -111,10 +157,12 @@ object Bench {
         spark.sparkContext, 10000)
       val r = R(sec,
         (shuffleBytes.get() - s0) / 1e6, (spillBytes.get() - p0) / 1e6,
-        gcMs.get() - g0, jobCount.get() - j0)
+        gcMs.get() - g0, jobCount.get() - j0,
+        execRunMs.get() - e0, schedDelayMs.get() - d0, err)
       releaseCheckpoints(spark)
       name -> r
     }
+    val failed = results.collect { case (k, r) if r.err.isDefined => k }.toSeq
     def num(v: Double, dp: Int): String =
       BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.toPlainString
@@ -127,10 +175,22 @@ object Bench {
     // FILE: the driver's stdout capture keeps only the last ~2000
     // chars, so anything bulky on stdout would truncate the
     // machine-readable line below.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errsJson = results.collect { case (k, r) if r.err.isDefined =>
+      jstr(k) + ":" + jstr(r.err.get)
+    }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec",""" +
+      s""""n_failed":${failed.size},"errs":$errsJson,""" +
       s""""queries":${m1(_.sec, 3)},"shuffle_mb":${m1(_.shuffleMb, 3)},""" +
       s""""spill_mb":${m1(_.spillMb, 3)},"gc_ms":${m1(_.gcMs.toDouble, 0)},""" +
+      s""""exec_ms":${m1(_.execMs.toDouble, 0)},""" +
+      s""""sched_delay_ms":${m1(_.schedDelayMs.toDouble, 0)},""" +
       s""""jobs":${m1(_.jobs.toDouble, 0)},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json") // cwd-relative default
@@ -168,9 +228,14 @@ object Bench {
     val topJson = top10
       .map { case (k, r) => "\"" + k + "\":" + num(r.sec, 2) }
       .mkString("{", ",", "}")
+    // n_failed + failed names ride the machine-readable line so a bench
+    // with broken queries can never be misread as a pass (names capped
+    // at 10 to stay inside the driver's ~2000-char stdout keep).
+    val failedJson = failed.take(10).map(jstr).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"queries":$topJson,"sf":"$sfDir"}"""
+      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""failed":$failedJson,"queries":$topJson,"sf":"$sfDir"}"""
     // Stop the session BEFORE printing: shutdown logging then cannot
     // interleave after the JSON, so the line is the last thing on
     // stdout for the driver's parser.

@@ -48,7 +48,11 @@ object TimeQ {
     spark.range(1000).selectExpr("sum(id)").collect()
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count(): Unit
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        // loud: the timed pass below will throw on the same query
+        System.err.println(s"[timeq] WARM-PASS FAILURE $n: " +
+          s"${e.getClass.getName}: ${e.getMessage}")
+      }
       Bench.releaseCheckpoints(spark)
     }
     names.foreach { n =>

@@ -20,15 +20,23 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
+    var nFailed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       if (wanted(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          nFailed += 1
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
     }
+    // Loud summary (r9): a dump with missing queries must be
+    // unmistakable in the log tail, not inferred from absent dirs.
+    if (nFailed > 0)
+      System.err.println(s"[verify] n_failed=$nFailed — $nFailed quer" +
+        s"${if (nFailed == 1) "y" else "ies"} produced NO output above")
+    else System.err.println("[verify] n_failed=0")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
