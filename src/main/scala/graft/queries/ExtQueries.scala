@@ -163,13 +163,25 @@ object ExtQueries {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
+      // ONE full tokenize: tf (one row per distinct (doc, token)) also
+      // IS the df input, so df = row count per token over tf — a window,
+      // not a second aggregation of a re-tokenized corpus. r9 measured
+      // the three shapes at sf0.1 (TimeQ, warm): separate tf/df subtrees
+      // 1.26 s (the doc_id<10 filter pushes to the tf-side scan, so the
+      // "duplicate" subtree reads 10 docs — cheap but re-plans the
+      // corpus scan), localCheckpoint'd toks 2.86 s (materializing ~10M
+      // token rows costs more than it saves), window-df 0.95 s. At 100 TB
+      // the window shape also wins structurally: one corpus scan, two
+      // keyed shuffles ((doc,token) agg → token window), no block-manager
+      // materialization, df skew bounded by vocabulary Zipf (the hot
+      // token's window partition is |docs containing it| ≤ n_docs rows).
       val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val df_ = toks.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+      val withDf = tf.withColumn("df", count(lit(1)).over(w))
       val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-      tf.join(broadcast(df_), "token")
-        .crossJoin(broadcast(nDocs))
+      withDf
         .filter(col("doc_id") < 10)
+        .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("token"),
           // round(9): Math.log vs libm log differ by 1 ulp across engines
           round(col("tf").cast("double") *
