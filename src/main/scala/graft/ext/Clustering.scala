@@ -58,6 +58,14 @@ object Clustering {
     * `min(struct(...))`, and cells with a null centroid are filtered
     * before the fold (they could otherwise win the argmin — struct
     * ordering puts nulls first).
+    *
+    * Contract: `idCol` must be unique in `vecs`. The per-row fold emits
+    * one output row per INPUT row — unlike the replaced
+    * `groupBy(idCol).agg(min(struct(...)))`, which silently collapsed
+    * duplicate ids to one row. Nothing here enforces uniqueness
+    * (enforcing it would cost exactly the corpus-wide exchange this
+    * formulation exists to avoid); callers with non-unique ids must
+    * dropDuplicates first. Fixture `vec_id` is unique by construction.
     */
   def assign(vecs: DataFrame, centroids: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

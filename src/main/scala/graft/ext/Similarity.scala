@@ -211,6 +211,12 @@ object Similarity {
     * nearest cells per query. Centroids here come from a deterministic
     * sample + one Lloyd step (`ivfCentroids`) — at real scale you'd
     * train offline and persist the cell assignment as a partition key.
+    *
+    * Contract: `vec_id` must be unique in `vecs` — the zero-shuffle
+    * argmin fold emits one row per input row, where the replaced
+    * groupBy(vec_id) formulation collapsed duplicates (see
+    * [[Clustering.assign]]); callers with duplicate ids must
+    * dropDuplicates first.
     */
   def ivfAssign(vecs: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
     // argmin over cells via the lexicographic array_min(struct(cdist,

@@ -418,7 +418,14 @@ object ExtQueries {
         // same deterministic output as a global orderBy WITHOUT the
         // range-partitioner sampling job + exchange — this query's
         // cost is pure per-job scheduling (24 single-task jobs), so
-        // every job removed is wall-clock
+        // every job removed is wall-clock.
+        // Scale caveat (ADVICE r8): coalesce propagates up to the
+        // previous shuffle boundary, so the post-window stage (the
+        // rank<=k filter over all probe candidates) runs single-task.
+        // Safe HERE only because the output is bounded by construction
+        // — |queries| × k = 5 × 10 rows at every SF, and the window
+        // stage's input is already per-query bucketed; a caller with an
+        // unbounded query set should orderBy instead.
         .coalesce(1).sortWithinPartitions(col("query_id"), col("rank")))
   )
 

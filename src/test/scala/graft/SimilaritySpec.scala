@@ -125,6 +125,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("null centroid cells are dead to the whole IVF path: never " +
+    "assigned to, never probed, output identical to the cell set " +
+    "without them (ADVICE r8 — pins the filter-before-fold contract)") {
+    val cents = Similarity.ivfCentroids(emb, 8)
+    val withNull = cents.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("cell_id", "centroid"))
+    // assignment: no vector lands in the null cell
+    val assigned = Similarity.ivfAssign(
+      emb.select(col("vec_id"), col("embedding")), "embedding", withNull)
+    assert(assigned.filter(col("cell_id") === 99L).isEmpty)
+    // end-to-end: search output is identical with and without the null
+    // cell (the replaced window formulation ranked null cdist FIRST
+    // ascending, i.e. probed the dead cell ahead of every live one)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(emb, queries, k = 10, cells = 8, nprobe = 3,
+          centroids = Some(c))
+        .select("query_id", "rank", "vec_id")
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long)].collect().toSeq
+    assert(run(withNull) == run(cents))
+  }
+
   test("label centroids: exact per-dimension means") {
     val df = Seq(
       (1L, Array(1f, 2f), 0),
