@@ -190,11 +190,20 @@ object ExtQueries {
         .limit(30)
     }),
 
-    // order-sensitive rolling-hash fingerprint (rows-only: xxhash64).
+    // order-sensitive rolling-hash fingerprint. The hash basis is
+    // xxhash64, which DuckDB cannot evaluate, so (like q_dedup_simhash,
+    // r8) the registered form reduces the per-doc frame to an
+    // order-independent exact digest (n_docs + bit_xor of a per-row
+    // hash) that a pinned-constant oracle CAN check — any change to
+    // tokenization, the Horner fold, or the modulus moves it. Per-doc
+    // output stays first-class via [[TextAnalysis.rollingHash]]; the
+    // same digest is golden-pinned at two scales in TextAnalysisSpec
+    // (was rows-only through r8).
     "q_text_rollhash" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
-        .orderBy(col("doc_id"))),
+        .agg(count(lit(1)).as("n_docs"),
+          bit_xor(xxhash64(col("doc_id"), col("rh"))).as("xor_digest"))),
 
     // the north-star composition: quality gate → exact dedup →
     // near-dup dedup, as ONE verified pipeline (each stage already
@@ -461,6 +470,27 @@ object ExtQueries {
         |      THEN CAST(-5705792646171706797 AS BIGINT)
         |    WHEN n = 5000 AND tl = 1485576
         |      THEN CAST(-8884473324084293356 AS BIGINT)
+        |    END AS xor_digest
+        |FROM f""".stripMargin,
+
+    // Same pinned-constant pattern and fixture-fingerprint key as
+    // q_dedup_simhash; constants re-derived per fixture generation,
+    // asserted against the per-doc frame in TextAnalysisSpec so spec
+    // and oracle drift together or not at all.
+    "q_text_rollhash" ->
+      """WITH f AS (SELECT COUNT(*) AS n, SUM(LENGTH(text)) AS tl
+        |  FROM documents)
+        |SELECT
+        |  CASE WHEN n = 500 AND tl = 153156 THEN CAST(500 AS BIGINT)
+        |    WHEN n = 500 AND tl = 149174 THEN CAST(500 AS BIGINT)
+        |    WHEN n = 5000 AND tl = 1485576 THEN CAST(5000 AS BIGINT)
+        |    END AS n_docs,
+        |  CASE WHEN n = 500 AND tl = 153156
+        |      THEN CAST(-5857416526479289843 AS BIGINT)
+        |    WHEN n = 500 AND tl = 149174
+        |      THEN CAST(8801174788902277473 AS BIGINT)
+        |    WHEN n = 5000 AND tl = 1485576
+        |      THEN CAST(-7001553445721918777 AS BIGINT)
         |    END AS xor_digest
         |FROM f""".stripMargin,
 

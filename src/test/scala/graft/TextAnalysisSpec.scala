@@ -42,6 +42,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rh.values.forall(v => v >= 0 && v < 2147483647L))
   }
 
+  test("q_text_rollhash golden digest (deterministic Horner fold over " +
+      "xxhash64'd tokens — exact output pin at both test scales)") {
+    // (n_docs, bit_xor(xxhash64(doc_id, rh))) over the per-doc frame —
+    // the registered query (r9+) returns this digest directly so the
+    // driver's pinned-constant oracle can check it (was rows-only).
+    // The sf0.01 constant asserted here MUST equal the one in
+    // ExtQueries.oracles("q_text_rollhash").
+    def digest(sf: String): (Long, Long) = {
+      val r = graft.model.Tables.documents(spark, sf)
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
+        .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("rh"))))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(digest(TestSpark.Sf0001) == ((500L, -5857416526479289843L)))
+    val sf001 = "/root/testdata/sf0.01"
+    if (new java.io.File(sf001).isDirectory)
+      assert(digest(sf001) == ((500L, 8801174788902277473L)))
+    // the registered digest form agrees with the direct per-doc digest
+    val reg = SparkEntry.queries("q_text_rollhash")(spark, TestSpark.Sf0001)
+      .collect()(0)
+    assert((reg.getLong(0), reg.getLong(1)) ==
+      ((500L, -5857416526479289843L)))
+    // and its oracle pins the sf0.01 constants verbatim
+    val osql = SparkEntry.oracleSql("q_text_rollhash")
+    assert(osql.contains("8801174788902277473"))
+  }
+
   test("bpe-ish token count splits punctuation and digit boundaries") {
     val df = Seq((1L, "hello,world x9y")).toDF("doc_id", "text")
     val n = df.select(TextAnalysis.bpeishTokenCount(col("text")).as("n"))
