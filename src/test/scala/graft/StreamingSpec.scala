@@ -39,6 +39,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("the streaming source is dtype-adaptive like the batch reader: " +
+      "a timestamp[us]-typed events dir (the current fixture encoding) " +
+      "streams to the same result as the legacy nanos-Long dir") {
+    // native (µs/NTZ) encoding — written straight from the on-disk
+    // fixture with NO ts transformation
+    val nativeDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_us").toString
+    Tables.eventsNative(spark, TestSpark.Sf0001).coalesce(2)
+      .write.mode("overwrite").parquet(nativeDir)
+    def run(dir: String, name: String): Set[(java.sql.Timestamp, String, Long, Double)] = {
+      val q = Streaming.tumblingCounts(Streaming.readEventsStream(spark, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).select("bucket_start", "event_type", "n", "val_sum")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    }
+    val fromNative = run(nativeDir, "tumble_native")
+    val fromNanos = run(eventsDir, "tumble_nanos")
+    assert(fromNative == fromNanos)
+    assert(fromNative.nonEmpty)
+  }
+
   test("streaming archive sink writes the hive year=/month= layout incrementally") {
     val dir = eventsDir
     val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
