@@ -108,6 +108,19 @@ object Tables {
     */
   def eventsTsIsNanosLong(s: SparkSession, d: String): Boolean =
     eventsNative(s, d).schema("ts").dataType == LongType
+
+  /** Events across a MIXED-generation lake: each directory holds ONE
+    * encoding (Spark merges footers per read, so a ns-Long/µs mix in a
+    * single read fails schema merge — correctly loudly), and this
+    * unions the per-directory canonicalized reads. The migration shape
+    * for a multi-year archive while old and new generations coexist
+    * (DEPLOY.md); each leg keeps its own native-space predicate
+    * pushdown, and union-all adds no exchange.
+    */
+  def eventsUnionAll(s: SparkSession, dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "eventsUnionAll needs at least one directory")
+    dirs.map(events(s, _)).reduce(_.unionByName(_))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -59,6 +59,31 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(msgs.exists(m => m.contains("events.payload") && m.contains("UNEXPECTED")), msgs)
   }
 
+  test("mixed-generation lake: one nanos-Long dir + one timestamp[us] " +
+    "dir union to twice the rows with BIT-IDENTICAL canonical ts " +
+    "values per event (the DEPLOY.md migration path)") {
+    import org.apache.spark.sql.functions._
+    import graft.model.Tables
+    val base = java.nio.file.Files.createTempDirectory("graft_mixed").toString
+    // legacy generation: ts as a plain INT64 of epoch nanos on disk
+    Tables.eventsRawNanos(spark, TestSpark.Sf0001)
+      .write.mode("overwrite").parquet(s"$base/gen_ns/events.parquet")
+    // current generation: ts as timestamp[us]/NTZ, untransformed
+    Tables.eventsNative(spark, TestSpark.Sf0001)
+      .write.mode("overwrite").parquet(s"$base/gen_us/events.parquet")
+    assert(Tables.eventsTsIsNanosLong(spark, s"$base/gen_ns"))
+    assert(!Tables.eventsTsIsNanosLong(spark, s"$base/gen_us"))
+    val u = Tables.eventsUnionAll(spark, Seq(s"$base/gen_ns", s"$base/gen_us"))
+    val n = Tables.events(spark, TestSpark.Sf0001).count()
+    assert(u.count() == 2 * n)
+    // every event_id appears exactly twice with ONE distinct canonical
+    // ts — the two encodings canonicalize to identical µs values
+    val bad = u.groupBy("event_id")
+      .agg(count(lit(1)).as("c"), countDistinct(col("ts")).as("d"))
+      .filter(col("c") =!= 2 || col("d") =!= 1)
+    assert(bad.isEmpty)
+  }
+
   test("canary fires red end-to-end on a synthetic drifted PARQUET " +
     "fixture on disk, green on an untouched copy") {
     import org.apache.spark.sql.functions._
