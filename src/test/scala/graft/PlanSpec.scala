@@ -15,9 +15,39 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
 
   test("retention filter is pushed to the events parquet scan " +
-      "(raw-nanos predicate, row-group prunable)") {
+      "(native-space predicate, row-group prunable)") {
     val p = plan("q_retention_filter")
     assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"), p)
+  }
+
+  test("retention pushdown holds under BOTH events encodings: the " +
+      "legacy nanos-Long dir gets a numeric-literal pushed filter, the " +
+      "timestamp dir a timestamp-literal one (r9 adaptive reader)") {
+    import graft.model.Tables
+    val base = java.nio.file.Files.createTempDirectory("graft_push").toString
+    Tables.eventsRawNanos(spark, d)
+      .write.mode("overwrite").parquet(s"$base/ns/events.parquet")
+    Tables.eventsNative(spark, d)
+      .write.mode("overwrite").parquet(s"$base/us/events.parquet")
+    def pushed(dir: String): String =
+      graft.queries.RefQueries.eventsAsIotBefore(spark, dir,
+          graft.queries.RefQueries.Cutoff)
+        .queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    val ns = pushed(s"$base/ns")
+    assert(ns.contains("LessThan(ts,1705708800000000000)"), ns)
+    val us = pushed(s"$base/us")
+    assert(us.contains("LessThan(ts,2024-01-20T00:00"), us)
+  }
+
+  test("tfidf tokenizes the corpus ONCE: a single text-reading scan " +
+      "feeds both tf and the window-derived df; the only other scan is " +
+      "the doc_id-only n_docs scalar (r9 window-df shape)") {
+    val p = plan("q_text_tfidf")
+    val textScans = "struct<doc_id:bigint,text:string>".r.findAllIn(p).length
+    assert(textScans == 1, s"expected exactly 1 text-reading scan:\n$p")
+    assert(p.contains("struct<doc_id:bigint>"), "n_docs scalar scan missing:\n" + p)
+    assert(p.contains("Window"), p)
   }
 
   test("q1 pushes the shipdate range filter and prunes the read schema") {
