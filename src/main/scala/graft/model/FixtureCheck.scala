@@ -29,8 +29,16 @@ object FixtureCheck {
     * real signals).
     */
   private def t(dts: DataType*): Set[DataType] = dts.toSet
+  /** Encodings `Tables.events` actually branches on — accepting a type
+    * here REQUIRES a reader branch for it (the canary must never stay
+    * green on a dtype the readers would throw on).
+    */
   private val tsEncodings: Set[DataType] =
     Set(LongType, TimestampType, TimestampNTZType)
+  /** Plain datetime columns (orders/lineitem) read directly with no
+    * adaptive branch: only real timestamp types are acceptable.
+    */
+  private val plainTs: Set[DataType] = Set(TimestampType, TimestampNTZType)
 
   val expected: Map[String, Map[String, Set[DataType]]] = Map(
     "region" -> Map("r_regionkey" -> t(IntegerType), "r_name" -> t(StringType)),
@@ -46,13 +54,13 @@ object FixtureCheck {
       "p_size" -> t(IntegerType), "p_retailprice" -> t(DoubleType)),
     "orders" -> Map("o_orderkey" -> t(LongType), "o_custkey" -> t(LongType),
       "o_orderstatus" -> t(StringType), "o_totalprice" -> t(DoubleType),
-      "o_orderdate" -> tsEncodings, "o_orderpriority" -> t(StringType)),
+      "o_orderdate" -> plainTs, "o_orderpriority" -> t(StringType)),
     "lineitem" -> Map("l_orderkey" -> t(LongType), "l_partkey" -> t(LongType),
       "l_suppkey" -> t(LongType), "l_linenumber" -> t(IntegerType),
       "l_quantity" -> t(DoubleType), "l_extendedprice" -> t(DoubleType),
       "l_discount" -> t(DoubleType), "l_tax" -> t(DoubleType),
       "l_returnflag" -> t(StringType), "l_linestatus" -> t(StringType),
-      "l_shipdate" -> tsEncodings),
+      "l_shipdate" -> plainTs),
     "events" -> Map("event_id" -> t(LongType), "ts" -> tsEncodings,
       "user_id" -> t(LongType), "event_type" -> t(StringType),
       "value" -> t(DoubleType), "props" -> t(StringType)),
