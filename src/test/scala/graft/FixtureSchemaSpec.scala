@@ -84,6 +84,23 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("the events readers themselves fail loudly on an unsupported " +
+    "ts dtype, naming the column and the accepted encodings") {
+    import org.apache.spark.sql.functions._
+    import graft.model.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_badts").toString
+    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .withColumn("ts", col("ts").cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    for (read <- Seq(
+        () => Tables.events(spark, dir),
+        () => Tables.eventsRawNanos(spark, dir))) {
+      val e = intercept[IllegalStateException](read())
+      assert(e.getMessage.contains("events.ts") &&
+        e.getMessage.contains("TIMESTAMP_NTZ"), e.getMessage)
+    }
+  }
+
   test("canary fires red end-to-end on a synthetic drifted PARQUET " +
     "fixture on disk, green on an untouched copy") {
     import org.apache.spark.sql.functions._
