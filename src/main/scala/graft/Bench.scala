@@ -106,6 +106,10 @@ object Bench {
     // plans can pick different join strategies than the measured scale)
     // — first-run total 51.8 s vs 40.1/41.6 s steady on identical code.
     // The extra warm pass costs ~40 s once, outside every timer.
+    // Schema canary (footer-only): a regenerated-fixture drift shows up
+    // as a named column here, not as n_failed=90 below.
+    graft.model.FixtureCheck.driftAll(spark, sfDir)
+      .foreach(m => System.err.println(s"[bench] FIXTURE DRIFT: $m"))
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     SparkEntry.queries.foreach { case (name, fn) =>

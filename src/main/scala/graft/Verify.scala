@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema canary first (footer-only, seconds): if the driver
+    // regenerated fixtures incompatibly, name the drifted column at the
+    // top of the log instead of letting every query fail cryptically.
+    graft.model.FixtureCheck.driftAll(spark, sfDir)
+      .foreach(m => System.err.println(s"[verify] FIXTURE DRIFT: $m"))
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (and the oracle json
     // below) for local iteration; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -40,13 +40,12 @@ class PlanSpec extends AnyFunSuite {
     assert(us.contains("LessThan(ts,2024-01-20T00:00"), us)
   }
 
-  test("tfidf tokenizes the corpus ONCE: a single text-reading scan " +
-      "feeds both tf and the window-derived df; the only other scan is " +
-      "the doc_id-only n_docs scalar (r9 window-df shape)") {
+  test("tfidf tokenizes the corpus ONCE: a single explode feeds both " +
+      "tf and the window-derived df (r9 window-df shape; counted on " +
+      "the Generate node so a cached documents scan can't fool it)") {
     val p = plan("q_text_tfidf")
-    val textScans = "struct<doc_id:bigint,text:string>".r.findAllIn(p).length
-    assert(textScans == 1, s"expected exactly 1 text-reading scan:\n$p")
-    assert(p.contains("struct<doc_id:bigint>"), "n_docs scalar scan missing:\n" + p)
+    val tokenizes = "Generate explode".r.findAllIn(p).length
+    assert(tokenizes == 1, s"expected exactly 1 tokenize:\n$p")
     assert(p.contains("Window"), p)
   }
 
