@@ -60,6 +60,25 @@ object Tables {
     load(s, d, "events")
   }
 
+  /** The NTZ fixture encoding stores wall-clock datetimes;
+    * canonicalizing to TimestampType reinterprets them in the SESSION
+    * timezone. Under the engine's UTC determinism contract (SURVEY
+    * §5.1) that reproduces the exact epoch-µs of the legacy nanos-Long
+    * encoding; under any other session timezone the two encodings
+    * would silently disagree on every absolute-epoch surface
+    * (epochNanos, unix_micros, the mixed-generation union). Loud
+    * failure instead.
+    */
+  private[graft] def requireUtcForNtz(s: SparkSession): Unit = {
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+      s"events.ts arrives as TIMESTAMP_NTZ and is reinterpreted in the " +
+        s"session timezone, which is '$tz', not UTC — the nanos-Long and " +
+        "timestamp[us] fixture encodings would disagree on epoch values. " +
+        "Set spark.sql.session.timeZone=UTC (SURVEY §5.1 determinism " +
+        "contract).")
+  }
+
   private def badTsType(dt: DataType): Nothing = throw new IllegalStateException(
     s"events.ts has unsupported dtype ${dt.sql}: expected BIGINT (epoch " +
       "nanos, legacy fixtures), TIMESTAMP, or TIMESTAMP_NTZ (current " +
@@ -77,7 +96,9 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
-      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampNTZType =>
+        requireUtcForNtz(s)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case other => badTsType(other)
     }
   }
@@ -98,6 +119,7 @@ object Tables {
       case TimestampType =>
         raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case _: TimestampNTZType =>
+        requireUtcForNtz(s)
         raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case other => badTsType(other)
     }

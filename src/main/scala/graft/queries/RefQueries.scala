@@ -55,6 +55,7 @@ object RefQueries {
       case TimestampType =>
         raw.filter(col("ts") < lit(cutoff).cast(TimestampType))
       case _: TimestampNTZType =>
+        Tables.requireUtcForNtz(s)
         raw.filter(col("ts") < lit(cutoff).cast(TimestampNTZType))
           .withColumn("ts", col("ts").cast(TimestampType))
       case other => throw new IllegalStateException(

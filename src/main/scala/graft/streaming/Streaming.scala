@@ -65,6 +65,7 @@ object Streaming {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
       case _: TimestampNTZType =>
+        graft.model.Tables.requireUtcForNtz(spark)
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case other => throw new IllegalStateException(
         s"events.ts has unsupported dtype ${other.sql} (see Tables.events)")

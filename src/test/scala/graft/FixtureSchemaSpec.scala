@@ -101,6 +101,27 @@ class FixtureSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("NTZ canonicalization refuses a non-UTC session timezone: the " +
+    "two fixture encodings would disagree on epoch values there " +
+    "(SURVEY §5.1 determinism contract)") {
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException](
+        graft.model.Tables.events(spark, TestSpark.Sf0001))
+      assert(e.getMessage.contains("America/New_York") &&
+        e.getMessage.contains("UTC"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    // and UTC spellings that normalize to UTC are all accepted
+    for (tz <- Seq("UTC", "Etc/UTC", "Z")) {
+      try {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        assert(graft.model.Tables.events(spark, TestSpark.Sf0001)
+          .schema("ts").dataType.typeName == "timestamp")
+      } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    }
+  }
+
   test("canary fires red end-to-end on a synthetic drifted PARQUET " +
     "fixture on disk, green on an untouched copy") {
     import org.apache.spark.sql.functions._
