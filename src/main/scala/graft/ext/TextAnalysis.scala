@@ -93,6 +93,61 @@ object TextAnalysis {
           .as("zipf_slope"))
   }
 
+  /** Per-document pseudo-perplexity under a corpus-trained MLE bigram
+    * LM: avg negative log-likelihood (nats) of the doc's adjacent token
+    * pairs, P(w2|w1) = c(w1,w2) / c(w1·) with counts taken over ALL
+    * docs' bigram positions — the CCNet/Gopher-class quality filter
+    * (outlier docs score far from the corpus mode; templated spam
+    * scores near 0). No reference impl (north star, SURVEY §2.9).
+    *
+    * Determinism: per-(w1,w2) log-prob rounds into DECIMAL(18,9) before
+    * any multi-row sum (the zipfSlope/tokenEntropy treatment — decimal
+    * addition is exact in any order; libm ln's last-bit drift rounds
+    * away), and the final divide is double-by-long on exact inputs, so
+    * the result is bit-identical to the DuckDB oracle.
+    *
+    * Scale shape — the part that matters at 100 TB: ONE corpus scan.
+    * The (doc, w1, w2) count aggregation is both the per-doc term list
+    * AND the model's sufficient statistics: c(w1,w2) and c(w1·) are
+    * windows over it (the q_text_tfidf lesson — deriving the model
+    * from the doc-grain agg beats re-scanning or materializing the
+    * exploded token stream). Shuffles: (doc,w1,w2) agg → (w1,w2)
+    * window → (w1) window → (doc) agg, all keyed, all two-phase-able;
+    * window-partition skew is bounded by #docs containing the hot
+    * bigram (Zipf), same bound as tfidf's df window. Docs with < 2
+    * tokens have no bigrams and drop out (documented, oracle agrees).
+    */
+  def bigramNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val dk = docs
+      .select(col(idCol).as("doc_id"),
+        explode(zip_with(
+          slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val wBg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"), col("w2"))
+    val wW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    dk
+      .withColumn("c_bg", sum(col("k")).over(wBg))
+      .withColumn("c_w1", sum(col("k")).over(wW1))
+      .select(col("doc_id"), col("k"),
+        log(col("c_bg").cast("double") / col("c_w1").cast("double"))
+          .cast("decimal(18,9)").as("lp"))
+      .groupBy(col("doc_id"))
+      // k casts to DECIMAL(10,0) before the multiply: long×dec(18,9)
+      // would hit precision 39 > 38 and Spark's precision-loss rule
+      // silently drops the scale to 8 — rounding lp's 9th digit away
+      // and off the oracle. dec(10,0)×dec(18,9) = dec(29,9), exact.
+      .agg(sum(col("k")).as("n_bigrams"),
+        ((lit(0.0) -
+          sum(col("k").cast("decimal(10,0)") * col("lp")).cast("double")) /
+          sum(col("k"))).as("nll"))
+  }
+
   /** Per-document character-class profile: digit / uppercase / punct /
     * whitespace counts (boilerplate and code-vs-prose signals). Pure
     * integer arithmetic — bit-exact across engines, no shuffle at all.

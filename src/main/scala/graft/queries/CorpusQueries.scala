@@ -36,6 +36,13 @@ object CorpusQueries {
     "q_zipf_slope" -> ((s, d) =>
       TextAnalysis.zipfSlope(Tables.documents(s, d), "text", k = 200)),
 
+    // per-doc pseudo-perplexity under a corpus-trained bigram LM — the
+    // CCNet/Gopher-class quality filter; one corpus scan, model derived
+    // from the doc-grain bigram agg via windows (see bigramNll notes)
+    "q_lm_perplexity" -> ((s, d) =>
+      TextAnalysis.bigramNll(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // per-doc character-class profile (code-vs-prose / boilerplate)
     "q_text_charclasses" -> ((s, d) =>
       TextAnalysis.charClasses(Tables.documents(s, d), "text", "doc_id")
@@ -148,6 +155,26 @@ object CorpusQueries {
         |    ELSE CAST(CAST(num / den AS DECIMAL(28,9)) AS DOUBLE)
         |  END AS zipf_slope
         |FROM nd""".stripMargin,
+
+    // Mirrors bigramNll's arithmetic exactly: per-(w1,w2) log-prob
+    // rounds into DECIMAL(18,9) before the per-doc sum (exact in any
+    // order); final divide is double-by-bigint on exact inputs.
+    "q_lm_perplexity" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 1),
+        |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS s FROM d),
+        |fl AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+        |dk AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM fl GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id, k,
+        |  CAST(ln(CAST(SUM(k) OVER (PARTITION BY w1, w2) AS DOUBLE) /
+        |          CAST(SUM(k) OVER (PARTITION BY w1) AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS lp
+        |  FROM dk)
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |  (0.0 - CAST(SUM(CAST(k AS DECIMAL(10,0)) * lp) AS DOUBLE))
+        |    / SUM(k) AS nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_charclasses" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_total,

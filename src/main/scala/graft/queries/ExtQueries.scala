@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ext.{Clustering, Dedup, Similarity, TextAnalysis}
+import graft.ext.{Clustering, Dedup, Pca, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline queries (SURVEY.md §2.9, §7 step 4):
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
@@ -118,6 +118,20 @@ object ExtQueries {
       Similarity.annTopK(Tables.embeddings(s, d), queryVecs(s, d), k = 10)
         .select(col("query_id"), col("rank"), col("vec_id"))
         .orderBy(col("query_id"), col("rank"))),
+
+    // PCA projection of the embedding corpus (k = 8): one-pass moment
+    // Aggregator (per-partition Gram buffer, no corpus shuffle), driver
+    // Jacobi eigen-solve, broadcast-literal codegen'd projection —
+    // rows-only at the driver gate (eigen-solve isn't SQL); model
+    // invariants (orthonormality, variance = eigenvalue, Parseval)
+    // pinned in PcaSpec.
+    "q_embed_pca" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Pca.fit(emb, "embedding", k = 8, dim = 64)
+      Pca.project(emb, "embedding", model)
+        .select(col("vec_id"), col("label"), col("proj"))
+        .orderBy(col("vec_id"))
+    }),
 
     // A4: HLL++ approximate distinct (rows-only: HLL impls differ).
     "q_approx_distinct" -> ((s, d) =>

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Pca
+
+class PcaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("jacobi recovers a known 2x2 eigensystem exactly") {
+    // [[2,1],[1,2]] -> eigenvalues 3 (v=[1,1]/√2) and 1 (v=[1,-1]/√2)
+    val (evals, evecs) = Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val order = evals.indices.sortBy(i => -evals(i))
+    assert(math.abs(evals(order(0)) - 3.0) < 1e-12)
+    assert(math.abs(evals(order(1)) - 1.0) < 1e-12)
+    val v0 = Array(evecs(0)(order(0)), evecs(1)(order(0)))
+    assert(math.abs(math.abs(v0(0)) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(v0(0) - v0(1)) < 1e-12) // same sign, equal coords
+  }
+
+  test("fit on points along a known line finds that direction first") {
+    // 3-dim points spread along (1,2,0)/√5 with tiny noise on dim 2
+    val dir = Array(1.0 / math.sqrt(5), 2.0 / math.sqrt(5), 0.0)
+    val rows = (0 until 40).map { i =>
+      val s = (i - 20).toDouble
+      val noise = if (i % 2 == 0) 0.01 else -0.01
+      (i.toLong, Array((s * dir(0)).toFloat, (s * dir(1)).toFloat,
+        noise.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", k = 3, dim = 3)
+    val c0 = m.components(0)
+    // first component parallel to dir (sign-fixed: largest coord > 0)
+    assert(math.abs(math.abs(dot(c0, dir)) - 1.0) < 1e-4)
+    assert(c0(1) > 0) // sign convention: largest-|coord| entry positive
+    // eigenvalues descending, non-negative (within fp slack)
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(m.eigenvalues.forall(_ > -1e-9))
+    // variance accounting: Σ all eigenvalues == trace == totalVariance
+    assert(math.abs(m.eigenvalues.sum - m.totalVariance) < 1e-9)
+  }
+
+  test("model invariants on the sf0.001 embeddings: orthonormal " +
+      "components, per-coordinate projected variance equals eigenvalue") {
+    val emb = graft.model.Tables.embeddings(spark, TestSpark.Sf0001)
+    val k = 8
+    val m = Pca.fit(emb, "embedding", k = k, dim = 64)
+    // orthonormality of the top-k rows
+    for (i <- 0 until k; j <- i until k) {
+      val exp = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot(m.components(i), m.components(j)) - exp) < 1e-9,
+        s"component pair ($i,$j) not orthonormal")
+    }
+    // eigenvalue ordering
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1)))
+    // projected data: per-coordinate variance == eigenvalue, and
+    // coordinates are uncorrelated (covariance ~ 0). Float-cast dot
+    // tolerance dominates (components cast to float in project).
+    val proj = Pca.project(emb, "embedding", m)
+      .select(col("proj")).as[Seq[Double]].collect()
+    val n = proj.length
+    for (j <- 0 until k) {
+      val xs = proj.map(_(j))
+      val mean = xs.sum / n
+      val varj = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(varj - m.eigenvalues(j)) <
+        1e-4 * math.max(1.0, m.eigenvalues(j)),
+        s"coordinate $j variance $varj != eigenvalue ${m.eigenvalues(j)}")
+      assert(math.abs(mean) < 1e-4) // centered
+    }
+    val x0 = proj.map(_(0)); val x1 = proj.map(_(1))
+    val cov01 = x0.zip(x1).map { case (a, b) => a * b }.sum / n
+    assert(math.abs(cov01) < 1e-3 * math.sqrt(
+      m.eigenvalues(0) * m.eigenvalues(1)))
+  }
+
+  test("truncation reconstruction error shrinks as k grows and equals " +
+      "the discarded eigenvalue mass") {
+    val emb = graft.model.Tables.embeddings(spark, TestSpark.Sf0001)
+    val full = Pca.fit(emb, "embedding", k = 64, dim = 64)
+    // E[|v−μ|² − Σ_{j<k} proj_j²] == Σ_{j≥k} λ_j (Parseval)
+    val proj = Pca.project(emb, "embedding", full)
+      .select(col("proj")).as[Seq[Double]].collect()
+    val totals = full.eigenvalues.sum
+    for (k <- Seq(4, 16, 64)) {
+      val kept = proj.map(_.take(k).map(x => x * x).sum).sum / proj.length
+      val discarded = full.eigenvalues.drop(k).sum
+      assert(math.abs((totals - discarded) - kept) < 1e-3 * totals,
+        s"k=$k kept-variance mismatch")
+    }
+  }
+}

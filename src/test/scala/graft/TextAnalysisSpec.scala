@@ -70,6 +70,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(osql.contains("8801174788902277473"))
   }
 
+  test("bigram-LM NLL: hand-computed MLE model on a tiny corpus; " +
+      "sub-bigram docs drop out") {
+    // corpus bigrams: d1 "a b a b" -> (a,b)x2,(b,a); d2 "a b c" ->
+    // (a,b),(b,c); d3 "x" -> none. Model: c(a,b)=3, c(b,a)=1, c(b,c)=1,
+    // c(a.)=3, c(b.)=2 => lp(a,b)=ln(1)=0, lp(b,a)=lp(b,c)=ln(1/2).
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(df, "text", "doc_id")
+      .select("doc_id", "n_bigrams", "nll").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // d3 has no bigrams
+    assert(out(0)._2 == 3L && out(1)._2 == 2L)
+    // mirror the engine arithmetic: ln rounds into DECIMAL(18,9) per
+    // bigram type, exact decimal sum, then double-by-long divide
+    val lp = BigDecimal(math.log(0.5))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(0)._3 == (0.0 - lp.toDouble) / 3)
+    assert(out(1)._3 == (0.0 - lp.toDouble) / 2)
+  }
+
   test("bpe-ish token count splits punctuation and digit boundaries") {
     val df = Seq((1L, "hello,world x9y")).toDF("doc_id", "text")
     val n = df.select(TextAnalysis.bpeishTokenCount(col("text")).as("n"))
