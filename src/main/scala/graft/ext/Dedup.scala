@@ -593,4 +593,52 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact duplicated token spans: every `width`-token window that
+    * occurs more than once in the corpus, with its occurrence and
+    * document counts and a first-occurrence reference. Substring-level
+    * exact dedup (cf. Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better") — catches the boilerplate,
+    * license headers, and quoted passages that document-level hashing
+    * misses entirely. A deployment cuts the flagged windows (the
+    * (doc, pos) occurrence list is the pre-aggregation frame); the
+    * registered query emits the per-span summary, which is what a
+    * curation run reviews first.
+    *
+    * Scale shape: spans explode to one row per token position (the
+    * same cardinality every tokenize-explode op here already handles),
+    * map-side md5 only — then ONE count aggregation keyed by span
+    * hash, two-phase, so the shuffle carries (hash, partial-count)
+    * rows bounded by distinct spans per partition. The hot-span skew
+    * bound is the usual Zipf argument: a span duplicated in every doc
+    * still contributes one partial per partition, not one row per
+    * occurrence. md5 over the space-joined window makes the span key
+    * oracle-expressible (DuckDB computes the identical hex).
+    *
+    * first_ref encodes (doc_id, pos) as doc_id·100000 + pos — exact
+    * while pos < 100 000 (corpus docs are ~10² tokens; a deployment
+    * with book-length docs widens the factor) and keeps the
+    * min-aggregation a plain long min on both engines.
+    */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      width: Int): DataFrame = {
+    require(width >= 2, s"span width must be >= 2, got $width")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val spans = docs
+      .filter(size(toks) >= width)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(
+          // 1-based start positions; the >= width filter keeps the
+          // sequence ascending (ANSI sequence(1, 0) would DESCEND)
+          sequence(lit(1), size(toks) - (width - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(width)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").as("span_hash"))
+    spans
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 100000L + col("pos")).as("first_ref"))
+      .filter(col("n_occ") > 1)
+  }
 }

@@ -119,6 +119,14 @@ object ExtQueries {
         .select(col("query_id"), col("rank"), col("vec_id"))
         .orderBy(col("query_id"), col("rank"))),
 
+    // exact duplicated 8-token spans (substring-level dedup — the
+    // boilerplate/quotation duplication document-level hashing misses);
+    // one tokenize-explode, one span-hash-keyed two-phase count agg
+    "q_span_dedup" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), "text", "doc_id",
+          width = 8)
+        .orderBy(col("span_hash"))),
+
     // PCA projection of the embedding corpus (k = 8): one-pass moment
     // Aggregator (per-partition Gram buffer, no corpus shuffle), driver
     // Jacobi eigen-solve, broadcast-literal codegen'd projection —
@@ -663,6 +671,25 @@ object ExtQueries {
       """SELECT token, COUNT(*) AS n FROM
         |(SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // Mirrors Dedup.duplicatedSpans: 1-based window starts, md5 over
+    // the space-joined 8-token window, (doc·100000 + pos) first_ref.
+    "q_span_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |si AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 7)) AS i
+        |  FROM d WHERE len(w) >= 8),
+        |s AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(w[i:i+7], ' ')) AS span_hash FROM si),
+        |g AS (SELECT span_hash, COUNT(*) AS n_occ,
+        |    COUNT(DISTINCT doc_id) AS n_docs,
+        |    MIN(doc_id * 100000 + pos) AS first_ref
+        |  FROM s GROUP BY span_hash)
+        |SELECT span_hash, CAST(n_occ AS BIGINT) AS n_occ,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(first_ref AS BIGINT) AS first_ref
+        |FROM g WHERE n_occ > 1 ORDER BY span_hash""".stripMargin,
 
     "q_text_quality" ->
       """WITH f AS (SELECT lang, n_chars,

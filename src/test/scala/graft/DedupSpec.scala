@@ -261,4 +261,23 @@ class DedupSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.connectedComponents(empty, "a_id", "b_id").isEmpty)
   }
+
+  test("duplicated spans: hand-computed occurrence/doc counts, " +
+      "within-doc repeats counted, sub-width docs dropped") {
+    // w=3 spans — d1 "a b c d e": abc@1 bcd@2 cde@3; d2 "x a b c d":
+    // xab@1 abc@2 bcd@3; d4 "a b c a b c a b c": abc@{1,4,7}
+    // bca@{2,5} cab@{3,6}; d3 "q r" is below width and drops.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "x a b c d"), (3L, "q r"),
+      (4L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "text", "doc_id", width = 3)
+      .select("first_ref", "n_occ", "n_docs")
+      .as[(Long, Long, Long)].collect()
+      .map { case (ref, occ, nd) => ref -> ((occ, nd)) }.toMap
+    assert(out == Map(
+      100001L -> ((5L, 3L)),  // "a b c": d1@1 d2@2 d4@{1,4,7}
+      100002L -> ((2L, 2L)),  // "b c d": d1@2 d2@3
+      400002L -> ((2L, 1L)),  // "b c a": d4@{2,5}
+      400003L -> ((2L, 1L)))) // "c a b": d4@{3,6}
+  }
 }

@@ -209,4 +209,63 @@ class PropertySpec extends AnyFunSuite {
       assert(results.forall(_ == expected))
     }
   }
+
+  test("property: bigramNll equals a driver-side bigram-LM reference " +
+      "bit-for-bit on random small-vocab corpora") {
+    val docGen = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(6, docGen)
+    forAllSampled(corpusGen, 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = graft.ext.TextAnalysis
+        .bigramNll(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .select("doc_id", "n_bigrams", "nll")
+        .as[(Long, Long, Double)].collect()
+        .map { case (id, n, v) => id -> ((n, v)) }.toMap
+      // driver reference: MLE bigram model over ALL docs' bigrams,
+      // per-bigram-type lp rounded into scale-9 decimal, exact sums
+      val bigrams = docs.map { case (id, t) =>
+        val w = t.split(" ", -1).toSeq
+        id -> w.zip(w.drop(1))
+      }
+      val cBg = bigrams.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val cW1 = bigrams.flatMap(_._2).groupBy(_._1).view.mapValues(_.size)
+      val expected = bigrams.filter(_._2.nonEmpty).map { case (id, bgs) =>
+        val s = bgs.groupBy(identity).map { case (bg, occ) =>
+          val lp = BigDecimal(math.log(cBg(bg).toDouble / cW1(bg._1)))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          BigDecimal(occ.size) * lp
+        }.sum
+        id -> ((bgs.size.toLong, (0.0 - s.toDouble) / bgs.size))
+      }.toMap
+      assert(out == expected)
+    }
+  }
+
+  test("property: duplicatedSpans equals a driver-side window scan " +
+      "(counts, docs, first occurrence) on random corpora") {
+    val docGen = Gen.choose(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(5, docGen)
+    forAllSampled(corpusGen, 5) { texts =>
+      val width = 2
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = graft.ext.Dedup
+        .duplicatedSpans(docs.toDF("doc_id", "text"), "text", "doc_id", width)
+        .select("n_occ", "n_docs", "first_ref")
+        .as[(Long, Long, Long)].collect().toSet
+      val occs = docs.flatMap { case (id, t) =>
+        val w = t.split(" ", -1).toSeq
+        if (w.size < width) Seq.empty
+        else w.sliding(width).zipWithIndex.map { case (sp, i) =>
+          (sp.mkString(" "), id, i + 1L)
+        }.toSeq
+      }
+      val expected = occs.groupBy(_._1).values.filter(_.size > 1).map { g =>
+        (g.size.toLong, g.map(_._2).distinct.size.toLong,
+          g.map(o => o._2 * 100000L + o._3).min)
+      }.toSet
+      assert(out == expected)
+    }
+  }
 }
