@@ -234,4 +234,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("user_id"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("span dedup: one tokenize, pruned two-column scan, span keys " +
+      "hashed map-side, count-distinct runs two-phase (2 pre-sort " +
+      "exchanges, no join)") {
+    val p = plan("q_span_dedup")
+    assert("Generate".r.findAllIn(p).length == 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // (span,doc) dedup exchange + span count exchange + output sort —
+    // never a self-join or cartesian
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Join"), "span dedup must not join:\n" + p)
+  }
+
+  test("lm perplexity: one corpus tokenize; both model windows " +
+      "((w1,w2) and (w1)) share a single w1-keyed exchange") {
+    val p = plan("q_lm_perplexity")
+    assert("Generate".r.findAllIn(p).length == 1, p)
+    assert("Window".r.findAllIn(p).length == 2, p)
+    // doc-grain agg exchange, ONE window exchange (hash(w1) satisfies
+    // the (w1,w2) clustering too), doc nll agg exchange, output sort:
+    // 3 hash exchanges total — the second window re-sorts in place
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p)
+  }
+
+  test("pca projection is map-side only: no exchange, no join — " +
+      "components are folded in as literals against the codegen'd dot") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Pca
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val model = Pca.fit(emb, "embedding", k = 4, dim = 64)
+    val p = Pca.project(emb, "embedding", model)
+      .select(col("vec_id"), col("proj"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "projection must not shuffle:\n" + p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("dot_f32"), p)
+  }
 }
