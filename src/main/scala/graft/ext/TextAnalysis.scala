@@ -148,6 +148,56 @@ object TextAnalysis {
           sum(col("k"))).as("nll"))
   }
 
+  /** Top-k token pairs by document-level pointwise mutual information:
+    * PMI(a,b) = ln(n_ab·N / (n_a·n_b)) over per-document DISTINCT
+    * token sets — the collocation/phrase-mining signal (tokenizer-merge
+    * candidates, boilerplate phrase discovery). No reference impl
+    * (north star, SURVEY §2.9).
+    *
+    * Scale shape: the pair generator is a self-join of the per-doc
+    * distinct-token frame keyed on doc_id — per-doc quadratic in
+    * DISTINCT tokens (the same bound every shingle/inverted-index op
+    * here carries: a doc contributes C(distinct, 2) pairs, never the
+    * corpus). minSupport filters AFTER the two-phase pair count and
+    * before the df joins, so low-support pairs never reach a join.
+    * Token doc-frequencies attach via plain keyed joins (vocab-sized;
+    * AQE broadcasts them at test scale, stays keyed at 100 TB where a
+    * vocabulary outgrows a broadcast). The `toks` frame feeds three
+    * subtrees (two join sides + df agg) — callers pass
+    * `materialize = _.localCheckpoint()` to scan the corpus once (the
+    * dedup-hsets lesson; AQE does not dedupe identical subtrees).
+    *
+    * Determinism: PMI is a SINGLE ln per output row on an exact
+    * integer rational (products < 2⁵³ — exact in IEEE), rounded into
+    * DECIMAL(18,9) so a last-bit libm divergence can't reorder the
+    * top-k; ties break on (t1, t2).
+    */
+  def pmiPairs(docs: DataFrame, textCol: String, idCol: String,
+      minSupport: Long, topK: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val toks = materialize(docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok")))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfs = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+    val pairs = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("t1"), col("b.tok").as("t2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(dfs.select(col("tok").as("t1"), col("n_t").as("n_a")), "t1")
+      .join(dfs.select(col("tok").as("t2"), col("n_t").as("n_b")), "t2")
+      .crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("n_ab"),
+        log((col("n_ab") * col("n_docs")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))
+          .cast("decimal(18,9)").cast("double").as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
+
   /** Per-document character-class profile: digit / uppercase / punct /
     * whitespace counts (boilerplate and code-vs-prose signals). Pure
     * integer arithmetic — bit-exact across engines, no shuffle at all.

@@ -48,6 +48,14 @@ object CorpusQueries {
       TextAnalysis.charClasses(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // top-30 token-pair collocations by document-level PMI (phrase
+    // mining / tokenizer-merge candidates); distinct-token frame
+    // materialized once, feeds both join sides + the df agg
+    "q_token_pmi" -> ((s, d) =>
+      TextAnalysis.pmiPairs(Tables.documents(s, d), "text", "doc_id",
+        minSupport = 5L, topK = 30,
+        materialize = _.localCheckpoint())),
+
     // signup → purchase conversion funnel within 48 h, per user. Integer
     // microsecond arithmetic throughout — exact. Scale shape: two
     // filtered scans of the same table, one join + one agg keyed by
@@ -175,6 +183,28 @@ object CorpusQueries {
         |  (0.0 - CAST(SUM(CAST(k AS DECIMAL(10,0)) * lp) AS DOUBLE))
         |    / SUM(k) AS nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors pmiPairs' arithmetic: exact integer products cast to
+    // double, ONE ln per row rounded through DECIMAL(18,9) so a
+    // last-bit libm divergence can't reorder the top-k.
+    "q_token_pmi" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' '))
+        |    AS w FROM documents),
+        |n AS (SELECT COUNT(*) AS n_docs FROM d),
+        |t AS (SELECT doc_id, unnest(w) AS tok FROM d),
+        |df AS (SELECT tok, COUNT(*) AS n_t FROM t GROUP BY tok),
+        |pc AS (SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS n_ab
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2),
+        |s AS (SELECT t1, t2, n_ab,
+        |    CAST(CAST(ln(CAST(n_ab * n.n_docs AS DOUBLE) /
+        |                 CAST(da.n_t * db.n_t AS DOUBLE))
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS pmi
+        |  FROM pc JOIN df da ON pc.t1 = da.tok
+        |  JOIN df db ON pc.t2 = db.tok CROSS JOIN n
+        |  WHERE n_ab >= 5)
+        |SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab, pmi FROM s
+        |ORDER BY pmi DESC, t1, t2 LIMIT 30""".stripMargin,
 
     "q_text_charclasses" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_total,

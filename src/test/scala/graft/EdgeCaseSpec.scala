@@ -145,4 +145,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out(2L).isDefined)
     assert(out(3L).isEmpty) // kept, with null — not silently dropped
   }
+
+  test("round-9 ops on degenerate inputs: empty corpus, sub-width docs, " +
+      "null text, single-bigram corpus; PCA refuses n < 2 loudly") {
+    import graft.ext.{Dedup, Pca, TextAnalysis}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bigramNll(empty, "text", "doc_id").isEmpty)
+    assert(Dedup.duplicatedSpans(empty, "text", "doc_id", 3).isEmpty)
+    // every doc below bigram/span width → empty output, not error
+    val short = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramNll(short, "text", "doc_id").isEmpty)
+    assert(Dedup.duplicatedSpans(short, "text", "doc_id", 2).isEmpty)
+    // null text drops out of both (split(null) → null → no rows)
+    val withNull = Seq((1L, null), (2L, "a b a b"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.bigramNll(withNull, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    // single doc "a a": one bigram type with prob 1 → nll exactly +0.0
+    val one = Seq((1L, "a a")).toDF("doc_id", "text")
+    val nll = TextAnalysis.bigramNll(one, "text", "doc_id")
+      .select("nll").as[Double].head()
+    assert(nll == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(nll) == 0L) // +0.0, not -0.0
+    // span width guard + PCA minimum-rows guard fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(short, "text", "doc_id", 1)
+    }
+    val oneVec = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Pca.fit(oneVec, "embedding", k = 1, dim = 2)
+    }
+  }
 }

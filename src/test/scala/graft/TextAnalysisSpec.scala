@@ -90,6 +90,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1)._3 == (0.0 - lp.toDouble) / 2)
   }
 
+  test("token PMI: hand-computed collocation scores; repeats within a " +
+      "doc count once; minSupport prunes; top-k ordering stable") {
+    // docs' distinct sets: d1 {a,b} (repeats count once), d2 {a,b},
+    // d3 {a,b,c}, d4 {a,c}. df: a=4 b=3 c=2, N=4.
+    // n_ab: (a,b)=3, (a,c)=2, (b,c)=1.
+    // PMI(a,b) = ln(3·4/(4·3)) = 0; PMI(a,c) = ln(2·4/(4·2)) = 0;
+    // PMI(b,c) = ln(1·4/(3·2)) = ln(2/3). Tie at 0 breaks on (t1,t2).
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"), (3L, "a b c"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(docs, "text", "doc_id",
+        minSupport = 1L, topK = 10)
+      .select("t1", "t2", "n_ab", "pmi")
+      .as[(String, String, Long, Double)].collect()
+    def dec9(x: Double): Double = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      ("a", "b", 3L, 0.0),
+      ("a", "c", 2L, 0.0),
+      ("b", "c", 1L, dec9(math.log(4.0 / 6.0)))))
+    // minSupport prunes the single-doc pair
+    val pruned = TextAnalysis.pmiPairs(docs, "text", "doc_id",
+        minSupport = 2L, topK = 10)
+      .select("t1", "t2").as[(String, String)].collect().toSet
+    assert(pruned == Set(("a", "b"), ("a", "c")))
+  }
+
   test("bpe-ish token count splits punctuation and digit boundaries") {
     val df = Seq((1L, "hello,world x9y")).toDF("doc_id", "text")
     val n = df.select(TextAnalysis.bpeishTokenCount(col("text")).as("n"))
