@@ -125,6 +125,33 @@ class ScaleSpec extends AnyFunSuite {
       s"candidate growth not linear: 1x=$c1, 4x=$c4 (quadratic would be ${16 * c1})")
   }
 
+  test("PMI pair generation is doc-local: 4x corpus (disjoint vocab) " +
+      "gives exactly 4x join-output pairs, never cross-doc quadratic") {
+    // the self-join is keyed on doc_id, so a pair can only form inside
+    // one document — corpus growth multiplies pairs linearly while a
+    // degenerate token-keyed or cross join would go 16x at 4x docs.
+    // Counting JOIN OUTPUT rows makes the assertion exact.
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    def corpus(k: Int) = (0 until k).map(r =>
+      docs.select(
+        (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        expr(s"concat_ws(' ', transform(split(text, ' '), w -> concat('r${r}_', w)))")
+          .as("text"))).reduce(_.unionByName(_))
+    def pairRows(k: Int): Long = {
+      val toks = corpus(k).select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      toks.as("a").join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .count()
+    }
+    val p1 = pairRows(1)
+    val p4 = pairRows(4)
+    assert(p1 > 0)
+    assert(p4 == 4 * p1,
+      s"pair growth not linear: 1x=$p1, 4x=$p4 (quadratic would be ${16 * p1})")
+  }
+
   test("containment prefix filter collapses the hot-shingle candidate " +
       "space: prefix-join candidates are a fraction of the unpruned join's") {
     // every doc shares a glue phrase ⇒ its shingles are maximally hot
