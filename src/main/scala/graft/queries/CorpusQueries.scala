@@ -48,6 +48,14 @@ object CorpusQueries {
       TextAnalysis.charClasses(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // per-language perplexity gate: drop each language's NLL tails
+    // (bottom/top 5% by exact integer rank bands) — the composed
+    // quality FILTER a curation run actually applies
+    "q_quality_gate" -> ((s, d) =>
+      TextAnalysis.nllQualityGate(Tables.documents(s, d), "text",
+          "doc_id", "lang")
+        .orderBy(col("doc_id"))),
+
     // top-30 token-pair collocations by document-level PMI (phrase
     // mining / tokenizer-merge candidates); distinct-token frame
     // materialized once, feeds both join sides + the df agg
@@ -183,6 +191,33 @@ object CorpusQueries {
         |  (0.0 - CAST(SUM(CAST(k AS DECIMAL(10,0)) * lp) AS DOUBLE))
         |    / SUM(k) AS nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same lm CTE as q_lm_perplexity, then integer rank bands per
+    // language (20·r > n ∧ 20·r ≤ 19·n) — NLLs are engine-exact so
+    // the kept set matches bit-for-bit.
+    "q_quality_gate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 1),
+        |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS s FROM d),
+        |fl AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+        |dk AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM fl GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id, k,
+        |  CAST(ln(CAST(SUM(k) OVER (PARTITION BY w1, w2) AS DOUBLE) /
+        |          CAST(SUM(k) OVER (PARTITION BY w1) AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS lp
+        |  FROM dk),
+        |nl AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |  (0.0 - CAST(SUM(CAST(k AS DECIMAL(10,0)) * lp) AS DOUBLE))
+        |    / SUM(k) AS nll
+        |  FROM sc GROUP BY doc_id),
+        |j AS (SELECT nl.doc_id, documents.lang, nl.n_bigrams, nl.nll
+        |  FROM nl JOIN documents USING (doc_id)),
+        |r AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS r,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n FROM j)
+        |SELECT doc_id, lang, n_bigrams, nll FROM r
+        |WHERE r * 20 > n AND r * 20 <= n * 19 ORDER BY doc_id""".stripMargin,
 
     // Mirrors pmiPairs' arithmetic: exact integer products cast to
     // double, ONE ln per row rounded through DECIMAL(18,9) so a
