@@ -86,6 +86,35 @@ object CorpusQueries {
         .orderBy(col("user_id"))
     }),
 
+    // weekly cohort-retention matrix: users cohorted by first-signup
+    // week, activity = any event in a later week. Pure integer/date
+    // arithmetic (week offsets via datediff/7, ratios int-over-int) —
+    // engine-exact. Scale shape: user-keyed aggs + one (cohort, offset)
+    // agg; the cohort-sizes frame is weeks-cardinality (broadcast).
+    "q_cohort_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("week", col("ts")).as("wk"))
+      val cohorts = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val active = e.select(col("user_id"), col("wk")).distinct()
+      val sizes = cohorts.groupBy(col("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("n_cohort"))
+      active.join(cohorts, "user_id")
+        .filter(col("wk") >= col("cohort_wk"))
+        .select(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+            .as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sizes, "cohort_wk")
+        .select(col("cohort_wk").cast("date").as("cohort_week"),
+          col("week_offset"), col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // PageRank over the near-dup pair graph (3 iterations, d = 0.85):
     // the principled "which copy is canonical" answer for dedup groups,
     // where min-id keep is the arbitrary one. Contribution rounding
@@ -252,6 +281,27 @@ object CorpusQueries {
         |CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
         |  AS INT) AS n_spaces
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    date_trunc('week', ts) AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM e),
+        |s AS (SELECT cohort_wk, COUNT(DISTINCT user_id) AS n_cohort
+        |  FROM c GROUP BY cohort_wk),
+        |m AS (SELECT c.cohort_wk,
+        |    CAST(date_diff('day', c.cohort_wk, a.wk) // 7 AS INT)
+        |      AS week_offset, a.user_id
+        |  FROM a JOIN c USING (user_id) WHERE a.wk >= c.cohort_wk),
+        |g AS (SELECT cohort_wk, week_offset,
+        |    COUNT(DISTINCT user_id) AS n_active FROM m GROUP BY 1, 2)
+        |SELECT CAST(g.cohort_wk AS DATE) AS cohort_week, week_offset,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_cohort AS BIGINT) AS n_cohort,
+        |  CAST(n_active AS DOUBLE) / n_cohort AS retention
+        |FROM g JOIN s USING (cohort_wk)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // Mirrors Graph.pageRank's arithmetic EXACTLY: contributions round
     // into DECIMAL(28,15) before each sum (order-independent, exact),

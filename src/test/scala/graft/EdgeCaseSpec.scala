@@ -146,6 +146,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out(3L).isEmpty) // kept, with null — not silently dropped
   }
 
+  test("cohort retention: hand-built events — first-signup week anchors " +
+      "the cohort, no-signup users are excluded, ratios exact") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 and 2024-01-08 are Mondays (week starts).
+    // u1: signup wk1, active wk1+wk2. u2: signup wk1 only.
+    // u3: signup wk2, active wk2+wk3. u4: purchase only -> excluded.
+    val rows = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 1L, "signup", 1.0, "{}"),
+      (2L, ts("2024-01-09 10:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 2L, "signup", 1.0, "{}"),
+      (4L, ts("2024-01-10 11:00:00"), 3L, "signup", 1.0, "{}"),
+      (5L, ts("2024-01-17 11:00:00"), 3L, "purchase", 1.0, "{}"),
+      (6L, ts("2024-01-04 09:00:00"), 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cohort").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_cohort_retention")(spark, dir)
+      .select("cohort_week", "week_offset", "n_active", "n_cohort", "retention")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),   // u1, u2 active in signup week
+      ("2024-01-01", 1, 1L, 2L, 0.5),   // only u1 returns
+      ("2024-01-08", 0, 1L, 1L, 1.0),   // u3
+      ("2024-01-08", 1, 1L, 1L, 1.0)))  // u3 returns
+  }
+
   test("round-9 ops on degenerate inputs: empty corpus, sub-width docs, " +
       "null text, single-bigram corpus; PCA refuses n < 2 loudly") {
     import graft.ext.{Dedup, Pca, TextAnalysis}
