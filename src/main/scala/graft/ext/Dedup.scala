@@ -623,15 +623,25 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
       width: Int): DataFrame = {
     require(width >= 2, s"span width must be >= 2, got $width")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // tokenize ONCE into a projected alias: an inline `split` would be
+    // re-inlined into every reference (filter + sequence bound + each
+    // slice — 4 evaluations per row, measured 1.84 → 0.88 s at sf0.1);
+    // CollapseProject keeps a multi-referenced non-trivial alias
+    // materialized. Sub-width docs route through the CASE to an empty
+    // array (explode drops them) instead of a filter — a size filter
+    // would be pushed below the projection and re-inline the split
+    // (the hashedShingleSets lesson).
     val spans = docs
-      .filter(size(toks) >= width)
       .select(col(idCol).as("doc_id"),
-        posexplode(transform(
-          // 1-based start positions; the >= width filter keeps the
-          // sequence ascending (ANSI sequence(1, 0) would DESCEND)
-          sequence(lit(1), size(toks) - (width - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(width)))))))
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .select(col("doc_id"),
+        posexplode(
+          when(size(col("w")) >= width, transform(
+            // 1-based start positions; the CASE guard keeps the
+            // sequence ascending (ANSI sequence(1, 0) would DESCEND)
+            sequence(lit(1), size(col("w")) - (width - 1)),
+            i => md5(concat_ws(" ", slice(col("w"), i, lit(width))))))
+          .otherwise(array().cast("array<string>"))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         col("col").as("span_hash"))
     spans

@@ -118,13 +118,9 @@ object TextAnalysis {
     * tokens have no bigrams and drop out (documented, oracle agrees).
     */
   def bigramNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = tokens(col(textCol))
     val dk = docs
-      .select(col(idCol).as("doc_id"),
-        explode(zip_with(
-          slice(w, lit(1), size(w) - 1),
-          slice(w, lit(2), size(w) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), explode(bigramsOf(col("w"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
@@ -187,17 +183,26 @@ object TextAnalysis {
     * instead of re-deriving the model per run (DEPLOY.md).
     */
   def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
-    val w = tokens(col(textCol))
     val wW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     docs
-      .select(explode(zip_with(
-        slice(w, lit(1), size(w) - 1),
-        slice(w, lit(2), size(w) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(tokens(col(textCol)).as("w"))
+      .select(explode(bigramsOf(col("w"))).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c_bg"))
       .withColumn("c_w1", sum(col("c_bg")).over(wW1))
   }
+
+  /** Adjacent-pair structs from a PROJECTED token-array column. Callers
+    * must alias the tokenize into its own projection first: an inline
+    * `split` would be re-inlined into all four references here (both
+    * slices and both size bounds) and tokenization would run 4× per
+    * row; a multi-referenced non-trivial alias stays materialized.
+    */
+  private def bigramsOf(w: Column): Column =
+    zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
 
   /** Score documents against a prebuilt [[bigramModel]]: per-doc avg
     * negative log-likelihood plus the count of bigrams the model has
@@ -213,13 +218,9 @@ object TextAnalysis {
   def scoreWithBigramModel(docs: DataFrame, model: DataFrame,
       textCol: String, idCol: String,
       unseenLp: Double = math.log(1e-9)): DataFrame = {
-    val w = tokens(col(textCol))
     val dk = docs
-      .select(col(idCol).as("doc_id"),
-        explode(zip_with(
-          slice(w, lit(1), size(w) - 1),
-          slice(w, lit(2), size(w) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), explode(bigramsOf(col("w"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))

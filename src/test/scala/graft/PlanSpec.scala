@@ -240,6 +240,9 @@ class PlanSpec extends AnyFunSuite {
       "exchanges, no join)") {
     val p = plan("q_span_dedup")
     assert("Generate".r.findAllIn(p).length == 1, p)
+    // the tokenize is a projected alias evaluated ONCE — an inline
+    // split re-inlines into all 4 references (2.1x slower, r9 measured)
+    assert("split\\(text".r.findAllIn(p).length == 1, p)
     // two-column pruning holds whether the table comes off parquet or
     // out of a cache another suite left behind (InMemoryTableScan
     // projects [doc_id, text] either way)
@@ -256,6 +259,7 @@ class PlanSpec extends AnyFunSuite {
       "((w1,w2) and (w1)) share a single w1-keyed exchange") {
     val p = plan("q_lm_perplexity")
     assert("Generate".r.findAllIn(p).length == 1, p)
+    assert("split\\(text".r.findAllIn(p).length == 1, p) // tokenize once
     assert("Window".r.findAllIn(p).length == 2, p)
     // doc-grain agg exchange, ONE window exchange (hash(w1) satisfies
     // the (w1,w2) clustering too), doc nll agg exchange, output sort:
