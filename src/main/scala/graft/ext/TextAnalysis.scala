@@ -117,12 +117,22 @@ object TextAnalysis {
     * bigram (Zipf), same bound as tfidf's df window. Docs with < 2
     * tokens have no bigrams and drop out (documented, oracle agrees).
     */
-  def bigramNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def bigramNll(docs: DataFrame, textCol: String, idCol: String,
+      carry: Seq[String] = Seq.empty): DataFrame = {
+    // `carry` columns are doc-level attributes (functionally dependent
+    // on idCol) threaded through both grouping keys so a consumer that
+    // needs them (the quality gate's lang) pays no second corpus scan
+    // and no join — they widen the keys, never the row count.
+    val carryCols = carry.map(col)
     val dk = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
-      .select(col("doc_id"), explode(bigramsOf(col("w"))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .select(col(idCol).as("doc_id") +: (carryCols :+
+        tokens(col(textCol)).as("w")): _*)
+      .select(col("doc_id") +: (carryCols :+
+        explode(bigramsOf(col("w"))).as("bg")): _*)
+      .select(col("doc_id") +: (carryCols ++
+        Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2"))): _*)
+      .groupBy(col("doc_id") +: (carryCols ++
+        Seq(col("w1"), col("w2"))): _*)
       .agg(count(lit(1)).as("k"))
     val wBg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("w1"), col("w2"))
@@ -130,10 +140,10 @@ object TextAnalysis {
     dk
       .withColumn("c_bg", sum(col("k")).over(wBg))
       .withColumn("c_w1", sum(col("k")).over(wW1))
-      .select(col("doc_id"), col("k"),
+      .select(col("doc_id") +: (carryCols ++ Seq(col("k"),
         log(col("c_bg").cast("double") / col("c_w1").cast("double"))
-          .cast("decimal(18,9)").as("lp"))
-      .groupBy(col("doc_id"))
+          .cast("decimal(18,9)").as("lp"))): _*)
+      .groupBy(col("doc_id") +: carryCols: _*)
       // k casts to DECIMAL(10,0) before the multiply: long×dec(18,9)
       // would hit precision 39 > 38 and Spark's precision-loss rule
       // silently drops the scale to 8 — rounding lp's 9th digit away
@@ -161,14 +171,15 @@ object TextAnalysis {
     */
   def nllQualityGate(docs: DataFrame, textCol: String, idCol: String,
       langCol: String): DataFrame = {
-    val nll = bigramNll(docs, textCol, idCol)
+    // lang rides through the NLL pipeline as a carried grouping column
+    // (functionally dependent on doc_id) — ONE documents scan, no join
+    val nll = bigramNll(docs, textCol, idCol, carry = Seq(langCol))
+      .withColumnRenamed(langCol, "lang")
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("nll"), col("doc_id"))
     val wLang = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
     nll
-      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
-        "doc_id")
       .withColumn("r", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wLang))
       .filter(col("r") * 20 > col("n") && col("r") * 20 <= col("n") * 19)

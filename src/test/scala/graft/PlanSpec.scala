@@ -267,6 +267,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p)
   }
 
+  test("quality gate: lang carries through the NLL pipeline — one " +
+      "corpus tokenize, no join anywhere in the plan") {
+    val p = plan("q_quality_gate")
+    assert("split\\(text".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), "gate must not join:\n" + p)
+  }
+
   test("pca projection is map-side only: no exchange, no join — " +
       "components are folded in as literals against the codegen'd dot") {
     import org.apache.spark.sql.functions.col
