@@ -209,7 +209,7 @@ object TextAnalysis {
     * slices and both size bounds) and tokenization would run 4× per
     * row; a multi-referenced non-trivial alias stays materialized.
     */
-  private def bigramsOf(w: Column): Column =
+  private[graft] def bigramsOf(w: Column): Column =
     zip_with(
       slice(w, lit(1), size(w) - 1),
       slice(w, lit(2), size(w) - 1),

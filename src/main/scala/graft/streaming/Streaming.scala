@@ -168,6 +168,41 @@ object Streaming {
       streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Score a document stream against a STATIC persisted bigram model
+    * ([[graft.ext.TextAnalysis.bigramModel]]) — the serving half of
+    * the LM-quality train/serve split: the model trains in batch,
+    * writes to parquet, and every incoming micro-batch scores through
+    * a stream-static join. Single stateful aggregation (streaming
+    * allows only one): bigram INSTANCES join the model and sum per
+    * doc — decimal addition of per-instance lp equals the batch path's
+    * k-weighted sum exactly, so the emitted rows are bit-identical to
+    * [[graft.ext.TextAnalysis.scoreWithBigramModel]] (StreamingSpec).
+    * Unseen bigrams take the `unseenLp` floor and are counted — the
+    * per-batch out-of-domain drift monitor.
+    */
+  def scoreDocsAgainstLm(docs: DataFrame, model: DataFrame,
+      unseenLp: Double = math.log(1e-9)): DataFrame = {
+    import graft.ext.TextAnalysis
+    val lpSeen = log(col("c_bg").cast("double") / col("c_w1").cast("double"))
+      .cast("decimal(18,9)")
+    val lpFloor = lit(BigDecimal(unseenLp)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).cast("decimal(18,9)")
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.bigramsOf(col("w"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(model, Seq("w1", "w2"), "left")
+      .select(col("doc_id"),
+        when(col("c_bg").isNull, lpFloor).otherwise(lpSeen).as("lp"),
+        when(col("c_bg").isNull, lit(1L)).otherwise(lit(0L)).as("unseen"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        ((lit(0.0) - sum(col("lp")).cast("double")) /
+          count(lit(1))).as("nll"))
+  }
+
   /** Custom streaming state via flatMapGroupsWithState: per-user
     * running totals emitted on every update — the escape hatch for
     * stateful logic windowed aggregates can't express (reference's
