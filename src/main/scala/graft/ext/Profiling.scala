@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus/table profiling operators — the data-quality dashboard a
+  * curation run reads before and after every transform: value
+  * histograms, per-domain (source) corpus stats, and robust outlier
+  * flagging. All are one- or two-scan aggregations with broadcastable
+  * scalar sides; nothing here shuffles more than one keyed agg.
+  */
+object Profiling {
+
+  /** Equi-width histogram with data-driven bounds. One scan computes
+    * min/max (broadcast single-row), a second bucketizes map-side and
+    * runs one two-phase (bucket) count — the profile shape that holds
+    * at any scale (contrast: `approx_percentile`-based equi-DEPTH
+    * profiles, which this complements, not replaces). Empty buckets
+    * are absent from the output (aggregation semantics — documented
+    * contract, matches the SQL twin). All arithmetic is IEEE-double
+    * with a fixed evaluation order, so any engine produces identical
+    * bucket assignment bit-for-bit.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val v = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+    val mm = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val nB = lit(nBuckets.toDouble)
+    v.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("vmin")) * nB / (col("vmax") - col("vmin"))),
+            lit(nBuckets - 1L))))
+      .groupBy(col("bucket"), col("vmin"), col("vmax"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (col("vmin") + col("bucket") * (col("vmax") - col("vmin")) / nB).as("lo"),
+        (col("vmin") + (col("bucket") + lit(1L)) * (col("vmax") - col("vmin")) / nB).as("hi"),
+        col("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Per-domain corpus stats over a documents table — the
+    * RefinedWeb/Dolma-style per-source curation ledger: volume (docs,
+    * chars, whitespace tokens), diversity (distinct languages), and
+    * exact-duplicate pressure (docs whose full text occurs elsewhere
+    * in the corpus — the same text-keyed shuffle as exact dedup, here
+    * counted per source so a polluted domain is visible BEFORE the
+    * dedup pass drops its rows).
+    *
+    * Scale shape: one (text) window for duplicate marking — partition
+    * key is the full text, i.e. exact-dedup's shuffle, never a global
+    * window — then one (source) two-phase agg. Long sums are exact;
+    * the mean is a double quotient of exact longs (engine-identical).
+    */
+  def domainStats(docs: DataFrame, textCol: String, langCol: String,
+      sourceCol: String, charsCol: String): DataFrame = {
+    val byText = Window.partitionBy(col(textCol))
+    docs.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        col(charsCol).as("n_chars"),
+        size(split(col(textCol), " ")).as("n_words"),
+        when(count(lit(1)).over(byText) > 1, 1L).otherwise(0L).as("is_dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("is_dup")).as("dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("total_chars"), col("total_words"), col("dup_docs"),
+        (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-group z-score outliers over a double column, exact: group
+    * moments come from integer-cents sums (the `q_variance_stats`
+    * hi/lo-split pattern — any partitioning, any engine, same bits),
+    * so mean/stddev are bit-identical doubles and the |z| ≥ `zCut`
+    * membership is deterministic. Output carries z rounded through
+    * DECIMAL(18,9) (display stability; the FILTER uses the raw
+    * double).
+    *
+    * Scale shape: one two-phase (group) agg over cents partials, the
+    * per-group moments broadcast back (group cardinality = event
+    * types, not rows), z map-side. The robust-statistics swap (median
+    * + MAD via approx_percentile) keeps this exact shape — only the
+    * moment columns change.
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, zCut: Double): DataFrame = {
+    require(zCut > 0, s"zCut must be positive, got $zCut")
+    val withCents = df
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(valueCol).as("v"))
+      .withColumn("cents", round(col("v") * 100, 0).cast("long"))
+      .withColumn("c2", col("cents") * col("cents"))
+    val moments = withCents
+      .withColumn("c2_hi", expr("c2 div 1000000"))
+      .withColumn("c2_lo", col("c2") % 1000000L)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("s1"),
+        sum(col("c2_hi")).as("hi"), sum(col("c2_lo")).as("lo"))
+      .select(col("grp"), col("n"), col("s1"),
+        ((col("hi").cast("double") * 1000000.0 + col("lo").cast("double")) / 10000.0)
+          .as("s2"))
+      .select(col("grp"), col("n"), (col("s1") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("sd"))
+    val z = (col("v") - col("mean")) / col("sd")
+    withCents.join(broadcast(moments), Seq("grp"))
+      .filter(abs(z) >= lit(zCut))
+      .select(col("id"), col("grp"), col("v"),
+        z.cast("decimal(18,9)").as("z"))
+      .orderBy(col("id"))
+  }
+}

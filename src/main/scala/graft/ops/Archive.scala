@@ -244,6 +244,46 @@ object Archive {
     *
     * @return (partitions compacted, total files before, after)
     */
+  /** Snapshot diff — the archive-maintenance audit between two
+    * generations of the same table (e.g. the archive before and after a
+    * re-extraction, or PG-now vs archive-then): rows `added` (key only
+    * in `b`), `removed` (key only in `a`), and `changed` (key in both,
+    * any compared column differing under null-safe equality). Unchanged
+    * rows are excluded — the output is the delta, sized by drift, not
+    * by the table.
+    *
+    * The reference has no such check: a crashed run between upload and
+    * delete (main.go:211-251) silently re-archives rows; this operator
+    * is how that drift becomes visible (and is the verification step
+    * behind appendIdempotent's crash-safety story).
+    *
+    * Scale shape: ONE full-outer sort-merge/shuffle-hash join on the
+    * key — bucketable on `keyCol`, no window, no broadcast of anything
+    * table-sized. Column comparison is null-safe `<=>` per column (no
+    * row serialization); at very wide schemas swap in a map-side
+    * fingerprint column (xxhash64 of the packed row) computed at WRITE
+    * time so the diff join carries 8 bytes per side instead of the row.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val aSide = a.select((col(keyCol).as("key") +: lit(1L).as("in_a") +:
+      compareCols.map(c => col(c).as(s"a_$c"))): _*)
+    val bSide = b.select((col(keyCol).as("key") +: lit(1L).as("in_b") +:
+      compareCols.map(c => col(c).as(s"b_$c"))): _*)
+    val differs = compareCols
+      .map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduce(_ || _)
+    aSide.join(bSide, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("in_b").isNull, lit("removed"))
+          .when(col("in_a").isNull, lit("added"))
+          .when(differs, lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("key"), col("status"))
+      .orderBy(col("key"))
+  }
+
   def compactPartitions(spark: SparkSession, archiveDir: String,
       targetMB: Int, canonCols: Seq[Column]): (Int, Int, Int) = {
     require(targetMB > 0, "targetMB must be > 0")

@@ -460,7 +460,7 @@ object ExtQueries {
         .coalesce(1).sortWithinPartitions(col("query_id"), col("rank")))
   )
 
-  private val ShingleCte =
+  private[queries] val ShingleCte =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, len(w) - 2),

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Layout, Profiling}
+import graft.model.Tables
+import graft.ops.Archive
+
+/** Round-10 pipeline operators (SURVEY.md §2.9): two-stage fuzzy dedup
+  * with edit-distance verification, archive snapshot diff, Z-order
+  * layout stats, equi-width histogram profiling, per-domain corpus
+  * stats, and exact-moment z-score anomaly flagging. All six carry full
+  * DuckDB oracle twins (hash-exact).
+  */
+object PipelineQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LSH candidates → hashed-Jaccard prefilter → Levenshtein verify;
+    // the hashed-set frame is materialized once for its three consumers
+    // (signatures + both prefilter sides), same as q_dedup_minhash
+    "q_dedup_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", n = 3)
+        .localCheckpoint()
+      Dedup.fuzzyDupPairs(hsets, docs, "text", "doc_id",
+          numPerms = 64, bands = 16, jPrefilter = 0.5, editSim = 0.9)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // two deterministic "generations" of the events table (rows dropped
+    // on each side + an in-place value edit) diffed into the
+    // added/removed/changed delta — the crash-drift audit the reference
+    // lacks (main.go:211-251 re-archives silently on crash)
+    "q_snapshot_diff" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val genA = e.filter(col("event_id") % 11 =!= 3)
+      val genB = e.filter(col("event_id") % 13 =!= 5)
+        .withColumn("value",
+          when(col("event_id") % 17 === 0, col("value") + lit(1.0))
+            .otherwise(col("value")))
+      Archive.snapshotDiff(genA, genB, "event_id",
+        Seq("ts", "user_id", "event_type", "value", "props"))
+    }),
+
+    // Z-order clustering dry run over (l_partkey, l_suppkey): per-bucket
+    // min/max spans = the parquet footer stats a rewrite would prune on
+    "q_zorder_layout" -> ((s, d) =>
+      Layout.zorderBucketStats(Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey", bits = 15, nBuckets = 64)),
+
+    // 20-bucket equi-width histogram of events.value (data-driven
+    // bounds via a broadcast single-row min/max)
+    "q_histogram" -> ((s, d) =>
+      Profiling.histogram(Tables.events(s, d), "value", nBuckets = 20)),
+
+    // per-source curation ledger: volume, language diversity, and
+    // exact-duplicate pressure per domain
+    "q_domain_stats" -> ((s, d) =>
+      Profiling.domainStats(Tables.documents(s, d),
+        "text", "lang", "source", "n_chars")),
+
+    // |z| >= 3 outliers per event_type with exact-decimal moments (the
+    // q_variance_stats machinery composed into a row-level filter)
+    "q_anomaly_zscore" -> ((s, d) =>
+      Profiling.zscoreOutliers(Tables.events(s, d),
+        "event_type", "value", "event_id", zCut = 3.0))
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q_dedup_fuzzy" ->
+      s"""${ExtQueries.ShingleCte},
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |e AS (SELECT a_id, b_id,
+         |  1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    greatest(len(da.text), len(db.text)) AS edit_sim
+         |  FROM p
+         |  JOIN documents da ON da.doc_id = p.a_id
+         |  JOIN documents db ON db.doc_id = p.b_id)
+         |SELECT a_id, b_id, edit_sim FROM e WHERE edit_sim >= 0.9
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT * FROM events WHERE event_id % 11 != 3),
+        |b AS (SELECT event_id, ts, user_id, event_type,
+        |    CASE WHEN event_id % 17 = 0 THEN value + 1.0 ELSE value END AS value,
+        |    props
+        |  FROM events WHERE event_id % 13 != 5),
+        |d AS (SELECT COALESCE(a.event_id, b.event_id) AS key,
+        |  CASE WHEN b.event_id IS NULL THEN 'removed'
+        |       WHEN a.event_id IS NULL THEN 'added'
+        |       WHEN (a.ts IS DISTINCT FROM b.ts)
+        |         OR (a.user_id IS DISTINCT FROM b.user_id)
+        |         OR (a.event_type IS DISTINCT FROM b.event_type)
+        |         OR (a.value IS DISTINCT FROM b.value)
+        |         OR (a.props IS DISTINCT FROM b.props) THEN 'changed'
+        |  END AS status
+        |  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
+        |SELECT key, status FROM d WHERE status IS NOT NULL
+        |ORDER BY key""".stripMargin,
+
+    "q_zorder_layout" ->
+      s"""WITH z AS (SELECT l_partkey AS x, l_suppkey AS y,
+         |    (${Layout.zorderSqlExpr("l_partkey", "l_suppkey", 15)}) AS z
+         |  FROM lineitem),
+         |m AS (SELECT max(z) AS zmax FROM z),
+         |bkt AS (SELECT CAST(floor(z * 64.0 / (zmax + 1)) AS BIGINT) AS bucket,
+         |    x, y FROM z, m)
+         |SELECT bucket, COUNT(*) AS n,
+         |  MIN(x) AS x_lo, MAX(x) AS x_hi,
+         |  MIN(y) AS y_lo, MAX(y) AS y_hi
+         |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_histogram" ->
+      """WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT min(v) AS vmin, max(v) AS vmax FROM v),
+        |b AS (SELECT CASE WHEN vmax = vmin THEN 0
+        |    ELSE least(CAST(floor((v - vmin) * 20.0 / (vmax - vmin)) AS BIGINT), 19)
+        |  END AS bucket, vmin, vmax FROM v, m)
+        |SELECT bucket,
+        |  vmin + bucket * (vmax - vmin) / 20.0 AS lo,
+        |  vmin + (bucket + 1) * (vmax - vmin) / 20.0 AS hi,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY bucket, vmin, vmax ORDER BY bucket""".stripMargin,
+
+    "q_domain_stats" ->
+      """WITH c AS (SELECT source, lang, n_chars,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1 THEN 1 ELSE 0 END AS is_dup
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_anomaly_zscore" ->
+      """WITH c AS (SELECT event_id AS id, event_type AS grp, value AS v,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT grp, COUNT(*) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM((cents * cents) // 1000000) AS BIGINT) AS hi,
+        |    CAST(SUM((cents * cents) % 1000000) AS BIGINT) AS lo
+        |  FROM c GROUP BY grp),
+        |m2 AS (SELECT grp, n, s1,
+        |    (CAST(hi AS DOUBLE) * 1000000.0 + CAST(lo AS DOUBLE)) / 10000.0 AS s2
+        |  FROM m),
+        |m3 AS (SELECT grp, n, s1 / n AS mean,
+        |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM m2)
+        |SELECT id, grp, v, CAST((v - mean) / sd AS DECIMAL(18,9)) AS z
+        |FROM c JOIN m3 USING (grp)
+        |WHERE abs((v - mean) / sd) >= 3.0
+        |ORDER BY id""".stripMargin
+  )
+}

@@ -280,4 +280,65 @@ class DedupSpec extends AnyFunSuite {
       400002L -> ((2L, 1L)),  // "b c a": d4@{2,5}
       400003L -> ((2L, 1L)))) // "c a b": d4@{3,6}
   }
+
+  test("fuzzy dedup: a one-character edit pairs with hand-computed " +
+      "edit_sim; unrelated docs never pair") {
+    // d2 = d1 with ONE substituted character ("gamma" → "gamba"):
+    // levenshtein = 1 → edit_sim = 1 - 1/len(t1); one changed word
+    // kills only 3 of 18 word-3-shingles, so J = 15/21 ≈ 0.714 and the
+    // banded candidate is found deterministically (seeded permutations)
+    val tail = " one two three four five six seven eight nine ten" +
+      " eleven twelve thirteen fourteen fifteen sixteen"
+    val t1 = "alpha beta gamma delta" + tail
+    val t2 = "alpha beta gamba delta" + tail
+    val t3 = "completely different words about storage engines and" +
+      " nothing shared with the other documents at all in any shingle"
+    val corpus = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val hsets = Dedup.hashedShingleSets(corpus, "text", "doc_id", n = 3)
+    val out = Dedup.fuzzyDupPairs(hsets, corpus, "text", "doc_id",
+        numPerms = 64, bands = 16, jPrefilter = 0.3, editSim = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, sim) = out.head
+    assert(a == 1L && b == 2L)
+    assert(math.abs(sim - (1.0 - 1.0 / t1.length)) < 1e-12, s"sim=$sim")
+  }
+
+  test("fuzzy dedup equals the unblocked all-pairs definition on the " +
+      "sf0.001 corpus (LSH recall check at spec scale)") {
+    val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", n = 3)
+      .localCheckpoint()
+    val blocked = Dedup.fuzzyDupPairs(hsets, docs, "text", "doc_id",
+        numPerms = 64, bands = 16, jPrefilter = 0.5, editSim = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // brute force: every pair, Levenshtein directly (no LSH, no J filter
+    // beyond the same 0.5 prefilter semantics via direct jaccard)
+    val t = docs.select(col("doc_id"), col("text"))
+    val brute = t.as("a").crossJoin(t.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (lit(1.0) - levenshtein(col("a.text"), col("b.text")).cast("double") /
+          greatest(length(col("a.text")), length(col("b.text")))).as("es"))
+      .filter(col("es") >= 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // blocked ⊆ brute always (J-prefilter only removes); recall check is
+    // the other direction — nothing the unblocked definition finds at
+    // edit_sim ≥ 0.9 escapes the banding+prefilter
+    assert(blocked == brute, s"missing=${brute -- blocked} extra=${blocked -- brute}")
+  }
+
+  test("fuzzy dedup parameter validation is loud") {
+    val hsets = Dedup.hashedShingleSets(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "text", "doc_id", 3)
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyDupPairs(hsets, d, "text", "doc_id", editSim = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyDupPairs(hsets, d, "text", "doc_id", jPrefilter = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyDupPairs(hsets, d, "text", "doc_id", numPerms = 64, bands = 7)
+    }
+  }
 }

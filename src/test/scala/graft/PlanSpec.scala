@@ -287,4 +287,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(p.contains("dot_f32"), p)
   }
+
+  test("zorder layout: two-column pruned scan, map-side Morton + bucket, " +
+      "one broadcast scalar (zmax), two-phase bucket agg, no window") {
+    val p = plan("q_zorder_layout")
+    assert(!p.contains("l_orderkey") && !p.contains("l_quantity"),
+      "read schema not pruned:\n" + p)
+    assert(!p.contains("Window"), p)
+    // zmax rides a single-row broadcast; the corpus side never shuffles
+    // before the bucket aggregation
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "two-phase agg:\n" + p)
+  }
+
+  test("histogram: min/max is a broadcast single-row scalar; bucket " +
+      "assignment is map-side; one two-phase count agg") {
+    val p = plan("q_histogram")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("snapshot diff: ONE keyed full-outer join on the snapshot key — " +
+      "never a cartesian, nothing table-sized broadcast") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("anomaly zscore: per-group moments aggregate two-phase and come " +
+      "back as a BROADCAST hash join (group cardinality, not row count)") {
+    val p = plan("q_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("fuzzy dedup: every join is an equi join (banded candidates, " +
+      "id-keyed text lookup) — Levenshtein never runs over a cartesian") {
+    val p = plan("q_dedup_fuzzy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+  }
 }

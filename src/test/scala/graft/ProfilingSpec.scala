@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Layout, Profiling}
+import graft.ops.Archive
+
+/** Hand-computed semantics for the round-10 profiling/layout/diff
+  * operators: equi-width histogram bucket math, per-domain stats,
+  * exact-moment z-score flags, Morton interleave bit-exactness, and
+  * snapshot-diff classification (including null handling).
+  */
+class ProfilingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- histogram -------------------------------------------------------
+
+  test("histogram: 5 buckets over 0..10 — uniform widths, max value " +
+      "clamps into the last bucket, empty buckets absent") {
+    val df = (0 to 10).map(_.toDouble).toDF("v")
+    val h = Profiling.histogram(df, "v", nBuckets = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // width 2: buckets 0..4 get [0,2) [2,4) [4,6) [6,8) [8,10]: 2,2,2,2,3
+    assert(h.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(h.map(_._4).toSeq == Seq(2L, 2L, 2L, 2L, 3L))
+    assert(h.head._2 == 0.0 && h.head._3 == 2.0)
+    assert(h.last._2 == 8.0 && h.last._3 == 10.0)
+  }
+
+  test("histogram: a constant column lands in one bucket 0 (no div-by-zero)") {
+    val h = Profiling.histogram(Seq(7.0, 7.0, 7.0).toDF("v"), "v", 20)
+      .collect()
+    assert(h.length == 1 && h.head.getLong(0) == 0L && h.head.getLong(3) == 3L)
+  }
+
+  test("histogram: nulls are excluded from the counts") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val total = Profiling.histogram(df, "v", 2)
+      .agg(sum("n")).head.getLong(0)
+    assert(total == 2L)
+  }
+
+  // ---- domain stats ----------------------------------------------------
+
+  test("domainStats: volumes, language diversity, and cross-source " +
+      "exact-dup pressure, computed by hand") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "web", 16L),
+      (2L, "alpha beta gamma", "en", "web", 16L),   // dup of 1 (same source)
+      (3L, "delta epsilon", "de", "web", 13L),
+      (4L, "alpha beta gamma", "en", "books", 16L), // dup of 1/2 (cross-source)
+      (5L, "zeta", "en", "books", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Profiling.domainStats(docs, "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(out == Seq(
+      ("books", 2L, 1L, 20L, 4L, 1L, 10.0),  // words: 3 + 1; doc 4 is a dup
+      ("web", 3L, 2L, 45L, 8L, 2L, 15.0)))   // words: 3 + 3 + 2; docs 1,2 dups
+  }
+
+  // ---- z-score outliers ------------------------------------------------
+
+  test("zscoreOutliers: a planted extreme value is flagged with the " +
+      "hand-computed z; in-band rows are absent") {
+    // group g: 9 values at 10.0 and one at 110.0
+    // mean = 20, var = (sum((x-20)^2))/9 = (9*100 + 8100)/9 = 1000, sd ~ 31.6
+    // z(110) = 90/31.6 = 2.846 < 3 → widen: use 4 nines and one spike
+    val vals = Seq.fill(19)(10.0) :+ 200.0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("event_id", "event_type", "value")
+    // mean = (19*10+200)/20 = 19.5; ss = 19*(9.5^2) + 180.5^2 = 1714.75+32580.25
+    // var = 34295/19 = 1805; sd = 42.485..; z(200) = 180.5/42.485 = 4.248..
+    val out = Profiling.zscoreOutliers(df, "event_type", "value",
+      "event_id", zCut = 3.0).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 19L)
+    val z = out.head.getDecimal(3).doubleValue()
+    assert(math.abs(z - 4.2485) < 1e-3, s"z=$z")
+  }
+
+  test("zscoreOutliers: groups are independent — a value ordinary in a " +
+      "wide group is an outlier in a tight one") {
+    val tight = (0L to 9L).map(i => (i, "tight", if (i == 9) 11.0 else 10.0))
+    val wide = (10L to 19L).map(i => (i, "wide", i.toDouble * 50))
+    val df = (tight ++ wide).toDF("event_id", "event_type", "value")
+    val flagged = Profiling.zscoreOutliers(df, "event_type", "value",
+        "event_id", zCut = 2.5)
+      .select("grp").as[String].collect().toSet
+    assert(flagged == Set("tight"))
+  }
+
+  // ---- z-order ---------------------------------------------------------
+
+  test("zorderValue: bit-exact Morton interleave (x even, y odd)") {
+    // x=5 (101), y=3 (011), bits=3:
+    // pos0=x0=1, pos1=y0=1, pos2=x1=0, pos3=y1=1, pos4=x2=1, pos5=y2=0 → 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zorderValue(col("x"), col("y"), 3).as("z"))
+      .head.getLong(0)
+    assert(z == 27L)
+    // identity checks: z(0,0)=0; z(1,0)=1; z(0,1)=2; z(2^k-1,2^k-1)=4^k-1
+    val zs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (7L, 7L)).toDF("x", "y")
+      .select(Layout.zorderValue(col("x"), col("y"), 3).as("z"))
+      .as[Long].collect().toSeq
+    assert(zs == Seq(0L, 1L, 2L, 63L))
+  }
+
+  test("zorderBucketStats: buckets partition the corpus and bound BOTH " +
+      "dimensions (the pruning win over a single-column sort)") {
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val stats = Layout.zorderBucketStats(grid.toDF("x", "y"), "x", "y",
+      bits = 5, nBuckets = 16).collect()
+    assert(stats.map(_.getLong(1)).sum == 1024L)
+    // 16 buckets over a full 32x32 grid: each Z-range bucket is one
+    // 8x8-ish tile — every bucket's x-span AND y-span must be ≤ 8
+    // (a lexicographic (x,y) sort would give y-spans of 31)
+    stats.foreach { r =>
+      val (xLo, xHi, yLo, yHi) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(xHi - xLo <= 8, s"x span too wide: $r")
+      assert(yHi - yLo <= 8, s"y span too wide: $r")
+    }
+  }
+
+  test("zorderValue rejects out-of-range bits") {
+    intercept[IllegalArgumentException] {
+      Layout.zorderValue(col("x"), col("y"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zorderValue(col("x"), col("y"), 32)
+    }
+  }
+
+  // ---- snapshot diff ---------------------------------------------------
+
+  test("snapshotDiff: added/removed/changed classified; unchanged rows " +
+      "excluded; null-safe comparison both ways") {
+    val a = Seq(
+      (1L, Some("x"), 1.0),  // unchanged
+      (2L, Some("y"), 2.0),  // changed (value)
+      (3L, None: Option[String], 3.0), // changed (null → "z")
+      (4L, Some("w"), 4.0),  // removed
+      (6L, None: Option[String], 6.0)  // unchanged (null == null)
+    ).toDF("k", "s", "v")
+    val b = Seq(
+      (1L, Some("x"), 1.0),
+      (2L, Some("y"), 2.5),
+      (3L, Some("z"), 3.0),
+      (5L, Some("n"), 5.0),  // added
+      (6L, None: Option[String], 6.0)
+    ).toDF("k", "s", "v")
+    val out = Archive.snapshotDiff(a, b, "k", Seq("s", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((2L, "changed"), (3L, "changed"),
+      (4L, "removed"), (5L, "added")))
+  }
+
+  test("snapshotDiff of a snapshot against itself is empty") {
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    assert(Archive.snapshotDiff(a, a, "k", Seq("s", "v")).isEmpty)
+  }
+}
