@@ -514,4 +514,44 @@ object TextAnalysis {
       .agg(sum(col("term_score")).cast("double").as("bm25"),
         count(lit(1)).as("n_terms_hit"))
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus top-`vocabSize`
+    * vocabulary — the tokenizer-coverage metric a pipeline checks before
+    * committing to a vocab (docs with high OOV under the candidate vocab
+    * will fragment into byte-fallback tokens at training time).
+    *
+    * The vocabulary is the top-`vocabSize` tokens under the TOTAL order
+    * (count desc, token asc) — deterministic through rank ties at the
+    * cutoff. Counts and totals are exact longs; the rate is their double
+    * quotient (engine-identical).
+    *
+    * Scale shape: ONE corpus tokenize collapses immediately into the
+    * (doc, token) count frame — far smaller than the token stream — and
+    * that frame feeds BOTH the vocab top-k (which fuses to
+    * TakeOrderedAndProject: per-partition heaps, the corpus vocabulary
+    * is never globally sorted) and the per-doc rollup after a BROADCAST
+    * left join against the ≤vocabSize-row vocab. `materialize` cuts the
+    * shared subtree from two evaluations to one (AQE does not dedupe
+    * identical subtrees — the tfidf/PMI lesson); the registered query
+    * passes `localCheckpoint`.
+    */
+  def vocabOovRates(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val dtc = materialize(docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt")))
+    val vocab = dtc.groupBy(col("tok")).agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    dtc.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("total_toks"),
+        sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L)).as("oov_toks"))
+      .select(col("doc_id"), col("total_toks"), col("oov_toks"),
+        (col("oov_toks").cast("double") / col("total_toks")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series rollups over an event stream — the downsampling and
+  * attribution operators an archival engine runs over its own event
+  * tables (the reference's IoT framing, README.md:3-7, is exactly this
+  * shape: device telemetry keyed by time).
+  */
+object TimeSeries {
+
+  /** OHLC bars: per (group, time-bucket) open/high/low/close/count —
+    * the canonical telemetry downsample. `open`/`close` are the values
+    * of the earliest/latest row under the TOTAL order (ts, tieCol), so
+    * the result is deterministic even with duplicate timestamps.
+    *
+    * Shape: both row_number windows share the same (group, bucket)
+    * partitioning as the final aggregation — one hash exchange, two
+    * in-partition sorts, one two-phase agg. No global window, no join;
+    * the per-partition state is one row per input row only inside its
+    * own bucket partition. At 100 TB bucket×group is the natural
+    * partition key and every stage here already keys on it.
+    */
+  def ohlcBars(events: DataFrame, groupCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val bucket = to_date(col(tsCol)).as("bucket")
+    val base = events.select(col(groupCol).as("grp"), bucket,
+      col(tsCol).as("ts"), col(tieCol).as("tie"), col(valueCol).as("v"))
+    val asc = Window.partitionBy(col("grp"), col("bucket"))
+      .orderBy(col("ts").asc, col("tie").asc)
+    val desc = Window.partitionBy(col("grp"), col("bucket"))
+      .orderBy(col("ts").desc, col("tie").desc)
+    base
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(when(col("rn_a") === 1, col("v"))).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max(when(col("rn_d") === 1, col("v"))).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("grp"), col("bucket"))
+  }
+
+  /** Last-touch attribution: each `convEvent` row (e.g. purchase) is
+    * attributed to the same user's most recent PRIOR `touchEvent` (e.g.
+    * click) within `windowDays` — the marketing/causal-join pattern that
+    * is NOT an as-of join across tables but a carry-forward within one
+    * ordered stream. Unattributed conversions are kept with null
+    * `touch_id` (the funnel's denominator).
+    *
+    * Implementation: one (user) window over the filtered two-type
+    * stream, `last(_, ignoreNulls)` over rows [−∞, −1] carries the
+    * latest touch id AND its µs timestamp; the window cutoff is exact
+    * integer microseconds. Strictly-prior means earlier under the total
+    * (ts, event_id) order, so simultaneous touch/convert rows resolve
+    * deterministically by id.
+    *
+    * Scale shape: one hash exchange on user_id (the stream is filtered
+    * to two event types first, so the window input is the touch+convert
+    * subset, not the full table), then a map-side filter. Per-user
+    * in-partition sort only — the standard sessionization cost.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, touchType: String,
+      convType: String, windowDays: Int): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val stream = events
+      .filter(col(typeCol) === touchType || col(typeCol) === convType)
+      .select(col(userCol).as("user_id"), col(idCol).as("event_id"),
+        col(typeCol).as("et"), unix_micros(col(tsCol)).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touchId = when(col("et") === touchType, col("event_id"))
+    val touchUs = when(col("et") === touchType, col("us"))
+    val winUs = lit(windowDays.toLong * 86400L * 1000000L)
+    stream
+      .withColumn("touch_id", last(touchId, ignoreNulls = true).over(w))
+      .withColumn("touch_us", last(touchUs, ignoreNulls = true).over(w))
+      .filter(col("et") === convType)
+      .select(col("event_id").as("conv_id"), col("user_id"), col("us").as("conv_us"),
+        when(col("touch_us") >= col("us") - winUs, col("touch_id")).as("touch_id"),
+        when(col("touch_us") >= col("us") - winUs, col("us") - col("touch_us"))
+          .as("gap_us"))
+      .orderBy(col("conv_id"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Layout, Profiling}
+import graft.ext.{Dedup, Layout, Profiling, TextAnalysis, TimeSeries}
 import graft.model.Tables
 import graft.ops.Archive
 
@@ -64,7 +64,28 @@ object PipelineQueries {
     // q_variance_stats machinery composed into a row-level filter)
     "q_anomaly_zscore" -> ((s, d) =>
       Profiling.zscoreOutliers(Tables.events(s, d),
-        "event_type", "value", "event_id", zCut = 3.0))
+        "event_type", "value", "event_id", zCut = 3.0)),
+
+    // per-(event_type, day) open/high/low/close/count — the canonical
+    // telemetry downsample, deterministic via the (ts, event_id) order
+    "q_ohlc_bars" -> ((s, d) =>
+      TimeSeries.ohlcBars(Tables.events(s, d),
+        "event_type", "ts", "event_id", "value")),
+
+    // last-touch attribution: purchases attributed to the same user's
+    // most recent prior click within 7 days (carry-forward window,
+    // exact integer-µs cutoff); unattributed rows keep null touch_id
+    "q_attribution" -> ((s, d) =>
+      TimeSeries.lastTouchAttribution(Tables.events(s, d), "user_id",
+        "ts", "event_id", "event_type", "click", "purchase",
+        windowDays = 7)),
+
+    // per-doc OOV rate vs the corpus top-1000 vocabulary (tokenizer
+    // coverage); vocab top-k is deterministic via (count desc, token)
+    "q_vocab_oov" -> ((s, d) =>
+      TextAnalysis.vocabOovRates(Tables.documents(s, d),
+        "text", "doc_id", vocabSize = 1000,
+        materialize = _.localCheckpoint()))
   )
 
   def oracles: Map[String, String] = Map(
@@ -155,6 +176,51 @@ object PipelineQueries {
         |SELECT id, grp, v, CAST((v - mean) / sd AS DECIMAL(18,9)) AS z
         |FROM c JOIN m3 USING (grp)
         |WHERE abs((v - mean) / sd) >= 3.0
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    "q_ohlc_bars" ->
+      """WITH base AS (SELECT event_type AS grp, CAST(ts AS DATE) AS bucket,
+        |    ts, event_id, value AS v FROM events),
+        |r AS (SELECT grp, bucket, v,
+        |  ROW_NUMBER() OVER (PARTITION BY grp, bucket
+        |    ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |  ROW_NUMBER() OVER (PARTITION BY grp, bucket
+        |    ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM base)
+        |SELECT grp, bucket,
+        |  MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+        |  MAX(v) AS high, MIN(v) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY grp, bucket ORDER BY grp, bucket""".stripMargin,
+
+    "q_attribution" ->
+      """WITH s AS (SELECT user_id, event_id, event_type AS et,
+        |    epoch_ns(ts) // 1000 AS us FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT user_id, event_id, et, us,
+        |  LAST_VALUE(CASE WHEN et = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_id,
+        |  LAST_VALUE(CASE WHEN et = 'click' THEN us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_us
+        |  FROM s)
+        |SELECT event_id AS conv_id, user_id, us AS conv_us,
+        |  CASE WHEN t_us >= us - 604800000000 THEN t_id END AS touch_id,
+        |  CASE WHEN t_us >= us - 604800000000 THEN us - t_us END AS gap_us
+        |FROM w WHERE et = 'purchase' ORDER BY conv_id""".stripMargin,
+
+    "q_vocab_oov" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM t
+        |  GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 1000)),
+        |j AS (SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM t LEFT JOIN v ON t.tok = v.tok)
+        |SELECT doc_id, COUNT(*) AS total_toks,
+        |  CAST(SUM(oov) AS BIGINT) AS oov_toks,
+        |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -329,4 +329,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("levenshtein"), p)
   }
+
+  test("ohlc bars: ONE data exchange on (group, bucket) feeds both " +
+      "row_number windows AND the two-phase agg — no join, no global window") {
+    val p = plan("q_ohlc_bars")
+    assert(!p.contains("Join"), p)
+    assert("Window".r.findAllIn(p).length == 2, p)
+    // exchanges: the (grp, bucket) hash + the output sort's range — the
+    // windows and the aggregation reuse the first, never re-shuffle
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("attribution: the carry-forward windows share one user_id " +
+      "exchange and ONE sort (same ordering); no join anywhere") {
+    val p = plan("q_attribution")
+    assert(!p.contains("Join"), p)
+    assert("Window".r.findAllIn(p).length == 2, p)
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("vocab oov: tokenize collapses into the (doc, token) frame once " +
+      "(checkpoint feeds both consumers); vocab top-k fuses to " +
+      "TakeOrderedAndProject and joins back as a BROADCAST") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Generate explode"),
+      "token explode must be materialized away:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

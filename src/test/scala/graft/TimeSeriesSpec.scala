@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{TextAnalysis, TimeSeries}
+
+/** Hand-computed semantics for the time-series rollup/attribution
+  * operators and the vocabulary-coverage metric.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  // ---- OHLC ------------------------------------------------------------
+
+  test("ohlcBars: open/close follow the (ts, tie) total order — " +
+      "including duplicate timestamps — high/low/n by hand") {
+    val rows = Seq(
+      // day 1, group a: arrival order shuffled on purpose
+      (3L, ts("2024-01-01 12:00:00"), "a", 30.0),
+      (1L, ts("2024-01-01 08:00:00"), "a", 10.0),  // earliest → open
+      (2L, ts("2024-01-01 08:00:00"), "a", 99.0),  // same ts, higher id
+      (4L, ts("2024-01-01 20:00:00"), "a", 5.0),   // latest → close, low
+      // day 2, group a: single row — open=close=high=low
+      (5L, ts("2024-01-02 09:00:00"), "a", 7.0),
+      // day 1, group b
+      (6L, ts("2024-01-01 10:00:00"), "b", 1.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = TimeSeries.ohlcBars(rows, "event_type", "ts", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6))).toSeq
+    assert(out == Seq(
+      ("a", "2024-01-01", 10.0, 99.0, 5.0, 5.0, 4L),
+      ("a", "2024-01-02", 7.0, 7.0, 7.0, 7.0, 1L),
+      ("b", "2024-01-01", 1.0, 1.0, 1.0, 1.0, 1L)))
+  }
+
+  test("ohlcBars: duplicate-timestamp close resolves to the HIGHEST tie " +
+      "id (desc order mirror of open)") {
+    val rows = Seq(
+      (1L, ts("2024-03-05 10:00:00"), "x", 1.0),
+      (2L, ts("2024-03-05 11:00:00"), "x", 2.0),  // same latest ts, id 2
+      (3L, ts("2024-03-05 11:00:00"), "x", 3.0)   // same latest ts, id 3 → close
+    ).toDF("event_id", "ts", "event_type", "value")
+    val r = TimeSeries.ohlcBars(rows, "event_type", "ts", "event_id", "value")
+      .head
+    assert(r.getDouble(2) == 1.0 && r.getDouble(5) == 3.0)
+  }
+
+  // ---- last-touch attribution -----------------------------------------
+
+  test("lastTouchAttribution: latest prior click wins, window cutoff " +
+      "is exact, later clicks and missing clicks give null") {
+    val rows = Seq(
+      // user 1: click(1) then click(2) then purchase(3) → attributed to 2
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-02 00:00:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-03 00:00:00"), 1L, "purchase", 9.0),
+      // user 2: click 8 days before purchase → OUTSIDE the 7-day window
+      (4L, ts("2024-01-01 00:00:00"), 2L, "click", 0.0),
+      (5L, ts("2024-01-09 00:00:01"), 2L, "purchase", 9.0),
+      // user 3: purchase with no prior click; click AFTER purchase ignored
+      (6L, ts("2024-01-05 00:00:00"), 3L, "purchase", 9.0),
+      (7L, ts("2024-01-06 00:00:00"), 3L, "click", 0.0),
+      // user 4: click exactly 7 days before → INSIDE (>= cutoff)
+      (8L, ts("2024-01-01 00:00:00"), 4L, "click", 0.0),
+      (9L, ts("2024-01-08 00:00:00"), 4L, "purchase", 9.0),
+      // other event types never attribute
+      (10L, ts("2024-01-02 12:00:00"), 1L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TimeSeries.lastTouchAttribution(rows, "user_id", "ts",
+        "event_id", "event_type", "click", "purchase", windowDays = 7)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(out == Seq(
+      (3L, Some(2L), Some(86400L * 1000000L)),
+      (5L, None, None),
+      (6L, None, None),
+      (9L, Some(8L), Some(7L * 86400L * 1000000L))))
+  }
+
+  test("lastTouchAttribution: a same-timestamp click attributes only " +
+      "when its id orders BEFORE the purchase") {
+    val rows = Seq(
+      (1L, ts("2024-02-01 10:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-02-01 10:00:00"), 1L, "purchase", 9.0), // click id 1 < 2 → attributed, gap 0
+      (4L, ts("2024-02-01 10:00:00"), 2L, "purchase", 9.0), // click id 5 > 4 → NOT prior
+      (5L, ts("2024-02-01 10:00:00"), 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TimeSeries.lastTouchAttribution(rows, "user_id", "ts",
+        "event_id", "event_type", "click", "purchase", windowDays = 7)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(out == Seq((2L, Some(1L)), (4L, None)))
+  }
+
+  // ---- vocab OOV -------------------------------------------------------
+
+  test("vocabOovRates: top-k vocab under (count desc, token asc) with a " +
+      "deterministic tie at the cutoff; per-doc rates by hand") {
+    val docs = Seq(
+      (1L, "aa aa bb cc"),   // aa:2 bb:1 cc:1
+      (2L, "aa bb bb zz")    // aa:1 bb:2 zz:1
+    ).toDF("doc_id", "text")
+    // counts: aa=3, bb=3, cc=1, zz=1 → vocabSize=3 keeps aa, bb and
+    // (tie at count 1 between cc and zz) cc by token order; zz is OOV
+    val out = TextAnalysis.vocabOovRates(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 4L, 0L, 0.0), (2L, 4L, 1L, 0.25)))
+  }
+
+  test("vocabOovRates: vocabSize covering every token gives zero OOV " +
+      "everywhere; vocabSize=1 keeps only the top token") {
+    val docs = Seq((1L, "x y"), (2L, "x x z")).toDF("doc_id", "text")
+    val all = TextAnalysis.vocabOovRates(docs, "text", "doc_id", 10)
+      .agg(sum("oov_toks")).head.getLong(0)
+    assert(all == 0L)
+    // counts: x=3, y=1, z=1 → vocab {x}; doc1 oov=1/2, doc2 oov=1/3
+    val top1 = TextAnalysis.vocabOovRates(docs, "text", "doc_id", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(top1 == Seq((1L, 1L), (2L, 1L)))
+  }
+}
