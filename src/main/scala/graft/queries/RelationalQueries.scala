@@ -67,6 +67,31 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // TPC-H Q10 shape (returned-item reporting, adapted to the
+    // fixture's slimmer customer schema): quarter-filtered orders join
+    // R-flagged lineitems, customers + nations attach as broadcasts,
+    // top-20 customers by lost revenue. The orderdate filter pushes to
+    // the orders scan, the returnflag filter to lineitem; revenue sums
+    // in DECIMAL (exact in any partitioning), top-k fuses to
+    // TakeOrderedAndProject.
+    "q10_returned_items" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q18 shape: a group-HAVING subquery (large orders) feeds the
     // 3-table rollup. The HAVING sum runs in DECIMAL so the > threshold
     // compare is exact on both engines. One lineitem pass (r8): the
@@ -331,6 +356,19 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey

@@ -330,6 +330,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("q10: quarter filter pushes to the orders scan, returnflag to " +
+      "lineitem; customer and nation broadcast; top-20 fuses") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("ohlc bars: ONE data exchange on (group, bucket) feeds both " +
       "row_number windows AND the two-phase agg — no join, no global window") {
     val p = plan("q_ohlc_bars")

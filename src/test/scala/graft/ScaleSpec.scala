@@ -274,6 +274,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(spill > 0L, s"expected forced nonzero spill: $line")
   }
 
+  test("fuzzy dedup prunes the Levenshtein stage to a vanishing pair " +
+      "fraction: banding < all-pairs, J-prefilter < banding (measured)") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2
+    val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+      .localCheckpoint()
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashSignaturesFromHashed(hsets, 64), 16, 4).count()
+    val survivors = Dedup.fuzzyDupPairs(hsets, docs, "text", "doc_id",
+      numPerms = 64, bands = 16, jPrefilter = 0.5, editSim = 0.0001).count()
+    val confirmed = Dedup.fuzzyDupPairs(hsets, docs, "text", "doc_id",
+      numPerms = 64, bands = 16, jPrefilter = 0.5, editSim = 0.9).count()
+    // at sf0.01: 500 docs → 124750 pairs; banding must cut >99% of the
+    // pair space, and the J≥0.5 prefilter bounds what Levenshtein sees
+    assert(cands < allPairs / 100,
+      s"banding did not prune: $cands of $allPairs")
+    assert(survivors <= cands, s"$survivors > $cands")
+    assert(confirmed <= survivors && confirmed > 0,
+      s"confirmed=$confirmed survivors=$survivors")
+    info(s"all-pairs=$allPairs banded=$cands lev-stage=$survivors " +
+      s"confirmed=$confirmed")
+  }
+
   test("GraftExtensions injects dot_f32 into a session function registry") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
