@@ -85,6 +85,30 @@ object Streaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"))
 
+  /** Streaming OHLC bars — the telemetry downsample as an incremental
+    * watermarked aggregation. The batch formulation
+    * (`TimeSeries.ohlcBars`) rides row_number windows, which streaming
+    * cannot do; this twin encodes open/close as lexicographic MIN/MAX
+    * over (µs, tie, value) structs — associative, commutative, mergeable
+    * per micro-batch, so state per (window, group) is one struct, not
+    * the rows. Same (ts, tie) total order ⇒ StreamingSpec pins
+    * stream ≡ batch ≡ the registered q_ohlc_bars on the same files.
+    */
+  def ohlcBars(events: DataFrame, window_ : String = "1 day",
+      watermark: String = "1 hour"): DataFrame = {
+    val key = struct(unix_micros(col("ts")).as("us"),
+      col("event_id").as("tie"), col("value").as("v"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).getField("start").as("bucket_start"),
+        col("event_type"))
+      .agg(min(key).getField("v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(key).getField("v").as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Sliding-window (hopping) aggregation. */
   def slidingCounts(events: DataFrame, window_ : String = "1 hour",
       slide: String = "30 minutes", watermark: String = "1 hour"): DataFrame =

@@ -39,6 +39,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming OHLC bars equal the batch struct-encoded twin AND the " +
+      "registered row_number-window q_ohlc_bars on the same files") {
+    val dir = eventsDir
+    val q = Streaming.ohlcBars(
+        Streaming.readEventsStream(spark, dir, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ohlc_out")
+      .select(to_date(col("bucket_start")).cast("string"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .as[(String, String, Double, Double, Double, Double, Long)].collect().toSet
+    val batchTwin = Streaming.ohlcBars(Tables.events(spark, TestSpark.Sf0001))
+      .select(to_date(col("bucket_start")).cast("string"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .as[(String, String, Double, Double, Double, Double, Long)].collect().toSet
+    val registered = graft.ext.TimeSeries.ohlcBars(
+        Tables.events(spark, TestSpark.Sf0001),
+        "event_type", "ts", "event_id", "value")
+      .select(col("bucket").cast("string"), col("grp"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .as[(String, String, Double, Double, Double, Double, Long)].collect().toSet
+    assert(streamed == batchTwin)
+    assert(streamed == registered)
+    assert(streamed.nonEmpty)
+  }
+
   test("the streaming source is dtype-adaptive like the batch reader: " +
       "a timestamp[us]-typed events dir (the current fixture encoding) " +
       "streams to the same result as the legacy nanos-Long dir") {
