@@ -88,6 +88,32 @@ object Profiling {
     * + MAD via approx_percentile) keeps this exact shape — only the
     * moment columns change.
     */
+  /** Per-group quantile normalization: each value maps to its exact
+    * percentile rank within its group — `(rank − 1) / (n − 1)` with
+    * RANK semantics (ties share the rank of their first member), the
+    * scaling a feature pipeline applies before mixing heterogeneous
+    * signals. Pure integer rank/count inputs ⇒ the double quotient is
+    * engine-identical; n = 1 groups pin to 0.0 (no div-by-zero).
+    *
+    * Scale shape: one (group) window — the sessionization cost class;
+    * the partition key is the group, never the corpus. A group that
+    * outgrows a partition swaps to approx_percentile bucketing with
+    * the same output contract modulo sketch error.
+    */
+  def quantileNorm(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+    df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(valueCol).as("v"))
+      .withColumn("r", rank().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .select(col("id"), col("grp"), col("v"),
+        when(col("n") === 1, lit(0.0))
+          .otherwise((col("r") - lit(1L)).cast("double") / (col("n") - lit(1L)))
+          .as("pr"))
+      .orderBy(col("id"))
+  }
+
   def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, zCut: Double): DataFrame = {
     require(zCut > 0, s"zCut must be positive, got $zCut")

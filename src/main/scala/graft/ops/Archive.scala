@@ -284,6 +284,38 @@ object Archive {
       .orderBy(col("key"))
   }
 
+  /** CDC apply — merge a change set onto a base snapshot: `D` rows
+    * delete by key, any other op ('I' insert / 'U' update) REPLACES the
+    * keyed row with the change row (upsert semantics; the change frame
+    * carries full rows). One key per change row is the caller's
+    * contract — last-writer-wins folding belongs upstream, keyed on the
+    * change-log sequence.
+    *
+    * This is the reference's delete loop (main.go:131-145) generalized
+    * to the three-op merge an incremental archive actually needs: the
+    * reference can only `DELETE WHERE timestamp < cutoff`; this applies
+    * an exact keyed delta.
+    *
+    * Scale shape: untouched = base ANTI JOIN changes (one keyed join,
+    * bucketable on the key like every snapshot op here), result =
+    * untouched ∪ non-delete change rows (union-all adds no exchange).
+    * Output size = |base| − |D| + |I∪U|; never a cross product, nothing
+    * table-sized broadcast.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+      opCol: String): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(changes.columns.contains(opCol),
+      s"changes is missing the op column '$opCol'")
+    require(dataCols.forall(changes.columns.contains),
+      "changes must carry every base column (full-row upserts)")
+    val untouched = base.join(changes.select(col(keyCol)),
+      Seq(keyCol), "left_anti")
+    val upserts = changes.filter(col(opCol) =!= "D")
+      .select(dataCols.map(col): _*)
+    untouched.unionByName(upserts).orderBy(col(keyCol))
+  }
+
   def compactPartitions(spark: SparkSession, archiveDir: String,
       targetMB: Int, canonCols: Seq[Column]): (Int, Int, Int) = {
     require(targetMB > 0, "targetMB must be > 0")

@@ -85,7 +85,33 @@ object PipelineQueries {
     "q_vocab_oov" -> ((s, d) =>
       TextAnalysis.vocabOovRates(Tables.documents(s, d),
         "text", "doc_id", vocabSize = 1000,
-        materialize = _.localCheckpoint()))
+        materialize = _.localCheckpoint())),
+
+    // CDC apply: a deterministic three-op change set (deletes, full-row
+    // updates, re-inserts of the held-out slice) merged onto a base
+    // snapshot — the reference's delete loop generalized to exact keyed
+    // deltas. Ops are disjoint by precedence (D > U > I).
+    "q_cdc_apply" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val base = e.filter(col("event_id") % 7 =!= 0)
+      val changes = e
+        .withColumn("op",
+          when(col("event_id") % 13 === 0, lit("D"))
+            .when(col("event_id") % 17 === 0, lit("U"))
+            .when(col("event_id") % 7 === 0, lit("I")))
+        .filter(col("op").isNotNull)
+        .withColumn("value",
+          when(col("op") === "U", col("value") + lit(10.0))
+            .otherwise(col("value")))
+      Archive.applyChanges(base, changes, "event_id", "op")
+    }),
+
+    // per-event_type quantile normalization of value (exact percentile
+    // rank, RANK tie semantics) — feature scaling before mixing
+    "q_quantile_norm" -> ((s, d) =>
+      Profiling.quantileNorm(Tables.events(s, d),
+        "event_type", "value", "event_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -221,6 +247,34 @@ object PipelineQueries {
         |SELECT doc_id, COUNT(*) AS total_toks,
         |  CAST(SUM(oov) AS BIGINT) AS oov_toks,
         |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |base AS (SELECT * FROM e WHERE event_id % 7 != 0),
+        |ch AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 13 != 0 AND event_id % 17 = 0
+        |      THEN value + 10.0 ELSE value END AS value,
+        |    CASE WHEN event_id % 13 = 0 THEN 'D'
+        |         WHEN event_id % 17 = 0 THEN 'U'
+        |         WHEN event_id % 7 = 0 THEN 'I' END AS op
+        |  FROM e
+        |  WHERE event_id % 13 = 0 OR event_id % 17 = 0 OR event_id % 7 = 0)
+        |SELECT event_id, event_type, value FROM base
+        |WHERE event_id NOT IN (SELECT event_id FROM ch)
+        |UNION ALL
+        |SELECT event_id, event_type, value FROM ch WHERE op != 'D'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH c AS (SELECT event_id AS id, event_type AS grp, value AS v
+        |  FROM events),
+        |r AS (SELECT id, grp, v,
+        |  RANK() OVER (PARTITION BY grp ORDER BY v ASC) AS r,
+        |  COUNT(*) OVER (PARTITION BY grp) AS n FROM c)
+        |SELECT id, grp, v,
+        |  CASE WHEN n = 1 THEN 0.0
+        |       ELSE CAST(r - 1 AS DOUBLE) / (n - 1) END AS pr
+        |FROM r ORDER BY id""".stripMargin
   )
 }

@@ -339,6 +339,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("cdc apply: untouched rows come from a keyed LEFT ANTI join, " +
+      "the upsert union adds no exchange, no cartesian anywhere") {
+    val p = plan("q_cdc_apply")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("quantile norm: one group-keyed window, no join, no global window") {
+    val p = plan("q_quantile_norm")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("ohlc bars: ONE data exchange on (group, bucket) feeds both " +
       "row_number windows AND the two-phase agg — no join, no global window") {
     val p = plan("q_ohlc_bars")

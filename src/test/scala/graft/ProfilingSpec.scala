@@ -160,4 +160,52 @@ class ProfilingSpec extends AnyFunSuite {
     val a = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
     assert(Archive.snapshotDiff(a, a, "k", Seq("s", "v")).isEmpty)
   }
+
+  // ---- CDC apply -------------------------------------------------------
+
+  test("applyChanges: delete removes, update replaces the full row, " +
+      "insert adds, delete of a missing key is a no-op") {
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "b", 2.0, "D"),   // delete
+      (3L, "c2", 33.0, "U"), // full-row replace
+      (4L, "d", 4.0, "I"),   // insert
+      (9L, "z", 9.0, "D")    // delete of a key base never had
+    ).toDF("k", "s", "v", "op")
+    val out = Archive.applyChanges(base, changes, "k", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 1.0), (3L, "c2", 33.0), (4L, "d", 4.0)))
+    // re-applying the same change set is a fixpoint (upserts replace
+    // themselves, deletes stay gone)
+    val again = Archive.applyChanges(
+      Archive.applyChanges(base, changes, "k", "op"), changes, "k", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(again == out)
+  }
+
+  test("applyChanges validates its contract loudly") {
+    val base = Seq((1L, "a")).toDF("k", "s")
+    intercept[IllegalArgumentException] {  // missing op column
+      Archive.applyChanges(base, Seq((1L, "a")).toDF("k", "s"), "k", "op")
+    }
+    intercept[IllegalArgumentException] {  // changes missing a base column
+      Archive.applyChanges(base, Seq((1L, "D")).toDF("k", "op"), "k", "op")
+    }
+  }
+
+  // ---- quantile normalization -----------------------------------------
+
+  test("quantileNorm: RANK tie semantics by hand; singleton group pins " +
+      "to 0.0") {
+    val df = Seq(
+      (1L, "g", 10.0), (2L, "g", 20.0), (3L, "g", 20.0), (4L, "g", 40.0),
+      (5L, "solo", 7.0)
+    ).toDF("event_id", "event_type", "value")
+    val out = Profiling.quantileNorm(df, "event_type", "value", "event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    // ranks in g: 10→1, 20→2 (tie), 20→2, 40→4; n=4 → pr = (r-1)/3
+    assert(out == Map(1L -> 0.0, 2L -> (1.0 / 3), 3L -> (1.0 / 3),
+      4L -> 1.0, 5L -> 0.0))
+  }
 }
