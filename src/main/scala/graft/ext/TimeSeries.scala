@@ -44,6 +44,40 @@ object TimeSeries {
       .orderBy(col("grp"), col("bucket"))
   }
 
+  /** Interval coalescing: merge overlapping-or-touching [start, end]
+    * intervals per key into maximal covered spans — the
+    * occupancy/coverage operator (machine-busy windows, session spans
+    * with VARIABLE per-event durations — which gap-based sessionization
+    * cannot express, because a long interval can bridge events whose
+    * start-gaps exceed any fixed threshold).
+    *
+    * Classic running-max formulation: within each key, order by
+    * (start, tie); a row opens a NEW span iff its start exceeds the
+    * max end seen so far (strictly after — touching merges); span id =
+    * running sum of the open flags; then one agg per (key, span).
+    * All integer arithmetic — engine-exact.
+    *
+    * Scale shape: one (key) window + one (key, span) two-phase agg that
+    * reuses the same hash partitioning — the sessionization cost class;
+    * state is one running max per partition scan.
+    */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("s").asc, col("tie").asc)
+    val prevMaxEnd = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(keyCol).as("k"), col(startCol).as("s"),
+        col(endCol).as("e"), col(tieCol).as("tie"))
+      .withColumn("opens",
+        when(prevMaxEnd.isNull || col("s") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("span",
+        sum(col("opens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("k"), col("span"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy(col("k"), col("span"))
+  }
+
   /** Last-touch attribution: each `convEvent` row (e.g. purchase) is
     * attributed to the same user's most recent PRIOR `touchEvent` (e.g.
     * click) within `windowDays` — the marketing/causal-join pattern that

@@ -111,7 +111,19 @@ object PipelineQueries {
     // rank, RANK tie semantics) — feature scaling before mixing
     "q_quantile_norm" -> ((s, d) =>
       Profiling.quantileNorm(Tables.events(s, d),
-        "event_type", "value", "event_id"))
+        "event_type", "value", "event_id")),
+
+    // coverage spans per user: each event occupies [ts, ts + value
+    // seconds] (variable-length!), overlapping-or-touching intervals
+    // coalesce into maximal busy windows — integer-µs exact
+    "q_interval_merge" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 1000000.0, 0).cast("long")).as("e_us"))
+      TimeSeries.coalesceIntervals(e, "user_id", "s_us", "e_us", "event_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -275,6 +287,27 @@ object PipelineQueries {
         |SELECT id, grp, v,
         |  CASE WHEN n = 1 THEN 0.0
         |       ELSE CAST(r - 1 AS DOUBLE) / (n - 1) END AS pr
-        |FROM r ORDER BY id""".stripMargin
+        |FROM r ORDER BY id""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id AS k, event_id AS tie,
+        |    epoch_ns(ts) // 1000 AS s,
+        |    epoch_ns(ts) // 1000 +
+        |      CAST(round(value * 1000000.0, 0) AS BIGINT) AS e
+        |  FROM events),
+        |o AS (SELECT k, s, e, tie,
+        |  CASE WHEN MAX(e) OVER (PARTITION BY k ORDER BY s ASC, tie ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR s > MAX(e) OVER (PARTITION BY k ORDER BY s ASC, tie ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  THEN 1 ELSE 0 END AS opens
+        |  FROM iv),
+        |g AS (SELECT k, s, e,
+        |  CAST(SUM(opens) OVER (PARTITION BY k ORDER BY s ASC, tie ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span
+        |  FROM o)
+        |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
+        |  COUNT(*) AS n_intervals
+        |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin
   )
 }

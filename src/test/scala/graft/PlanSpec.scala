@@ -353,6 +353,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("interval merge: both windows and the span agg ride ONE user " +
+      "exchange; no join") {
+    val p = plan("q_interval_merge")
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).length <= 2, p) // key hash + output sort
+  }
+
   test("ohlc bars: ONE data exchange on (group, bucket) feeds both " +
       "row_number windows AND the two-phase agg — no join, no global window") {
     val p = plan("q_ohlc_bars")

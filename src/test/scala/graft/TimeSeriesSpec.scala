@@ -99,6 +99,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out == Seq((2L, Some(1L)), (4L, None)))
   }
 
+  // ---- interval coalescing --------------------------------------------
+
+  test("coalesceIntervals: overlapping and touching merge, a long " +
+      "interval bridges gaps no fixed session threshold could, " +
+      "disjoint spans stay separate") {
+    val iv = Seq(
+      // key a: [0,10] + touching [10,20] + overlapping [15,30] → [0,30]
+      (1L, "a", 0L, 10L),
+      (2L, "a", 10L, 20L),
+      (3L, "a", 15L, 30L),
+      // then a gap → [40,45] alone
+      (4L, "a", 40L, 45L),
+      // key b: LONG [0,100] bridges [50,60] and [90,110] → [0,110]
+      (5L, "b", 0L, 100L),
+      (6L, "b", 50L, 60L),
+      (7L, "b", 90L, 110L)
+    ).toDF("tie", "k", "s", "e")
+    val out = TimeSeries.coalesceIntervals(iv, "k", "s", "e", "tie")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("a", 1L, 0L, 30L, 3L),
+      ("a", 2L, 40L, 45L, 1L),
+      ("b", 1L, 0L, 110L, 3L)))
+  }
+
+  test("coalesceIntervals: contained intervals collapse; equal starts " +
+      "resolve by tie deterministically") {
+    val iv = Seq(
+      (1L, "k", 0L, 100L),
+      (2L, "k", 10L, 20L),   // fully contained
+      (3L, "k", 0L, 5L)      // same start as tie 1, shorter
+    ).toDF("tie", "k", "s", "e")
+    val out = TimeSeries.coalesceIntervals(iv, "k", "s", "e", "tie")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq((0L, 100L, 3L)))
+  }
+
   // ---- vocab OOV -------------------------------------------------------
 
   test("vocabOovRates: top-k vocab under (count desc, token asc) with a " +
