@@ -268,4 +268,99 @@ class PropertySpec extends AnyFunSuite {
       assert(out == expected)
     }
   }
+
+  private val intervalsGen = Gen.listOfN(40,
+    Gen.zip(Gen.choose(0L, 3L),       // key
+      Gen.choose(0L, 500L),           // start
+      Gen.choose(0L, 60L)))           // length
+
+  test("property: coalesced intervals are disjoint with gaps between " +
+      "them, count every input exactly once, and equal a driver-side " +
+      "sweep-line reference") {
+    forAllSampled(intervalsGen, 8) { rows =>
+      val iv = rows.zipWithIndex.map { case ((k, s, len), i) =>
+        (i.toLong, k, s, s + len) }
+      val out = graft.ext.TimeSeries
+        .coalesceIntervals(iv.toDF("tie", "k", "s", "e"), "k", "s", "e", "tie")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // disjoint + separated within each key, in order
+      out.groupBy(_._1).values.foreach { spans =>
+        spans.sliding(2).foreach {
+          case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1)
+          case _ =>
+        }
+      }
+      assert(out.map(_._4).sum == iv.size.toLong)
+      // sweep-line reference per key
+      val expected = iv.groupBy(_._2).flatMap { case (k, g) =>
+        val sorted = g.map(t => (t._3, t._4)).sortBy(identity)
+        val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+        sorted.foreach { case (s, e) =>
+          spans.lastOption match {
+            case Some((ss, se, n)) if s <= se =>
+              spans.update(spans.size - 1, (ss, math.max(se, e), n + 1))
+            case _ => spans += ((s, e, 1L))
+          }
+        }
+        spans.map(sp => (k, sp._1, sp._2, sp._3))
+      }.toSet
+      assert(out.map(t => (t._1, t._2, t._3, t._4)).toSet == expected)
+    }
+  }
+
+  private val cdcGen = Gen.zip(
+    Gen.listOfN(30, Gen.zip(Gen.choose(0L, 40L), Gen.choose(0.0, 9.0))),
+    Gen.listOfN(15, Gen.zip(Gen.choose(0L, 50L), Gen.oneOf("D", "U", "I"),
+      Gen.choose(10.0, 19.0))))
+
+  test("property: applyChanges result keys = (base − deletes) ∪ upserts; " +
+      "upserted rows carry the change values; fixpoint on re-apply") {
+    forAllSampled(cdcGen, 8) { case (baseRaw, chRaw) =>
+      // dedupe keys (one row per key is the operator's contract)
+      val base = baseRaw.groupBy(_._1).map { case (k, g) => (k, g.head._2) }.toSeq
+      val ch = chRaw.groupBy(_._1).map { case (k, g) => g.head }.toSeq
+      val out = Archive.applyChanges(base.toDF("k", "v"),
+          ch.toDF("k", "op", "v").select(col("k"), col("v"), col("op")),
+          "k", "op")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val chMap = ch.map(t => t._1 -> t).toMap
+      val expectedKeys = base.map(_._1).filterNot(k =>
+        chMap.contains(k)).toSet ++
+        ch.filter(_._2 != "D").map(_._1).toSet
+      assert(out.keySet == expectedKeys)
+      ch.filter(_._2 != "D").foreach { case (k, _, v) =>
+        assert(out(k) == v, s"upsert value not applied for $k")
+      }
+      val again = Archive.applyChanges(
+        out.toSeq.toDF("k", "v"),
+        ch.toDF("k", "op", "v").select(col("k"), col("v"), col("op")),
+        "k", "op").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(again == out)
+    }
+  }
+
+  private val qnGen = Gen.listOfN(50,
+    Gen.zip(Gen.choose(0L, 2L), Gen.choose(0, 15).map(_.toDouble)))
+
+  test("property: quantile norm is bounded in [0,1], 0 at each group " +
+      "min, monotone in value within a group, tie-consistent") {
+    forAllSampled(qnGen, 8) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g.toString, v) }
+        .toDF("event_id", "event_type", "value")
+      val out = graft.ext.Profiling
+        .quantileNorm(df, "event_type", "value", "event_id")
+        .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+      out.foreach { case (_, _, pr) => assert(pr >= 0.0 && pr <= 1.0) }
+      out.groupBy(_._1).values.foreach { grp =>
+        val byV = grp.sortBy(_._2)
+        assert(byV.head._3 == 0.0)
+        byV.sliding(2).foreach {
+          case Array((_, v1, p1), (_, v2, p2)) =>
+            if (v1 == v2) assert(p1 == p2) else assert(p1 < p2)
+          case _ =>
+        }
+      }
+    }
+  }
 }
