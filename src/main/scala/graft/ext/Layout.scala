@@ -51,26 +51,43 @@ object Layout {
     * footer stats a scan would prune on. Tight spans on BOTH columns =
     * the clustering win over a single-column sort.
     *
-    * Scale shape: Z-value and bucket are map-side expressions (bucket
-    * = uniform scaling of z into `nBuckets` by the broadcast max — at
-    * a rewrite this becomes the range-partitioner key, so the stats
-    * job IS the partitioning dry run); the only exchange is the
-    * two-phase (bucket) aggregation. No window, no global sort, no
-    * per-row state — survives any corpus size.
+    * Both dimensions NORMALIZE to the full `bits` range before the
+    * interleave — floor((v − vmin) · 2^bits / (vmax − vmin + 1)) —
+    * the step every real Z-order rewrite applies: raw interleave of
+    * mismatched domains (say an 11-bit and a 7-bit key) leaves the
+    * high Z bits all-wide-column, so the narrow column never prunes
+    * (measured in ScaleSpec: 5/22 buckets skippable raw vs 56/64
+    * normalized on lineitem's partkey/suppkey). Exact-integer inputs
+    * through double multiply/divide at these magnitudes are
+    * engine-identical bit-for-bit.
+    *
+    * Scale shape: domain min/max is one broadcast single-row scalar;
+    * normalize + interleave + `bucket = z >> (2·bits − log2 nBuckets)`
+    * are map-side codegen; the only data exchange is the two-phase
+    * (bucket) aggregation. At a rewrite the bucket IS the
+    * range-partitioner key, so this job doubles as the dry run. No
+    * window, no global sort — survives any corpus size.
     */
   def zorderBucketStats(df: DataFrame, xCol: String, yCol: String,
       bits: Int, nBuckets: Int): DataFrame = {
-    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
-    val z = df.select(col(xCol).cast("long").as("x"),
-        col(yCol).cast("long").as("y"))
-      .withColumn("z", zorderValue(col("x"), col("y"), bits))
-    val zmax = z.agg(max(col("z")).as("zmax"))
-    // broadcast single-row scalar (the established above-avg pattern):
-    // bucket = floor(z · nBuckets / (zmax+1)) ∈ [0, nBuckets)
-    z.crossJoin(broadcast(zmax))
-      .withColumn("bucket",
-        floor(col("z") * lit(nBuckets.toDouble) / (col("zmax") + lit(1L)))
-          .cast("long"))
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a positive power of two, got $nBuckets")
+    val bucketShift = 2 * bits - java.lang.Long.numberOfTrailingZeros(nBuckets.toLong)
+    require(bucketShift >= 0,
+      s"nBuckets ($nBuckets) exceeds the 4^bits bucket space at bits=$bits")
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val mm = base.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    val scale = lit((1L << bits).toDouble)
+    def normalized(v: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L))
+        .otherwise(floor((v - lo) * scale / (hi - lo + lit(1L))))
+    base.crossJoin(broadcast(mm))
+      .withColumn("z", zorderValue(
+        normalized(col("x"), col("xmin"), col("xmax")),
+        normalized(col("y"), col("ymin"), col("ymax")), bits))
+      .withColumn("bucket", shiftright(col("z"), bucketShift))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),

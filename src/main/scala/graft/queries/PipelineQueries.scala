@@ -163,12 +163,20 @@ object PipelineQueries {
         |ORDER BY key""".stripMargin,
 
     "q_zorder_layout" ->
-      s"""WITH z AS (SELECT l_partkey AS x, l_suppkey AS y,
-         |    (${Layout.zorderSqlExpr("l_partkey", "l_suppkey", 15)}) AS z
-         |  FROM lineitem),
-         |m AS (SELECT max(z) AS zmax FROM z),
-         |bkt AS (SELECT CAST(floor(z * 64.0 / (zmax + 1)) AS BIGINT) AS bucket,
-         |    x, y FROM z, m)
+      s"""WITH src AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+         |m AS (SELECT min(x) AS xmin, max(x) AS xmax,
+         |  min(y) AS ymin, max(y) AS ymax FROM src),
+         |nrm AS (SELECT x, y,
+         |  CASE WHEN xmax = xmin THEN 0
+         |    ELSE CAST(floor(CAST(x - xmin AS DOUBLE) * 32768.0 /
+         |      (xmax - xmin + 1)) AS BIGINT) END AS xn,
+         |  CASE WHEN ymax = ymin THEN 0
+         |    ELSE CAST(floor(CAST(y - ymin AS DOUBLE) * 32768.0 /
+         |      (ymax - ymin + 1)) AS BIGINT) END AS yn
+         |  FROM src, m),
+         |z AS (SELECT x, y, (${Layout.zorderSqlExpr("xn", "yn", 15)}) AS z
+         |  FROM nrm),
+         |bkt AS (SELECT z >> 24 AS bucket, x, y FROM z)
          |SELECT bucket, COUNT(*) AS n,
          |  MIN(x) AS x_lo, MAX(x) AS x_hi,
          |  MIN(y) AS y_lo, MAX(y) AS y_hi
