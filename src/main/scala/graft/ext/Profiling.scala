@@ -133,8 +133,14 @@ object Profiling {
         ((col("hi").cast("double") * 1000000.0 + col("lo").cast("double")) / 10000.0)
           .as("s2"))
       .select(col("grp"), col("n"), (col("s1") / col("n")).as("mean"),
-        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        // n = 1 guards the (n−1) division, and zero-variance groups
+        // (sd = 0) have no outliers by definition — both filtered
+        // below. ANSI Spark throws on ANY division by zero, doubles
+        // included, so these are correctness guards, not cosmetics.
+        sqrt(when(col("n") > 1,
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
           .as("sd"))
+      .filter(col("sd") > 0)
     val z = (col("v") - col("mean")) / col("sd")
     withCents.join(broadcast(moments), Seq("grp"))
       .filter(abs(z) >= lit(zCut))

@@ -218,9 +218,11 @@ object PipelineQueries {
         |    (CAST(hi AS DOUBLE) * 1000000.0 + CAST(lo AS DOUBLE)) / 10000.0 AS s2
         |  FROM m),
         |m3 AS (SELECT grp, n, s1 / n AS mean,
-        |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM m2)
+        |    CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
+        |  FROM m2),
+        |m4 AS (SELECT * FROM m3 WHERE sd > 0)
         |SELECT id, grp, v, CAST((v - mean) / sd AS DECIMAL(18,9)) AS z
-        |FROM c JOIN m3 USING (grp)
+        |FROM c JOIN m4 USING (grp)
         |WHERE abs((v - mean) / sd) >= 3.0
         |ORDER BY id""".stripMargin,
 

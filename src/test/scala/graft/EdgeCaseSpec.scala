@@ -204,4 +204,55 @@ class EdgeCaseSpec extends AnyFunSuite {
       Pca.fit(oneVec, "embedding", k = 1, dim = 2)
     }
   }
+
+  test("round-10 operators on empty/degenerate inputs return empty or " +
+      "identity, never error") {
+    import graft.ext.{Layout, Profiling, TimeSeries}
+    import graft.ops.Archive
+    val emptyEv = Seq.empty[(Long, String, Double)]
+      .toDF("event_id", "event_type", "value")
+    // profiling trio: empty in → empty out (no div-by-zero on null min/max)
+    assert(Profiling.histogram(emptyEv, "value", 10).isEmpty)
+    assert(Profiling.zscoreOutliers(emptyEv, "event_type", "value",
+      "event_id", 3.0).isEmpty)
+    assert(Profiling.quantileNorm(emptyEv, "event_type", "value",
+      "event_id").isEmpty)
+    // zscore on a zero-variance group: sd = 0 → z = NaN, which the
+    // abs >= cut filter rejects — constant streams flag nothing
+    val const = Seq((1L, "g", 5.0), (2L, "g", 5.0), (3L, "g", 5.0))
+      .toDF("event_id", "event_type", "value")
+    assert(Profiling.zscoreOutliers(const, "event_type", "value",
+      "event_id", 3.0).isEmpty)
+    // layout: empty in → empty out
+    val emptyXY = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Layout.zorderBucketStats(emptyXY, "x", "y", 8, 16).isEmpty)
+    // a single point lands in bucket 0 with degenerate spans
+    val pt = Layout.zorderBucketStats(Seq((7L, 9L)).toDF("x", "y"), "x", "y", 8, 16)
+      .collect()
+    assert(pt.length == 1 && pt.head.getLong(0) == 0L &&
+      pt.head.getLong(2) == 7L && pt.head.getLong(4) == 9L)
+    // time series: empty streams
+    val emptyTs = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(TimeSeries.ohlcBars(emptyTs, "event_type", "ts", "event_id",
+      "value").isEmpty)
+    assert(TimeSeries.lastTouchAttribution(emptyTs, "user_id", "ts",
+      "event_id", "event_type", "click", "purchase", 7).isEmpty)
+    assert(TimeSeries.coalesceIntervals(
+      Seq.empty[(Long, Long, Long, Long)].toDF("tie", "k", "s", "e"),
+      "k", "s", "e", "tie").isEmpty)
+    // snapshot/CDC: empty change set is identity; both-empty is empty
+    val base = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    val noChanges = Seq.empty[(Long, String, Double, String)]
+      .toDF("k", "s", "v", "op")
+    assert(Archive.applyChanges(base, noChanges, "k", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a")))
+    val emptyBase = Seq.empty[(Long, String, Double)].toDF("k", "s", "v")
+    assert(Archive.snapshotDiff(emptyBase, emptyBase, "k", Seq("s", "v")).isEmpty)
+    // diff of empty vs nonempty: everything is 'added'
+    val added = Archive.snapshotDiff(emptyBase, base, "k", Seq("s", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(added == Seq((1L, "added")))
+  }
 }
