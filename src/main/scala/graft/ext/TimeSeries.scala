@@ -44,6 +44,38 @@ object TimeSeries {
       .orderBy(col("grp"), col("bucket"))
   }
 
+  /** Strictly-ordered multi-step funnel: for each user, the first
+    * completion of step1 < step2 < step3 in TIME order (each step must
+    * happen strictly after the previous step's chosen occurrence — the
+    * semantics product funnels actually need; a user who purchased
+    * before clicking does not convert). Emits only fully-converted
+    * users with per-step timestamps and latencies, exact integer µs.
+    *
+    * Scale shape: three filtered projections of one scan, each step a
+    * user-keyed two-phase MIN aggregation joined to the previous
+    * step's frame on user_id — every stage keys on user_id, so at a
+    * rewrite all three reuse one partitioning; no window, no
+    * cross-user state. Earlier-step frames shrink monotonically
+    * (conversion funnels contract), so the joins get cheaper per step.
+    */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, step1: String, step2: String, step3: String): DataFrame = {
+    val e = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("et"), unix_micros(col(tsCol)).as("us"))
+    val s1 = e.filter(col("et") === step1)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = e.filter(col("et") === step2)
+      .join(s1, "user_id").filter(col("us") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t2"))
+    val s3 = e.filter(col("et") === step3)
+      .join(s2, "user_id").filter(col("us") > col("t2"))
+      .groupBy(col("user_id"), col("t1"), col("t2")).agg(min(col("us")).as("t3"))
+    s3.select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (col("t2") - col("t1")).as("lat12_us"),
+        (col("t3") - col("t2")).as("lat23_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Interval coalescing: merge overlapping-or-touching [start, end]
     * intervals per key into maximal covered spans — the
     * occupancy/coverage operator (machine-busy windows, session spans

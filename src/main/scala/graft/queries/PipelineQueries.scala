@@ -113,6 +113,12 @@ object PipelineQueries {
       Profiling.quantileNorm(Tables.events(s, d),
         "event_type", "value", "event_id")),
 
+    // strictly-ordered signup → click → purchase funnel with per-step
+    // first-completion latencies (exact integer µs)
+    "q_funnel_steps" -> ((s, d) =>
+      TimeSeries.funnelSteps(Tables.events(s, d), "user_id", "ts",
+        "event_type", "signup", "click", "purchase")),
+
     // coverage spans per user: each event occupies [ts, ts + value
     // seconds] (variable-length!), overlapping-or-touching intervals
     // coalesce into maximal busy windows — integer-µs exact
@@ -298,6 +304,21 @@ object PipelineQueries {
         |  CASE WHEN n = 1 THEN 0.0
         |       ELSE CAST(r - 1 AS DOUBLE) / (n - 1) END AS pr
         |FROM r ORDER BY id""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type AS et,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |  WHERE et = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1, MIN(e.us) AS t2 FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.us > s1.t1
+        |  WHERE et = 'click' GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, s2.t1, s2.t2, MIN(e.us) AS t3 FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.us > s2.t2
+        |  WHERE et = 'purchase' GROUP BY e.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1, t2, t3,
+        |  t2 - t1 AS lat12_us, t3 - t2 AS lat23_us
+        |FROM s3 ORDER BY user_id""".stripMargin,
 
     "q_interval_merge" ->
       """WITH iv AS (SELECT user_id AS k, event_id AS tie,

@@ -99,6 +99,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out == Seq((2L, Some(1L)), (4L, None)))
   }
 
+  // ---- ordered funnel --------------------------------------------------
+
+  test("funnelSteps: strict ordering per step — pre-signup clicks and " +
+      "pre-click purchases don't convert; first qualifying occurrence " +
+      "wins; simultaneous events are excluded (strict >)") {
+    def row(id: Long, u: Long, t: String, et: String) =
+      (id, ts(t), u, et, 0.0)
+    val rows = Seq(
+      // user 1: clean conversion
+      row(1, 1, "2024-01-01 00:00:10", "signup"),
+      row(2, 1, "2024-01-01 00:00:20", "click"),
+      row(3, 1, "2024-01-01 00:00:30", "purchase"),
+      // user 2: click BEFORE signup only → no conversion
+      row(4, 2, "2024-01-01 00:00:05", "click"),
+      row(5, 2, "2024-01-01 00:00:10", "signup"),
+      row(6, 2, "2024-01-01 00:00:30", "purchase"),
+      // user 3: purchase before the first post-signup click → no conversion
+      row(7, 3, "2024-01-01 00:00:10", "signup"),
+      row(8, 3, "2024-01-01 00:00:15", "purchase"),
+      row(9, 3, "2024-01-01 00:00:20", "click"),
+      // user 4: first post-signup click wins (t2=15), purchase@20 > 15 ok
+      row(10, 4, "2024-01-01 00:00:10", "signup"),
+      row(11, 4, "2024-01-01 00:00:15", "click"),
+      row(12, 4, "2024-01-01 00:00:25", "click"),
+      row(13, 4, "2024-01-01 00:00:20", "purchase"),
+      // user 5: click exactly AT signup time → strict > excludes it
+      row(14, 5, "2024-01-01 00:00:10", "signup"),
+      row(15, 5, "2024-01-01 00:00:10", "click"),
+      row(16, 5, "2024-01-01 00:00:30", "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TimeSeries.funnelSteps(rows, "user_id", "ts", "event_type",
+        "signup", "click", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (1L, 10L * 1000000, 10L * 1000000),
+      (4L, 5L * 1000000, 5L * 1000000)))
+  }
+
   // ---- interval coalescing --------------------------------------------
 
   test("coalesceIntervals: overlapping and touching merge, a long " +
