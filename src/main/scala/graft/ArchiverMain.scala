@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 import graft.io.{JdbcRetention, JdbcSource, ParquetSource, TableSource}
 import graft.ops.Archive
 
@@ -240,7 +240,54 @@ object ArchiverMain {
     } finally batch.unpersist()
   }
 
+  /** Maintenance mode (`GRAFT_DIFF_A=<dir> GRAFT_DIFF_B=<dir>`): diff
+    * two archive generations keyed on (table_name, id) via
+    * [[Archive.snapshotDiff]] and report added/removed/changed counts —
+    * the audit for the reference's crash window (a run dying between
+    * upload and delete re-archives rows silently, main.go:211-251).
+    * Composite key = `table_name * 2^40 + id`-style concat is avoided:
+    * we diff per table (the archive discriminator column), so the key
+    * stays the natural `id`. Returns per-table status counts; nothing
+    * is written.
+    */
+  def runDiff(spark: SparkSession, dirA: String, dirB: String):
+      Map[(String, String), Long] = {
+    val a = spark.read.parquet(dirA)
+    val b = spark.read.parquet(dirB)
+    val tables = (a.select("table_name").distinct().collect() ++
+      b.select("table_name").distinct().collect())
+      .map(_.getString(0)).distinct.sorted
+    val compare = Seq("timestamp", "device_id", "value")
+    tables.flatMap { t =>
+      Archive.snapshotDiff(
+          a.filter(col("table_name") === t),
+          b.filter(col("table_name") === t), "id", compare)
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (t, r.getString(0)) -> r.getLong(1))
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
+    val cfg0 = sys.env ++ args.flatMap(a => a.split("=", 2) match {
+      case Array(k, v) => Some(k -> v); case _ => None
+    }).toMap
+    if (cfg0.contains("GRAFT_DIFF_A") || cfg0.contains("GRAFT_DIFF_B")) {
+      require(cfg0.contains("GRAFT_DIFF_A") && cfg0.contains("GRAFT_DIFF_B"),
+        "diff mode needs BOTH GRAFT_DIFF_A and GRAFT_DIFF_B")
+      val spark = SparkSession.builder()
+        .master(cfg0.getOrElse("GRAFT_MASTER", "local[*]"))
+        .appName("graft-archiver-diff")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      try {
+        val counts = runDiff(spark, cfg0("GRAFT_DIFF_A"), cfg0("GRAFT_DIFF_B"))
+        if (counts.isEmpty) println("Archive diff: generations are identical")
+        else counts.toSeq.sorted.foreach { case ((t, s), n) =>
+          println(s"Archive diff: $t $s $n")
+        }
+      } finally spark.stop()
+      return
+    }
     val cfg = parseConfig(sys.env, args)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))

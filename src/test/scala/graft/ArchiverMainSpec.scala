@@ -314,4 +314,31 @@ class ArchiverMainSpec extends AnyFunSuite {
     assert(arch.filter(col("table_name") === "IOT_DATA")
       .select("id").as[Long].collect().toSet == (1L to 6L).toSet)
   }
+
+  test("diff maintenance mode: per-table added/removed/changed counts " +
+      "between two archive generations; identical generations are clean") {
+    def row(t: String, id: Long, ns: Long, dev: String, v: Double) =
+      (id, ns, dev, v, t)
+    val genA = Seq(
+      row("iot_data", 1, 1000L, "d1", 1.0),
+      row("iot_data", 2, 2000L, "d2", 2.0),
+      row("iot_data", 3, 3000L, "d3", 3.0),
+      row("iot_metrics", 9, 9000L, "m1", 9.0)
+    ).toDF("id", "timestamp", "device_id", "value", "table_name")
+    val genB = Seq(
+      row("iot_data", 1, 1000L, "d1", 1.0),    // unchanged
+      row("iot_data", 2, 2000L, "d2", 2.5),    // changed (value)
+      row("iot_data", 4, 4000L, "d4", 4.0),    // added; id 3 removed
+      row("iot_metrics", 9, 9000L, "m1", 9.0)  // unchanged
+    ).toDF("id", "timestamp", "device_id", "value", "table_name")
+    val (dirA, dirB) = (tmp("graft_diff_a"), tmp("graft_diff_b"))
+    genA.write.mode("overwrite").parquet(dirA)
+    genB.write.mode("overwrite").parquet(dirB)
+    val counts = ArchiverMain.runDiff(spark, dirA, dirB)
+    assert(counts == Map(
+      ("iot_data", "added") -> 1L,
+      ("iot_data", "removed") -> 1L,
+      ("iot_data", "changed") -> 1L))
+    assert(ArchiverMain.runDiff(spark, dirA, dirA).isEmpty)
+  }
 }
