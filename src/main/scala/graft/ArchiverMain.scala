@@ -268,12 +268,21 @@ object ArchiverMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val cfg0 = sys.env ++ args.flatMap(a => a.split("=", 2) match {
+    // Diff mode triggers on explicit CLI args ONLY — a stale
+    // GRAFT_DIFF_A/B pair inherited from a scheduler's environment must
+    // not silently turn a production archival run into a read-only diff
+    // with exit 0 (ADVICE r10). Values may still come from env once the
+    // MODE is arg-selected (arg `GRAFT_DIFF_A` alone + env `GRAFT_DIFF_B`
+    // works), but env alone never selects it.
+    val argCfg = args.flatMap(a => a.split("=", 2) match {
       case Array(k, v) => Some(k -> v); case _ => None
     }).toMap
-    if (cfg0.contains("GRAFT_DIFF_A") || cfg0.contains("GRAFT_DIFF_B")) {
+    val cfg0 = sys.env ++ argCfg
+    if (argCfg.contains("GRAFT_DIFF_A") || argCfg.contains("GRAFT_DIFF_B")) {
       require(cfg0.contains("GRAFT_DIFF_A") && cfg0.contains("GRAFT_DIFF_B"),
         "diff mode needs BOTH GRAFT_DIFF_A and GRAFT_DIFF_B")
+      println("Archive diff mode: read-only — nothing will be archived " +
+        "or deleted")
       val spark = SparkSession.builder()
         .master(cfg0.getOrElse("GRAFT_MASTER", "local[*]"))
         .appName("graft-archiver-diff")

@@ -35,6 +35,20 @@ object Bench {
     // detail file. Never set by the driver.
     val injectFail = sys.env.get("SPARK_GRAFT_FAIL_INJECT")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the suite — the builder's
+    // drift-bisection knob (e.g. run the r9 96-query subset inside the
+    // current session to separate plan regressions from session/GC
+    // pressure, VERDICT r10 #4). Never set by the driver.
+    val benchQueries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(list) =>
+          val keep = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val missing = keep -- SparkEntry.queries.keySet
+          require(missing.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: $missing")
+          SparkEntry.queries.view.filterKeys(keep).toMap
+        case None => SparkEntry.queries
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -112,7 +126,7 @@ object Bench {
       .foreach(m => System.err.println(s"[bench] FIXTURE DRIFT: $m"))
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    benchQueries.foreach { case (name, fn) =>
       try { fn(spark, sfDir).count(): Unit }
       catch { case scala.util.control.NonFatal(e) =>
         // loud even in warm-up: a query that cannot run here will fail
@@ -134,7 +148,7 @@ object Bench {
     case class R(sec: Double, shuffleMb: Double, spillMb: Double,
       gcMs: Long, jobs: Long, execMs: Long, schedDelayMs: Long,
       err: Option[String])
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = benchQueries.map { case (name, fn) =>
       val s0 = shuffleBytes.get(); val p0 = spillBytes.get()
       val g0 = gcMs.get(); val j0 = jobCount.get()
       val e0 = execRunMs.get(); val d0 = schedDelayMs.get()
@@ -198,9 +212,19 @@ object Bench {
       s""""jobs":${m1(_.jobs.toDouble, 0)},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json") // cwd-relative default
+    // An explicitly-set SPARK_GRAFT_BENCH_DETAIL path is the caller's
+    // to overwrite; implicit (env-unset) writes must never clobber a
+    // committed record — r10's driver run overwrote the working-tree
+    // BENCH_DETAIL.json and BENCH_DETAIL_r09.json (VERDICT r10 #3), so
+    // implicit writes divert to "<path>.new" when the target exists.
+    val explicitPath = sys.env.contains("SPARK_GRAFT_BENCH_DETAIL")
     def writeFile(path: String): Unit =
       try {
-        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        val target =
+          if (!explicitPath && java.nio.file.Files.exists(
+              java.nio.file.Paths.get(path))) path + ".new"
+          else path
+        java.nio.file.Files.write(java.nio.file.Paths.get(target),
           (detail + "\n").getBytes("UTF-8")): Unit
       } catch { // detail files are best-effort, but fatals must propagate
         case scala.util.control.NonFatal(_) => ()
@@ -213,8 +237,8 @@ object Bench {
     // in /root/repo where those exist, builder runs that set an
     // explicit detail path skip the copy. A stray no-env re-run AFTER
     // the driver has recorded BENCH_r{N} would stamp itself r{N+1} —
-    // accepted: the real round-N+1 run overwrites that file (last
-    // writer wins), so a mislabel is transient, and builder tooling
+    // harmless: writeFile diverts to .new when the file exists, so a
+    // mislabel never displaces a committed record, and builder tooling
     // always sets SPARK_GRAFT_BENCH_DETAIL.
     if (!sys.env.contains("SPARK_GRAFT_BENCH_DETAIL")) {
       val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
