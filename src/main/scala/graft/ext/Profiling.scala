@@ -74,20 +74,6 @@ object Profiling {
       .orderBy(col("source"))
   }
 
-  /** Per-group z-score outliers over a double column, exact: group
-    * moments come from integer-cents sums (the `q_variance_stats`
-    * hi/lo-split pattern — any partitioning, any engine, same bits),
-    * so mean/stddev are bit-identical doubles and the |z| ≥ `zCut`
-    * membership is deterministic. Output carries z rounded through
-    * DECIMAL(18,9) (display stability; the FILTER uses the raw
-    * double).
-    *
-    * Scale shape: one two-phase (group) agg over cents partials, the
-    * per-group moments broadcast back (group cardinality = event
-    * types, not rows), z map-side. The robust-statistics swap (median
-    * + MAD via approx_percentile) keeps this exact shape — only the
-    * moment columns change.
-    */
   /** Per-group quantile normalization: each value maps to its exact
     * percentile rank within its group — `(rank − 1) / (n − 1)` with
     * RANK semantics (ties share the rank of their first member), the
@@ -114,6 +100,62 @@ object Profiling {
       .orderBy(col("id"))
   }
 
+  /** One-pass per-column profile — row/non-null/distinct counts plus
+    * string-canonicalized min/max for every requested column: the
+    * schema-drift and data-quality summary an archive maintenance job
+    * publishes per snapshot (the reference has no profiling at all).
+    *
+    * Scale shape: ONE table scan. The n-column multi-distinct compiles
+    * to Spark's single Expand (×k row multiplication) + two-phase agg —
+    * one shuffle of constant-width partials, never k passes; the
+    * unpivot then runs on the single result row (driver-trivial
+    * explode). At 100 TB this is exactly the plan you want: scan once,
+    * aggregate partially map-side, exchange k small states.
+    *
+    * Determinism: counts are integers; min/max are order-independent
+    * and canonicalize through CAST-to-string (identical text for
+    * long/string/timestamp across engines — doubles shown with their
+    * shortest-round-trip form, which both engines print alike for
+    * fixture-range values).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: $missing")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"nn__$c"),
+      countDistinct(col(c)).as(s"nd__$c"),
+      min(col(c)).cast("string").as(s"mn__$c"),
+      max(col(c)).cast("string").as(s"mx__$c")) }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"nn__$c").as("n_nonnull"),
+      col(s"nd__$c").as("n_distinct"),
+      col(s"mn__$c").as("min_val"),
+      col(s"mx__$c").as("max_val"))): _*)
+    row.select(col("n_rows"), explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"), col("n_rows"),
+        col("e.n_nonnull").as("n_nonnull"),
+        col("e.n_distinct").as("n_distinct"),
+        col("e.min_val").as("min_val"), col("e.max_val").as("max_val"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Per-group z-score outliers over a double column, exact: group
+    * moments come from integer-cents sums (the `q_variance_stats`
+    * hi/lo-split pattern — any partitioning, any engine, same bits),
+    * so mean/stddev are bit-identical doubles and the |z| ≥ `zCut`
+    * membership is deterministic. Output carries z rounded through
+    * DECIMAL(18,9) (display stability; the FILTER uses the raw
+    * double).
+    *
+    * Scale shape: one two-phase (group) agg over cents partials, the
+    * per-group moments broadcast back (group cardinality = event
+    * types, not rows), z map-side. The robust-statistics swap (median
+    * + MAD via approx_percentile) keeps this exact shape — only the
+    * moment columns change.
+    */
   def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, zCut: Double): DataFrame = {
     require(zCut > 0, s"zCut must be positive, got $zCut")
@@ -144,8 +186,13 @@ object Profiling {
     val z = (col("v") - col("mean")) / col("sd")
     withCents.join(broadcast(moments), Seq("grp"))
       .filter(abs(z) >= lit(zCut))
+      // bround before the decimal cast: a raw double landing exactly on
+      // a .5 tie at digit 10 rounds half-up in Spark's cast but
+      // half-to-even in DuckDB's (the labelCentroids/pageRank lesson,
+      // Graph.scala) — rounding to 9 digits first makes the cast
+      // tie-free on both engines.
       .select(col("id"), col("grp"), col("v"),
-        z.cast("decimal(18,9)").as("z"))
+        bround(z, 9).cast("decimal(18,9)").as("z"))
       .orderBy(col("id"))
   }
 }

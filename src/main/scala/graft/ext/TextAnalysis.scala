@@ -554,4 +554,49 @@ object TextAnalysis {
         (col("oov_toks").cast("double") / col("total_toks")).as("oov_rate"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source token-distribution drift: KL(P_source ‖ P_corpus) over
+    * unigram distributions — the domain-shift diagnostic a data-mixing
+    * pipeline checks before weighting sources (a source whose KL spikes
+    * is templated/duplicated or off-domain). No reference analogue
+    * (north star, SURVEY §2.9).
+    *
+    * Determinism: one libm ln per (source, token) term, each term
+    * p·ln(p/q) rounded into DECIMAL(18,9) (exact order-independent
+    * summation — the tokenEntropy discipline), and the FINAL per-source
+    * sum bround(…, 6): a one-ulp libm divergence can flip a single
+    * term's 1e-9 rounding (observed once in zipfSlope at sf0.1), and
+    * the coarser final rounding absorbs exactly that class of drift.
+    *
+    * Scale shape: ONE tokenize feeds everything; `materialize` cuts the
+    * (source, token) count frame that three consumers share (two window
+    * passes + the grand-total agg — AQE does not dedupe identical
+    * subtrees). Both windows key on vocab-or-source-sized frames, never
+    * the corpus; the grand total joins back as a broadcast scalar.
+    */
+  def sourceTokenKl(docs: DataFrame, textCol: String, sourceCol: String,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val counts = materialize(
+      docs.select(col(sourceCol).as("source"),
+          explode(tokens(col(textCol))).as("t"))
+        .groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c_st")))
+    val total = counts.agg(sum(col("c_st")).as("n_total"))
+    counts
+      .withColumn("c_t", sum(col("c_st")).over(wt))
+      .withColumn("n_s", sum(col("c_st")).over(ws))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_s"),
+        ((col("c_st").cast("double") / col("n_s")) *
+          log((col("c_st").cast("double") / col("n_s")) /
+            (col("c_t").cast("double") / col("n_total"))))
+          .cast("decimal(18,9)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        bround(sum(col("term")).cast("double"), 6).as("kl"))
+      .orderBy(col("source"))
+  }
 }

@@ -153,4 +153,39 @@ object TimeSeries {
           .as("gap_us"))
       .orderBy(col("conv_id"))
   }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * count and conditional probability of each (from_type → to_type)
+    * step under the (ts, tie) total order — the user-journey summary a
+    * behavioural pipeline derives before sequence modelling. No
+    * reference analogue (north star, SURVEY §2.9).
+    *
+    * Determinism: successor pairs are fixed by the (ts, tie) total
+    * order; counts are integers and p = n / Σn per from_type is a
+    * single integer-ratio double quotient — engine-identical bits.
+    *
+    * Scale shape: ONE hash exchange on the user key feeds the lead()
+    * window (the sessionization cost class), then the pair counts
+    * collapse two-phase onto the tiny (type × type) grid; the
+    * conditional-probability window runs on that grid, never the
+    * corpus. At 100 TB the only big exchange is the user one, which an
+    * events lake bucketed by user_id eliminates entirely.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("ts").asc, col("tie").asc)
+    val pairs = events
+      .select(col(userCol).as("u"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val grid = Window.partitionBy(col("from_type"))
+    pairs
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(grid).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

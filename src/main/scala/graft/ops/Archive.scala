@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's archival-pipeline capabilities as composable
@@ -303,15 +304,38 @@ object Archive {
     * table-sized broadcast.
     */
   def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
-      opCol: String): DataFrame = {
+      opCol: String, validate: Boolean = false): DataFrame = {
     val dataCols = base.columns.toSeq
     require(changes.columns.contains(opCol),
       s"changes is missing the op column '$opCol'")
     require(dataCols.forall(changes.columns.contains),
       "changes must carry every base column (full-row upserts)")
-    val untouched = base.join(changes.select(col(keyCol)),
+    // One-key-per-change-row contract (ADVICE r10): duplicate keys in
+    // `changes` would silently emit duplicate output keys (and one D
+    // row would drop ALL same-keyed base rows). `validate` enforces it
+    // loudly WITHOUT a driver action — a lazy per-key window count that
+    // raise_error()s at execution time. Off by default: the window adds
+    // a shuffle of the (delta-sized) changes frame, and CDC feeds with
+    // an upstream uniqueness guarantee shouldn't pay it twice.
+    val checked =
+      if (!validate) changes
+      else {
+        // The guard lives in a FILTER predicate (not a dropped
+        // projection — column pruning would erase that): rows with a
+        // unique key pass `true`, a duplicate key evaluates raise_error.
+        val w = Window.partitionBy(col(keyCol))
+        changes
+          .withColumn("_dup_n", count(lit(1)).over(w))
+          .filter(when(col("_dup_n") > 1,
+              raise_error(concat(
+                lit("applyChanges: duplicate key in changes: "),
+                col(keyCol).cast("string"))).isNull)
+            .otherwise(lit(true)))
+          .drop("_dup_n")
+      }
+    val untouched = base.join(checked.select(col(keyCol)),
       Seq(keyCol), "left_anti")
-    val upserts = changes.filter(col(opCol) =!= "D")
+    val upserts = checked.filter(col(opCol) =!= "D")
       .select(dataCols.map(col): _*)
     untouched.unionByName(upserts).orderBy(col(keyCol))
   }

@@ -149,14 +149,59 @@ object CorpusQueries {
 
     // real WAV decode (javax.sound.sampled) over deterministic synthetic
     // sine payloads built in the executors: sample rate, RMS level,
-    // zero-crossing rate. Rows-only (no WAV decoder in DuckDB); exact
-    // values pinned in MultimodalSpec.
+    // zero-crossing rate. No WAV decoder in DuckDB, but every feature is
+    // a per-row pure function of a seeded payload — so the registered
+    // form reduces the 64 feature rows to an order-independent exact
+    // digest with a pinned-constant oracle (the q_dedup_simhash pattern,
+    // VERDICT r10 #6; was rows-only through r10). Per-row output stays
+    // first-class via [[Multimodal.extractAudioFeatures]]; exact
+    // BT.601/RMS values + this digest pinned in MultimodalSpec.
+    // per-source token-distribution drift KL(P_source ‖ P_corpus)
+    // (round 11): the domain-shift diagnostic before source weighting;
+    // one tokenize, materialized (source, token) counts feed two
+    // windows + the broadcast grand total
+    "q_source_kl" -> ((s, d) =>
+      TextAnalysis.sourceTokenKl(Tables.documents(s, d), "text", "source",
+        materialize = _.localCheckpoint())),
+
     "q_multimodal_audio" -> ((s, _) =>
       Multimodal.extractAudioFeatures(Multimodal.syntheticAudio(s, 64))
-        .orderBy(col("media_id")))
+        .agg(count(lit(1)).as("n_media"),
+          bit_xor(xxhash64(col("media_id"), col("n_bytes"),
+            col("sample_rate"), col("n_samples"), col("rms"),
+            col("zero_cross_rate"))).as("xor_digest")))
   )
 
   def oracles: Map[String, String] = Map(
+
+    // Pinned-constant oracle (the q_dedup_simhash pattern): the WAV
+    // corpus is synthesized in-executor from seeded sine parameters —
+    // no fixture dependence, every feature a per-row pure function —
+    // so the digest is one constant (verified identical across scales
+    // and repeated runs). MultimodalSpec pins the same digest.
+    "q_multimodal_audio" ->
+      """SELECT CAST(64 AS BIGINT) AS n_media,
+        |  CAST(2989624363592580595 AS BIGINT) AS xor_digest""".stripMargin,
+
+    // mirrors sourceTokenKl exactly: same quotient shapes, one ln per
+    // (source, token) term through DECIMAL(18,9), final round(…, 6)
+    // twin of Spark's bround (the zipfSlope final-rounding discipline)
+    "q_source_kl" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |c AS (SELECT source, t, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+        |w AS (SELECT source, t, c_st,
+        |  SUM(c_st) OVER (PARTITION BY t) AS c_t,
+        |  SUM(c_st) OVER (PARTITION BY source) AS n_s,
+        |  SUM(c_st) OVER () AS n_total FROM c),
+        |e AS (SELECT source, n_s,
+        |  CAST((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+        |    ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) /
+        |      (CAST(c_t AS DOUBLE) / CAST(n_total AS DOUBLE)))
+        |    AS DECIMAL(18,9)) AS term FROM w)
+        |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(term) AS DOUBLE), 6) AS kl
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_entropy" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

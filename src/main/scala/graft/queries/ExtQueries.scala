@@ -112,12 +112,21 @@ object ExtQueries {
         .select(col("query_id"), col("rank"), col("vec_id"))
         .orderBy(col("query_id"), col("rank"))),
 
-    // multi-table sign-LSH ANN (rows-only; recall asserted in
-    // SimilaritySpec against the brute-force baseline).
+    // multi-table sign-LSH ANN. The result SET is deterministic (fixed
+    // hyperplane seeds; rank breaks float-score ties on vec_id; scores
+    // are per-row map-side dot products, no accumulation-order
+    // variance), but DuckDB cannot evaluate the LSH, so — the
+    // q_dedup_simhash pattern (VERDICT r10 #5) — the registered form
+    // reduces (query_id, rank, vec_id) to an order-independent exact
+    // digest checked by a pinned-constant oracle keyed on a fixture
+    // fingerprint. Top-k output stays first-class via
+    // [[Similarity.annTopK]]; recall 0.93 + the same digests pinned at
+    // two scales in SimilaritySpec (was rows-only through r10).
     "q_similarity_ann" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), queryVecs(s, d), k = 10)
-        .select(col("query_id"), col("rank"), col("vec_id"))
-        .orderBy(col("query_id"), col("rank"))),
+        .agg(count(lit(1)).as("n_rows"),
+          bit_xor(xxhash64(col("query_id"), col("rank"), col("vec_id")))
+            .as("xor_digest"))),
 
     // exact duplicated 8-token spans (substring-level dedup — the
     // boilerplate/quotation duplication document-level hashing misses);
@@ -136,8 +145,17 @@ object ExtQueries {
     "q_embed_pca" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = Pca.fit(emb, "embedding", k = 8, dim = 64)
+      // Flattened to scalar proj_0..proj_7 (not the ArrayType `proj`):
+      // the driver's pandas comparator cannot sort/hash an ndarray cell
+      // (r10 harness error), and rows-only still needs a countable,
+      // sortable frame. bround(…, 6) absorbs the last-bit partition-
+      // order jitter of the double Gram sums (Pca scaladoc) so the
+      // displayed values are run-stable even though the gate is
+      // rows-only (eigen-solve isn't SQL; invariants pinned in PcaSpec).
       Pca.project(emb, "embedding", model)
-        .select(col("vec_id"), col("label"), col("proj"))
+        .select(Seq(col("vec_id"), col("label")) ++
+          (0 until 8).map(i =>
+            bround(element_at(col("proj"), i + 1), 6).as(s"proj_$i")): _*)
         .orderBy(col("vec_id"))
     }),
 
@@ -366,10 +384,13 @@ object ExtQueries {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
-    // multimodal plumbing end-to-end (rows-only: binary payloads +
-    // partition-wise stubbed decode have no SQL twin; values are
-    // deterministic and pinned by MultimodalSpec): per-kind feature
-    // rollup over the synthetic media table.
+    // multimodal plumbing end-to-end: per-kind feature rollup over the
+    // synthetic media table. The input is synthesized in-executor
+    // (independent of the fixture dir) and the decode is per-row pure,
+    // so the 3-row rollup is a CONSTANT — the oracle pins it as literal
+    // rows (VERDICT r10 #6; was rows-only). The intensity mean sums in
+    // DECIMAL first: a raw double avg's merge order varies with task
+    // completion, and a pinned oracle needs bit-stable output.
     "q_multimodal_features" -> ((s, d) => {
       import graft.ext.Multimodal
       Multimodal.extractFeatures(
@@ -377,7 +398,8 @@ object ExtQueries {
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_bytes")).as("total_bytes"),
-          round(avg(col("mean_intensity")), 6).as("avg_intensity"))
+          bround(sum(col("mean_intensity").cast("decimal(18,9)"))
+            .cast("double") / count(lit(1)), 6).as("avg_intensity"))
         .orderBy(col("kind"))
     }),
 
@@ -440,24 +462,19 @@ object ExtQueries {
     // hook — the k-row centroid frame feeds both the corpus assignment
     // and the probe ranking, and without the cut the lazy training plan
     // would re-run per broadcast (the r7 6.3 s regression).
+    // Same digest promotion as q_similarity_ann (VERDICT r10 #5): IVF
+    // training is deterministic (decimal-mean centroid recompute is
+    // order-independent; assignment l2 scores are per-row), so the
+    // 50-row top-k reduces to a pinned exact digest. Top-k output stays
+    // first-class via [[Similarity.ivfTopK]]; recall@10 0.98 + the same
+    // digests pinned at two scales in SimilaritySpec.
     "q_similarity_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), queryVecs(s, d),
           k = 10, cells = 8, nprobe = 3,
           materialize = _.localCheckpoint())
-        .select(col("query_id"), col("rank"), col("vec_id"))
-        // 50-row result: coalesce(1) + in-partition sort gives the
-        // same deterministic output as a global orderBy WITHOUT the
-        // range-partitioner sampling job + exchange — this query's
-        // cost is pure per-job scheduling (24 single-task jobs), so
-        // every job removed is wall-clock.
-        // Scale caveat (ADVICE r8): coalesce propagates up to the
-        // previous shuffle boundary, so the post-window stage (the
-        // rank<=k filter over all probe candidates) runs single-task.
-        // Safe HERE only because the output is bounded by construction
-        // — |queries| × k = 5 × 10 rows at every SF, and the window
-        // stage's input is already per-query bucketed; a caller with an
-        // unbounded query set should orderBy instead.
-        .coalesce(1).sortWithinPartitions(col("query_id"), col("rank")))
+        .agg(count(lit(1)).as("n_rows"),
+          bit_xor(xxhash64(col("query_id"), col("rank"), col("vec_id")))
+            .as("xor_digest")))
   )
 
   private[queries] val ShingleCte =
@@ -478,6 +495,63 @@ object ExtQueries {
     // loud mismatch, never a silent pass. DedupSpec asserts the same
     // constants against the pair frame directly, so fixture
     // regeneration or semantic drift fails spec and oracle together.
+    // Pinned-constant oracles for the deterministic similarity top-k
+    // digests (same sanctioned pattern as q_dedup_simhash below; VERDICT
+    // r10 #5). Fingerprint = embeddings row count + BIT_XOR of the
+    // vec_id-mixed quantized first coordinate — exact in both engines
+    // (float→double widening and floor are exact), and it discriminates
+    // all three fixture scales (500/-33196, 500/229470, 2000/-289852).
+    // SimilaritySpec pins the same digests at two scales, so fixture
+    // regeneration or semantic drift breaks spec and oracle together;
+    // an unrecognized fixture yields NULLs → loud mismatch.
+    "q_similarity_ann" ->
+      """WITH f AS (SELECT COUNT(*) AS n,
+        |  BIT_XOR(xor(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |    AS BIGINT), vec_id)) AS fp FROM embeddings)
+        |SELECT
+        |  CASE WHEN n IN (500, 2000) AND fp IN (-33196, 229470, -289852)
+        |    THEN CAST(50 AS BIGINT) END AS n_rows,
+        |  CASE WHEN n = 500 AND fp = -33196
+        |      THEN CAST(6463922699364467753 AS BIGINT)
+        |    WHEN n = 500 AND fp = 229470
+        |      THEN CAST(-8552199710931563464 AS BIGINT)
+        |    WHEN n = 2000 AND fp = -289852
+        |      THEN CAST(773989686739972752 AS BIGINT)
+        |    END AS xor_digest
+        |FROM f""".stripMargin,
+
+    "q_similarity_ivf" ->
+      """WITH f AS (SELECT COUNT(*) AS n,
+        |  BIT_XOR(xor(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |    AS BIGINT), vec_id)) AS fp FROM embeddings)
+        |SELECT
+        |  CASE WHEN n IN (500, 2000) AND fp IN (-33196, 229470, -289852)
+        |    THEN CAST(50 AS BIGINT) END AS n_rows,
+        |  CASE WHEN n = 500 AND fp = -33196
+        |      THEN CAST(2786292923094074110 AS BIGINT)
+        |    WHEN n = 500 AND fp = 229470
+        |      THEN CAST(2651920947355102651 AS BIGINT)
+        |    WHEN n = 2000 AND fp = -289852
+        |      THEN CAST(5118600368501737980 AS BIGINT)
+        |    END AS xor_digest
+        |FROM f""".stripMargin,
+
+    // Literal-row oracle: the media table is synthesized in-executor
+    // from seeded sha2 blocks (no fixture dependence), the decode is
+    // per-row pure, and the intensity mean sums in DECIMAL — the 3-row
+    // rollup is a bit-stable constant (verified identical across scales
+    // and repeated runs). MultimodalSpec pins the same values.
+    "q_multimodal_features" ->
+      """SELECT * FROM (VALUES
+        |  ('audio', CAST(100 AS BIGINT), CAST(25600 AS BIGINT),
+        |     CAST(0.498801 AS DOUBLE)),
+        |  ('image', CAST(100 AS BIGINT), CAST(25600 AS BIGINT),
+        |     CAST(0.50074 AS DOUBLE)),
+        |  ('video', CAST(100 AS BIGINT), CAST(25600 AS BIGINT),
+        |     CAST(0.498114 AS DOUBLE)))
+        |AS t(kind, n, total_bytes, avg_intensity)
+        |ORDER BY kind""".stripMargin,
+
     "q_dedup_simhash" ->
       """WITH f AS (SELECT COUNT(*) AS n, SUM(LENGTH(text)) AS tl
         |  FROM documents)

@@ -18,13 +18,19 @@ object PipelineQueries {
 
     // LSH candidates → hashed-Jaccard prefilter → Levenshtein verify;
     // the hashed-set frame is materialized once for its three consumers
-    // (signatures + both prefilter sides), same as q_dedup_minhash
+    // (signatures + both prefilter sides), and the materialize hook is
+    // passed through so lshCandidates ALSO checkpoints the banded
+    // signature frame — without it the 64-perm minhash aggregation
+    // feeds both LSH self-join sides unmaterialized and computes twice
+    // (the AQE no-subtree-dedup lesson; parity with q_dedup_minhash,
+    // ADVICE r10)
     "q_dedup_fuzzy" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", n = 3)
         .localCheckpoint()
       Dedup.fuzzyDupPairs(hsets, docs, "text", "doc_id",
-          numPerms = 64, bands = 16, jPrefilter = 0.5, editSim = 0.9)
+          numPerms = 64, bands = 16, jPrefilter = 0.5, editSim = 0.9,
+          materialize = _.localCheckpoint())
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -71,6 +77,35 @@ object PipelineQueries {
     "q_ohlc_bars" -> ((s, d) =>
       TimeSeries.ohlcBars(Tables.events(s, d),
         "event_type", "ts", "event_id", "value")),
+
+    // The SAME downsample through the ACTUAL incremental path
+    // (VERDICT r10 #8): events re-sharded into 4 files, file-streamed
+    // one file per micro-batch through the watermarked struct-encoded
+    // streaming twin, complete-mode memory sink — the registered,
+    // driver-gated proof that the micro-batch execution produces the
+    // batch answer (StreamingSpec pins the equivalence; this row pins
+    // it against the DuckDB oracle). Complete mode + processAllAvailable
+    // makes the final table independent of file arrival order, so the
+    // q_ohlc_bars oracle applies verbatim.
+    "q_ohlc_stream" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ohlc_stream").toString
+      Tables.eventsNative(s, d).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val sink = "graft_ohlc_stream_sink"
+      s.catalog.dropTempView(sink): Unit
+      val q = graft.streaming.Streaming.ohlcBars(
+          graft.streaming.Streaming.readEventsStream(s, tmp,
+            maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("event_type").as("grp"),
+          to_date(col("bucket_start")).as("bucket"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy(col("grp"), col("bucket"))
+    }),
 
     // last-touch attribution: purchases attributed to the same user's
     // most recent prior click within 7 days (carry-forward window,
@@ -129,7 +164,22 @@ object PipelineQueries {
           (unix_micros(col("ts")) +
             round(col("value") * 1000000.0, 0).cast("long")).as("e_us"))
       TimeSeries.coalesceIntervals(e, "user_id", "s_us", "e_us", "event_id")
-    })
+    }),
+
+    // first-order Markov transition matrix over per-user event streams
+    // (round 11): count + conditional probability per (from → to) step
+    // under the (ts, event_id) total order
+    "q_event_transitions" -> ((s, d) =>
+      TimeSeries.eventTransitions(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // one-pass per-column profile of the orders snapshot (round 11):
+    // row/non-null/distinct counts + canonical min/max per column —
+    // the multi-distinct compiles to ONE scan with Expand, not k passes
+    "q_column_profile" -> ((s, d) =>
+      Profiling.columnProfile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -227,12 +277,31 @@ object PipelineQueries {
         |    CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
         |  FROM m2),
         |m4 AS (SELECT * FROM m3 WHERE sd > 0)
-        |SELECT id, grp, v, CAST((v - mean) / sd AS DECIMAL(18,9)) AS z
+        |SELECT id, grp, v, CAST(round((v - mean) / sd, 9) AS DECIMAL(18,9)) AS z
         |FROM c JOIN m4 USING (grp)
         |WHERE abs((v - mean) / sd) >= 3.0
         |ORDER BY id""".stripMargin,
 
     "q_ohlc_bars" ->
+      """WITH base AS (SELECT event_type AS grp, CAST(ts AS DATE) AS bucket,
+        |    ts, event_id, value AS v FROM events),
+        |r AS (SELECT grp, bucket, v,
+        |  ROW_NUMBER() OVER (PARTITION BY grp, bucket
+        |    ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |  ROW_NUMBER() OVER (PARTITION BY grp, bucket
+        |    ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM base)
+        |SELECT grp, bucket,
+        |  MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+        |  MAX(v) AS high, MIN(v) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY grp, bucket ORDER BY grp, bucket""".stripMargin,
+
+    // identical to q_ohlc_bars: the streaming path must converge to the
+    // batch answer, and complete-mode output after processAllAvailable
+    // is deterministic, so the batch oracle gates the incremental run
+    "q_ohlc_stream" ->
       """WITH base AS (SELECT event_type AS grp, CAST(ts AS DATE) AS bucket,
         |    ts, event_id, value AS v FROM events),
         |r AS (SELECT grp, bucket, v,
@@ -339,6 +408,51 @@ object PipelineQueries {
         |  FROM o)
         |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
         |  COUNT(*) AS n_intervals
-        |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin
+        |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ns(ts) // 1000 AS us,
+        |    event_id, event_type AS from_type FROM events),
+        |p AS (SELECT from_type, LEAD(from_type) OVER (PARTITION BY u
+        |    ORDER BY us ASC, event_id ASC) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_column_profile" ->
+      """WITH s AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+        |  COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
+        |    CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+        |  COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+        |    CAST(MIN(o_orderstatus) AS VARCHAR) AS mn3,
+        |    CAST(MAX(o_orderstatus) AS VARCHAR) AS mx3,
+        |  COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4,
+        |    CAST(MIN(o_totalprice) AS VARCHAR) AS mn4,
+        |    CAST(MAX(o_totalprice) AS VARCHAR) AS mx4,
+        |  COUNT(o_orderdate) AS nn5, COUNT(DISTINCT o_orderdate) AS nd5,
+        |    CAST(MIN(o_orderdate) AS VARCHAR) AS mn5,
+        |    CAST(MAX(o_orderdate) AS VARCHAR) AS mx5,
+        |  COUNT(o_orderpriority) AS nn6,
+        |    COUNT(DISTINCT o_orderpriority) AS nd6,
+        |    CAST(MIN(o_orderpriority) AS VARCHAR) AS mn6,
+        |    CAST(MAX(o_orderpriority) AS VARCHAR) AS mx6
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nonnull,
+        |    nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM s
+        |  UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2 FROM s
+        |  UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3, mn3, mx3 FROM s
+        |  UNION ALL SELECT 'o_totalprice', n_rows, nn4, nd4, mn4, mx4 FROM s
+        |  UNION ALL SELECT 'o_orderdate', n_rows, nn5, nd5, mn5, mx5 FROM s
+        |  UNION ALL SELECT 'o_orderpriority', n_rows, nn6, nd6, mn6, mx6
+        |    FROM s)
+        |ORDER BY col_name""".stripMargin
   )
 }

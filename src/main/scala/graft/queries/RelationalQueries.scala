@@ -144,6 +144,52 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q4 shape (order-priority checking): the EXISTS decorrelates
+    // to a left-semi join whose condition is compound — equi on the
+    // order key PLUS the correlated range predicate (late shipment:
+    // l_shipdate > o_orderdate + 90 days), the decorrelation shape
+    // q_join_semi's key-only EXISTS doesn't exercise. The quarter
+    // filter pushes to the orders scan; the semi join never widens
+    // orders (each order emits at most once regardless of how many
+    // late lineitems match).
+    "q4_order_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship, adapted: the
+    // fixture has no partsupp, so lineitem IS the part↔supplier
+    // relation, and no s_comment, so "complaint" suppliers are the
+    // negative-balance ones): NOT IN decorrelates to a left-anti join
+    // against a broadcast-sized exclusion list (s_suppkey is non-null,
+    // so anti ≡ NOT IN), then a distinct aggregate per part attribute.
+    // The selective part filter joins FIRST (broadcast) so the anti
+    // join scans only surviving lineitems; countDistinct expands to the
+    // standard two-shuffle (key-distinct, then count) plan.
+    "q16_parts_suppliers" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
     // 2.3 left outer join: per-order lineitem rollup keeping all orders.
     "q_join_left" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -234,6 +280,27 @@ object RelationalQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") /
             count(lit(1)).over(w))
         .orderBy(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // 2.5 RANGE-frame window on event time (round 11): trailing-hour
+    // count + decimal-exact sum per event — the time-based frame spec
+    // the ROWS-frame q_window_moving_avg can't express (a RANGE frame
+    // admits variable row counts and includes ALL timestamp ties, so
+    // the result is well-defined without a tie column). Integer-µs
+    // bounds keep the frame arithmetic exact on both engines.
+    "q_trailing_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        // one select → both frame aggregates share ONE Window node
+        // (separate withColumns interleave a Project and split them)
+        .select(col("event_id"), col("event_type"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy(col("event_id"))
     }),
 
     // U2 intersect: customers ordering in both years.
@@ -397,6 +464,26 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
     "q_join_left" ->
       """SELECT o_orderkey, COUNT(l_orderkey) AS n_items,
         |COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_qty
@@ -460,6 +547,17 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_trailing_window" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us,
+        |    value FROM events)
+        |SELECT event_id, event_type,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_set_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

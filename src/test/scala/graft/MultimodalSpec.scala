@@ -122,6 +122,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(png, 0, 4).isEmpty)
   }
 
+  test("q_multimodal_features / q_multimodal_audio golden values (the " +
+      "synthetic corpora are fixture-independent, decode is per-row " +
+      "pure — constants MUST equal the pinned oracles)") {
+    val feats = SparkEntry.queries("q_multimodal_features")(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(feats == Seq(
+      ("audio", 100L, 25600L, 0.498801),
+      ("image", 100L, 25600L, 0.50074),
+      ("video", 100L, 25600L, 0.498114)))
+    val audio = SparkEntry.queries("q_multimodal_audio")(spark, "unused")
+      .collect()(0)
+    assert((audio.getLong(0), audio.getLong(1)) ==
+      ((64L, 2989624363592580595L)))
+    // and the oracles pin the same constants verbatim
+    assert(SparkEntry.oracleSql("q_multimodal_features").contains("0.498801"))
+    assert(SparkEntry.oracleSql("q_multimodal_audio")
+      .contains("2989624363592580595"))
+  }
+
   test("frame sampling explodes video rows only, at the requested cadence") {
     val m = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(m, everyMs = 1000)

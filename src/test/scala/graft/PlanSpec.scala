@@ -339,6 +339,59 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q4: the EXISTS runs as ONE left-semi join carrying the " +
+      "correlated late-shipment predicate (no second orders pass, no " +
+      "nested loop); the quarter filter pushes to the orders scan") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q16: the NOT IN runs as a broadcast left-anti join (non-null " +
+      "key ⇒ anti ≡ NOT IN), the part dim broadcasts, and the distinct " +
+      "agg expands two-phase — no cartesian anywhere") {
+    val p = plan("q16_parts_suppliers")
+    assert(p.contains("LeftAnti"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("event transitions: the lead() window keys on the user exchange, " +
+      "pair counts aggregate two-phase, no cartesian") {
+    val p = plan("q_event_transitions")
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("column profile: the 6-column multi-distinct is ONE scan through " +
+      "Expand (never k passes over the table)") {
+    val p = plan("q_column_profile")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"expected exactly one orders scan:\n$p")
+  }
+
+  test("source KL: ONE tokenize feeds both windows and the broadcast " +
+      "grand total (checkpointed counts; no second explode)") {
+    val p = plan("q_source_kl")
+    assert("Generate explode".r.findAllIn(p).length <= 1,
+      s"expected at most one tokenize (checkpoint may hide it):\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("trailing window runs a RANGE frame on integer microseconds " +
+      "(time-based frame, not a ROWS approximation)") {
+    val p = plan("q_trailing_window")
+    assert(p.contains("RangeFrame"), p)
+    // both frame aggregates ride ONE Window node over one exchange
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+  }
+
   test("cdc apply: untouched rows come from a keyed LEFT ANTI join, " +
       "the upsert union adds no exchange, no cartesian anywhere") {
     val p = plan("q_cdc_apply")

@@ -194,6 +194,54 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("applyChanges validate=true rejects duplicate change keys at " +
+      "execution time; unique keys pass unchanged") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val dupChanges = Seq((2L, "x", "U"), (2L, "y", "U"))
+      .toDF("k", "s", "op")
+    val err = intercept[Exception] {
+      Archive.applyChanges(base, dupChanges, "k", "op", validate = true)
+        .collect()
+    }
+    assert(err.getMessage.contains("duplicate key in changes"))
+    // without validate the contract violation passes silently (the
+    // documented hazard the flag exists to catch)
+    assert(Archive.applyChanges(base, dupChanges, "k", "op")
+      .filter($"k" === 2L).count() == 2L)
+    // unique-keyed changes produce identical output with and without
+    // the guard
+    val ok = Seq((2L, "x", "U"), (3L, "c", "I")).toDF("k", "s", "op")
+    val strict = Archive.applyChanges(base, ok, "k", "op", validate = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(strict == Seq((1L, "a"), (2L, "x"), (3L, "c")))
+  }
+
+  // ---- column profile --------------------------------------------------
+
+  test("columnProfile: hand-computed null/distinct/min-max per column; " +
+      "nulls excluded from counts and extremes") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), Some("x")),
+      (Some(2L), None), (None, None))
+      .toDF("a", "b")
+    val prof = graft.ext.Profiling.columnProfile(df, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.getString(4)), Option(r.getString(5)))).toSeq
+    assert(prof == Seq(
+      ("a", 4L, 3L, 2L, Some("1"), Some("2")),
+      ("b", 4L, 2L, 1L, Some("x"), Some("x"))))
+  }
+
+  test("columnProfile validates its inputs loudly") {
+    val df = Seq((1L, "x")).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      graft.ext.Profiling.columnProfile(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Profiling.columnProfile(df, Seq("a", "missing"))
+    }
+  }
+
   // ---- quantile normalization -----------------------------------------
 
   test("quantileNorm: RANK tie semantics by hand; singleton group pins " +

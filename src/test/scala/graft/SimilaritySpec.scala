@@ -213,6 +213,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q_similarity_ann / q_similarity_ivf golden digests (deterministic " +
+      "top-k — exact output pin at both test scales; the constants MUST " +
+      "equal the ones in ExtQueries.oracles)") {
+    // (n_rows, bit_xor(xxhash64(query_id, rank, vec_id))) over the
+    // registered digest form — any change to the hyperplane seeds,
+    // banding, IVF training, probe selection, scoring, or rank
+    // tie-break moves it (the q_dedup_simhash discipline; fixture
+    // regeneration breaks this pin and the oracle together).
+    def digest(q: String, sf: String): (Long, Long) = {
+      val r = SparkEntry.queries(q)(spark, sf).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(digest("q_similarity_ann", TestSpark.Sf0001) ==
+      ((50L, 6463922699364467753L)))
+    assert(digest("q_similarity_ivf", TestSpark.Sf0001) ==
+      ((50L, 2786292923094074110L)))
+    val sf001 = "/root/testdata/sf0.01"
+    if (new java.io.File(sf001).isDirectory) {
+      assert(digest("q_similarity_ann", sf001) ==
+        ((50L, -8552199710931563464L)))
+      assert(digest("q_similarity_ivf", sf001) ==
+        ((50L, 2651920947355102651L)))
+    }
+    val annSql = SparkEntry.oracleSql("q_similarity_ann")
+    assert(annSql.contains("6463922699364467753") &&
+      annSql.contains("-8552199710931563464"))
+    val ivfSql = SparkEntry.oracleSql("q_similarity_ivf")
+    assert(ivfSql.contains("2786292923094074110") &&
+      ivfSql.contains("2651920947355102651"))
+  }
+
   test("int8 quantization: codes in [-127,127], max element hits ±127, " +
     "reconstruction error bounded by scale/2") {
     val (scaleC, codesC) = Similarity.quantizeInt8(col("embedding"))

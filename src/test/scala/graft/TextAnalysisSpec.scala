@@ -246,4 +246,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     // identical docs 2 and 4 score identically (determinism)
     assert(byDoc(2L)._2 == byDoc(4L)._2)
   }
+
+  test("sourceTokenKl: hand-computed divergence on a two-source corpus; " +
+      "a source matching the corpus distribution scores ~0") {
+    // source A: "x x y" (n_A=3), source B: "x y" (n_B=2);
+    // corpus: x=3, y=2, N=5
+    val docs = Seq((1L, "x x y", "A"), (2L, "x y", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceTokenKl(docs, "text", "source")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def term(c_st: Double, n_s: Double, c_t: Double): Double =
+      (c_st / n_s) * math.log((c_st / n_s) / (c_t / 5.0))
+    val klA = term(2, 3, 3) + term(1, 3, 2)
+    val klB = term(1, 2, 3) + term(1, 2, 2)
+    assert(out("A")._1 == 3L && out("B")._1 == 2L)
+    assert(math.abs(out("A")._2 - klA) < 2e-6, s"A: ${out("A")._2} vs $klA")
+    assert(math.abs(out("B")._2 - klB) < 2e-6, s"B: ${out("B")._2} vs $klB")
+    // KL is non-negative for every source
+    assert(out.values.forall(_._2 >= -1e-9))
+    // one-source corpus: P_source == P_corpus exactly → KL = 0
+    val one = TextAnalysis.sourceTokenKl(
+      Seq((1L, "a b b", "S")).toDF("doc_id", "text", "source"),
+      "text", "source").collect()
+    assert(one.length == 1 && one(0).getDouble(2) == 0.0)
+  }
 }

@@ -202,4 +202,62 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(top1 == Seq((1L, 1L), (2L, 1L)))
   }
+
+  test("eventTransitions: hand-computed successor pairs under the " +
+      "(ts, tie) order; conditional p sums to 1 per from_type; " +
+      "duplicate timestamps resolve by tie id") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // user 1: A(t0) B(t1) B(t2); user 2: A(t0) C(t0, higher tie) —
+    // the user-2 pair exists ONLY because the tie id orders the
+    // equal-timestamp rows (A id=10 before C id=11)
+    val ev = Seq(
+      (1L, t(0), 1L, "A"), (1L, t(1), 2L, "B"), (1L, t(2), 3L, "B"),
+      (2L, t(0), 10L, "A"), (2L, t(0), 11L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeries.eventTransitions(ev, "user_id", "ts",
+        "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("A", "B", 1L, 0.5), ("A", "C", 1L, 0.5), ("B", "B", 1L, 1.0)))
+  }
+
+  test("eventTransitions: single-event users contribute nothing; " +
+      "p is n over the from_type row total") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // user 1: A A A B (A→A ×2, A→B ×1); user 2: lone A
+    val ev = Seq(
+      (1L, t(0), 1L, "A"), (1L, t(1), 2L, "A"), (1L, t(2), 3L, "A"),
+      (1L, t(3), 4L, "B"), (2L, t(0), 5L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeries.eventTransitions(ev, "user_id", "ts",
+        "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(("A", "A", 2L, 2.0 / 3.0), ("A", "B", 1L, 1.0 / 3.0)))
+  }
+
+  test("trailing RANGE frame (q_trailing_window semantics): the 1-hour " +
+      "frame is inclusive at both bounds and admits variable row " +
+      "counts — hand-computed on boundary-spaced events") {
+    import org.apache.spark.sql.expressions.Window
+    // one type, events at 0s, 1800s, 3600s, 7201s: the 3600s row's
+    // trailing hour includes 0s (exactly -3600e6, inclusive) → n=3;
+    // the 7201s row reaches back to 3601s → only itself
+    val ev = Seq((1L, 0L, 1.0), (2L, 1800L, 2.0), (3L, 3600L, 4.0),
+      (4L, 7201L, 8.0)).toDF("event_id", "sec", "value")
+    val w = Window.partitionBy(lit(1)).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    val out = ev.select(col("event_id"), (col("sec") * 1000000L).as("us"),
+        col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq((1L, 1L, 1.0), (2L, 2L, 3.0), (3L, 3L, 7.0),
+      (4L, 1L, 8.0)))
+  }
 }
