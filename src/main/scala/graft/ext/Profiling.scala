@@ -74,6 +74,38 @@ object Profiling {
       .orderBy(col("source"))
   }
 
+  /** Exact per-group percentiles (PERCENTILE_DISC semantics): for each
+    * requested integer percent p, the value at 1-indexed rank
+    * ⌈p·n/100⌉ of the ascending group order — the latency-SLO summary
+    * (p50/p90/p99) over telemetry groups. The rank index is computed in
+    * INTEGER arithmetic ((n·p + 99) div 100), never float — ceil over
+    * doubles can land one-off across engines (0.9·10 is 9.000…002 in
+    * IEEE); integers cannot. Rows tied on the value are interchangeable
+    * at the selected rank, so the OUTPUT value is deterministic even
+    * though row_number among ties is not. Selected values are copied,
+    * not computed — bit-exact on any engine.
+    *
+    * Scale shape: one (group) window — the quantileNorm cost class; the
+    * selection collapses two-phase onto the group grid. A group that
+    * outgrows a partition swaps to approx_percentile with the same
+    * output contract modulo sketch error (DEPLOY.md).
+    */
+  def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100], got $pcts")
+    val w = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+    val ranked = df.select(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val sel = pcts.map(p =>
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("v")))
+        .as(s"p$p"))
+    ranked.groupBy(col("grp"))
+      .agg(max(col("n")).as("n_rows"), sel: _*)
+      .orderBy(col("grp"))
+  }
+
   /** Per-group quantile normalization: each value maps to its exact
     * percentile rank within its group — `(rank − 1) / (n − 1)` with
     * RANK semantics (ties share the rank of their first member), the

@@ -173,6 +173,13 @@ object PipelineQueries {
       TimeSeries.eventTransitions(Tables.events(s, d),
         "user_id", "ts", "event_id", "event_type")),
 
+    // exact per-group latency-style percentiles (round 11):
+    // PERCENTILE_DISC p50/p90/p99 of value per event_type via integer
+    // rank selection — values copied, never computed
+    "q_group_percentiles" -> ((s, d) =>
+      Profiling.groupPercentiles(Tables.events(s, d),
+        "event_type", "value", Seq(50, 90, 99))),
+
     // one-pass per-column profile of the orders snapshot (round 11):
     // row/non-null/distinct counts + canonical min/max per column —
     // the multi-distinct compiles to ONE scan with Expand, not k passes
@@ -409,6 +416,17 @@ object PipelineQueries {
         |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
         |  COUNT(*) AS n_intervals
         |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin,
+
+    "q_group_percentiles" ->
+      """WITH r AS (SELECT event_type AS grp, value AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC)
+        |    AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM events)
+        |SELECT grp, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50,
+        |  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS p90,
+        |  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS p99
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
 
     "q_event_transitions" ->
       """WITH e AS (SELECT user_id AS u, epoch_ns(ts) // 1000 AS us,

@@ -190,6 +190,28 @@ object RelationalQueries {
           col("p_size"))
     }),
 
+    // TPC-H Q14 shape (promotion effect): the conditional-aggregate
+    // ratio — CASE-gated DECIMAL revenue over total DECIMAL revenue in
+    // one pass, part dim broadcast, month filter pushed to the
+    // lineitem scan. The ratio divides two exact decimals cast to
+    // double, so the quotient is engine-identical.
+    "q14_promo_effect" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01 00:00:00").cast("timestamp"))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev)).cast("double") /
+            sum(rev).cast("double")).as("promo_revenue_pct"),
+          sum(when(col("p_type") === "PROMO", rev)).cast("double")
+            .as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+    }),
+
     // 2.3 left outer join: per-order lineitem rollup keeping all orders.
     "q_join_left" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -463,6 +485,26 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q14_promo_effect" ->
+      """SELECT
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS DOUBLE) AS promo_revenue_pct,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders

@@ -358,6 +358,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q14: month filter pushes to the lineitem scan, part broadcasts, " +
+      "the conditional ratio is ONE aggregation pass") {
+    val p = plan("q14_promo_effect")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("group percentiles: one group window feeds the integer rank " +
+      "selection; no join, no global (empty-partition) window") {
+    val p = plan("q_group_percentiles")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("event transitions: the lead() window keys on the user exchange, " +
       "pair counts aggregate two-phase, no cartesian") {
     val p = plan("q_event_transitions")

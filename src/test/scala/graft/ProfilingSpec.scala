@@ -242,6 +242,30 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  // ---- grouped percentiles ---------------------------------------------
+
+  test("groupPercentiles: PERCENTILE_DISC ranks by hand — ⌈p·n/100⌉ " +
+      "selection, singleton group returns its value everywhere, ties " +
+      "are value-deterministic") {
+    val df = (1 to 10).map(v => ("a", v.toDouble)) :+ ("b", 7.0)
+    val out = graft.ext.Profiling.groupPercentiles(
+        df.toDF("g", "v"), "g", "v", Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // a: n=10 → ranks 5, 9, 10 → values 5, 9, 10; b: singleton → 7
+    assert(out == Seq(("a", 10L, 5.0, 9.0, 10.0), ("b", 1L, 7.0, 7.0, 7.0)))
+    // all-tied group: any rank selects the same value
+    val tied = graft.ext.Profiling.groupPercentiles(
+        Seq(("t", 3.0), ("t", 3.0), ("t", 3.0)).toDF("g", "v"),
+        "g", "v", Seq(50, 99))
+      .collect()(0)
+    assert((tied.getDouble(2), tied.getDouble(3)) == ((3.0, 3.0)))
+    intercept[IllegalArgumentException] {
+      graft.ext.Profiling.groupPercentiles(df.toDF("g", "v"), "g", "v",
+        Seq(0))
+    }
+  }
+
   // ---- quantile normalization -----------------------------------------
 
   test("quantileNorm: RANK tie semantics by hand; singleton group pins " +
