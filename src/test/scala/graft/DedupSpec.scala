@@ -304,27 +304,38 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(sim - (1.0 - 1.0 / t1.length)) < 1e-12, s"sim=$sim")
   }
 
-  test("fuzzy dedup equals the unblocked all-pairs definition on the " +
-      "sf0.001 corpus (LSH recall check at spec scale)") {
-    val hsets = Dedup.hashedShingleSets(docs, "text", "doc_id", n = 3)
-      .localCheckpoint()
-    val blocked = Dedup.fuzzyDupPairs(hsets, docs, "text", "doc_id",
-        numPerms = 64, bands = 16, jPrefilter = 0.5, editSim = 0.9)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    // brute force: every pair, Levenshtein directly (no LSH, no J filter
-    // beyond the same 0.5 prefilter semantics via direct jaccard)
-    val t = docs.select(col("doc_id"), col("text"))
-    val brute = t.as("a").crossJoin(t.as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        (lit(1.0) - levenshtein(col("a.text"), col("b.text")).cast("double") /
-          greatest(length(col("a.text")), length(col("b.text")))).as("es"))
-      .filter(col("es") >= 0.9)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    // blocked ⊆ brute always (J-prefilter only removes); recall check is
-    // the other direction — nothing the unblocked definition finds at
-    // edit_sim ≥ 0.9 escapes the banding+prefilter
-    assert(blocked == brute, s"missing=${brute -- blocked} extra=${blocked -- brute}")
+  test("fuzzy dedup equals the unblocked all-pairs definition at BOTH " +
+      "test scales, with the candidate-vs-oracle delta reported — a " +
+      "probabilistic LSH miss at the driver gate is then diagnosable " +
+      "here, not a bare hash mismatch (ADVICE r10)") {
+    def check(corpus: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val hsets = Dedup.hashedShingleSets(corpus, "text", "doc_id", n = 3)
+        .localCheckpoint()
+      val blocked = Dedup.fuzzyDupPairs(hsets, corpus, "text", "doc_id",
+          numPerms = 64, bands = 16, jPrefilter = 0.5, editSim = 0.9)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      // brute force: every pair, Levenshtein directly (no LSH, no J
+      // filter beyond the same 0.5 prefilter semantics)
+      val t = corpus.select(col("doc_id"), col("text"))
+      val brute = t.as("a").crossJoin(t.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          (lit(1.0) - levenshtein(col("a.text"), col("b.text")).cast("double") /
+            greatest(length(col("a.text")), length(col("b.text")))).as("es"))
+        .filter(col("es") >= 0.9)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      // blocked ⊆ brute always (J-prefilter only removes); recall is the
+      // other direction — nothing the unblocked definition finds at
+      // edit_sim ≥ 0.9 escapes the banding+prefilter
+      info(s"$label: blocked=${blocked.size} oracle=${brute.size} " +
+        s"missing=${(brute -- blocked).size} extra=${(blocked -- brute).size}")
+      assert(blocked == brute,
+        s"$label missing=${brute -- blocked} extra=${blocked -- brute}")
+    }
+    check(docs, "sf0.001")
+    val sf001 = "/root/testdata/sf0.01"
+    if (new java.io.File(sf001).isDirectory)
+      check(graft.model.Tables.documents(spark, sf001), "sf0.01")
   }
 
   test("fuzzy dedup parameter validation is loud") {
