@@ -107,6 +107,50 @@ object PipelineQueries {
         .orderBy(col("grp"), col("bucket"))
     }),
 
+    // Stream-stream watermarked join through the ACTUAL incremental
+    // path (round 11, the q_ohlc_stream pattern): events re-sharded
+    // into 4 TIME-RANGE files (repartitionByRange on ts — arrival
+    // order mirrors event order, so the watermark advances
+    // monotonically and no row is late), file-streamed one file per
+    // micro-batch through purchaseSignupJoin (watermarks both sides,
+    // time-bounded condition ⇒ provably bounded state), append-mode
+    // memory sink. Inner-join append output after processAllAvailable
+    // is the complete match set, so the batch SQL oracle applies.
+    "q_stream_join" -> ((s, d) => {
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft_stream_join_stage").toString
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_join").toString
+      Tables.eventsNative(s, d).repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(staging)
+      // FileStreamSource picks files oldest-mtime-first under
+      // maxFilesPerTrigger, and a single parquet write stamps ties —
+      // which scrambles slice order and turns whole time ranges into
+      // late data (measured: 3201 of 5495 rows survive a 1 h watermark
+      // under tied mtimes). Moving the range slices in with strictly
+      // increasing mtimes makes arrival order = event order, so the
+      // REAL 1-hour watermark drops nothing — the production shape
+      // (an archival stream arrives time-ordered).
+      val parts = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 60000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = new java.io.File(tmp, f.getName)
+        require(f.renameTo(dst) && dst.setLastModified(base + i * 60000L),
+          s"could not stage stream file ${f.getName}")
+      }
+      val sink = "graft_stream_join_sink"
+      s.catalog.dropTempView(sink): Unit
+      val q = graft.streaming.Streaming.purchaseSignupJoin(
+          graft.streaming.Streaming.readEventsStream(s, tmp,
+            maxFilesPerTrigger = 1))
+        .select(col("p_id"), col("s_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy(col("p_id"), col("s_id"))
+    }),
+
     // last-touch attribution: purchases attributed to the same user's
     // most recent prior click within 7 days (carry-forward window,
     // exact integer-µs cutoff); unattributed rows keep null touch_id
@@ -323,6 +367,20 @@ object PipelineQueries {
         |  MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
         |  COUNT(*) AS n
         |FROM r GROUP BY grp, bucket ORDER BY grp, bucket""".stripMargin,
+
+    // the batch twin of the watermarked stream-stream join: purchases
+    // to same-user signups within 7 days BEFORE the purchase —
+    // integer-µs bounds mirror the timestamp-interval condition exactly
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, us AS p_us FROM e
+        |  WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_id, user_id, us AS s_us FROM e
+        |  WHERE event_type = 'signup')
+        |SELECT p_id, s_id FROM p JOIN s USING (user_id)
+        |WHERE s_us <= p_us AND s_us >= p_us - 604800000000
+        |ORDER BY p_id, s_id""".stripMargin,
 
     "q_attribution" ->
       """WITH s AS (SELECT user_id, event_id, event_type AS et,
