@@ -151,6 +151,36 @@ object PipelineQueries {
       s.table(sink).orderBy(col("p_id"), col("s_id"))
     }),
 
+    // The reference's archival loop through the ACTUAL incremental sink
+    // (round 11): events file-streamed one file per micro-batch through
+    // archiveSink (shape → year=/month= partitioned parquet append,
+    // AvailableNow, checkpointed) into a fresh archive dir, then the
+    // gate aggregates the READ-BACK archive per partition — proving the
+    // incremental write path lands byte-equivalent data where the
+    // reference's batch rerun would. Stateless sink ⇒ no watermark, so
+    // arrival order is free (plain re-shard).
+    "q_stream_archive" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_archive_in").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_stream_archive_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_stream_archive_ckpt").toString
+      Tables.eventsNative(s, d).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val q = graft.streaming.Streaming.archiveSink(
+        graft.streaming.Streaming.readEventsStream(s, tmp,
+          maxFilesPerTrigger = 1), out, ckpt).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("year").cast("long").as("year"),
+          col("month").cast("long").as("month"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+          min(unix_micros(col("timestamp"))).as("min_us"),
+          max(unix_micros(col("timestamp"))).as("max_us"))
+        .orderBy(col("year"), col("month"))
+    }),
+
     // last-touch attribution: purchases attributed to the same user's
     // most recent prior click within 7 days (carry-forward window,
     // exact integer-µs cutoff); unattributed rows keep null touch_id
@@ -367,6 +397,16 @@ object PipelineQueries {
         |  MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
         |  COUNT(*) AS n
         |FROM r GROUP BY grp, bucket ORDER BY grp, bucket""".stripMargin,
+
+    // the batch twin of the incremental archival sink: identical
+    // shape/partition derivation over events, aggregated per partition
+    "q_stream_archive" ->
+      """WITH a AS (SELECT event_id AS id, epoch_ns(ts) // 1000 AS us,
+        |    year(ts) AS year, month(ts) AS month FROM events)
+        |SELECT CAST(year AS BIGINT) AS year, CAST(month AS BIGINT) AS month,
+        |  COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |  CAST(MIN(us) AS BIGINT) AS min_us, CAST(MAX(us) AS BIGINT) AS max_us
+        |FROM a GROUP BY year, month ORDER BY year, month""".stripMargin,
 
     // the batch twin of the watermarked stream-stream join: purchases
     // to same-user signups within 7 days BEFORE the purchase —
