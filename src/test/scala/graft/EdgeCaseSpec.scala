@@ -255,4 +255,42 @@ class EdgeCaseSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(added == Seq((1L, "added")))
   }
+
+  test("round-11 operators on empty/degenerate inputs return empty or " +
+      "identity, never divide by zero under ANSI") {
+    import graft.ext.{Profiling, TimeSeries}
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    // transitions: empty stream and single-event users → no pairs
+    assert(TimeSeries.eventTransitions(emptyEvents, "user_id", "ts",
+      "event_id", "event_type").isEmpty)
+    val lone = Seq((1L, ts0, 1L, "A")).toDF("user_id", "ts", "event_id",
+      "event_type")
+    assert(TimeSeries.eventTransitions(lone, "user_id", "ts",
+      "event_id", "event_type").isEmpty)
+    // KL: empty corpus → empty; empty-string doc tokenizes to [""] and
+    // still yields a well-defined (zero) divergence for a lone source
+    assert(TextAnalysis.sourceTokenKl(emptyDocs
+      .withColumn("source", lit("s")), "text", "source").isEmpty)
+    val blank = TextAnalysis.sourceTokenKl(
+      Seq((1L, "", "s")).toDF("doc_id", "text", "source"), "text", "source")
+      .collect()
+    assert(blank.length == 1 && blank(0).getDouble(2) == 0.0)
+    // column profile: empty frame (0 rows) and an all-null column —
+    // counts 0, extremes null, countDistinct 0
+    val allNull = Seq((Some(1L), Option.empty[String]),
+      (Some(2L), Option.empty[String])).toDF("a", "b")
+    val prof = Profiling.columnProfile(allNull, Seq("b")).collect()(0)
+    assert(prof.getLong(2) == 0L && prof.getLong(3) == 0L &&
+      prof.isNullAt(4) && prof.isNullAt(5))
+    val emptyProf = Profiling.columnProfile(
+      Seq.empty[(Long, String)].toDF("a", "b"), Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(emptyProf == Seq(("a", 0L, 0L), ("b", 0L, 0L)))
+    // percentiles: empty group frame → empty output
+    assert(Profiling.groupPercentiles(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", Seq(50))
+      .isEmpty)
+  }
 }
