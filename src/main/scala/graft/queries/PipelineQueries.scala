@@ -94,12 +94,19 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(tmp)
       val sink = "graft_ohlc_stream_sink"
       s.catalog.dropTempView(sink): Unit
-      val q = graft.streaming.Streaming.ohlcBars(
-          graft.streaming.Streaming.readEventsStream(s, tmp,
-            maxFilesPerTrigger = 1))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // same state-store economics as q_stream_join: pin the stream's
+      // shuffle partitions to 8 (fresh checkpoint per run), restore in
+      // finally; the gate reads the materialized sink afterwards
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming.ohlcBars(
+            graft.streaming.Streaming.readEventsStream(s, tmp,
+              maxFilesPerTrigger = 1))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink)
         .select(col("event_type").as("grp"),
           to_date(col("bucket_start")).as("bucket"),
@@ -141,13 +148,24 @@ object PipelineQueries {
       }
       val sink = "graft_stream_join_sink"
       s.catalog.dropTempView(sink): Unit
-      val q = graft.streaming.Streaming.purchaseSignupJoin(
-          graft.streaming.Streaming.readEventsStream(s, tmp,
-            maxFilesPerTrigger = 1))
-        .select(col("p_id"), col("s_id"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      // Stateful-op cost here is (state stores = shuffle partitions) ×
+      // micro-batches, not data volume — 32 session partitions mean 64
+      // store instances per 4-batch run for a ~10 MB join state. Pin
+      // the stream to 8 (fresh checkpoint each run, so the store count
+      // re-derives cleanly); restored in finally, and the returned
+      // frame reads the already-materialized memory sink, so the
+      // restore can't affect the gate's evaluation.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming.purchaseSignupJoin(
+            graft.streaming.Streaming.readEventsStream(s, tmp,
+              maxFilesPerTrigger = 1))
+          .select(col("p_id"), col("s_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink).orderBy(col("p_id"), col("s_id"))
     }),
 

@@ -363,4 +363,83 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: event transitions — Σn equals Σ_user max(0, |events_u|−1), " +
+      "conditional p sums to 1 per from_type, p ∈ (0, 1]") {
+    val evGen = Gen.listOfN(50, Gen.zip(Gen.choose(1L, 8L), tsGen,
+      Gen.oneOf("A", "B", "C")))
+    forAllSampled(evGen, 8) { raw =>
+      // distinct tie ids via index; ts from the shared generator
+      val rows = raw.zipWithIndex.map { case ((u, t, et), i) =>
+        (u, new java.sql.Timestamp(t), i.toLong, et) }
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+      val out = graft.ext.TimeSeries.eventTransitions(df, "user_id", "ts",
+          "event_id", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      val expectedPairs = rows.groupBy(_._1).values
+        .map(g => math.max(0, g.size - 1)).sum
+      assert(out.map(_._3).sum == expectedPairs)
+      out.groupBy(_._1).values.foreach { g =>
+        assert(math.abs(g.map(_._4).sum - 1.0) < 1e-12)
+        g.foreach(t => assert(t._4 > 0.0 && t._4 <= 1.0))
+      }
+    }
+  }
+
+  test("property: grouped percentiles are group members, non-decreasing " +
+      "in p, and p100 is the group max") {
+    val gGen = Gen.listOfN(40, Gen.zip(Gen.oneOf("x", "y"),
+      Gen.choose(0.0, 50.0)))
+    forAllSampled(gGen, 8) { rows =>
+      val out = graft.ext.Profiling.groupPercentiles(
+          rows.toDF("g", "v"), "g", "v", Seq(25, 50, 90, 100))
+        .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))
+      val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      out.foreach { case (g, p25, p50, p90, p100) =>
+        val vs = byG(g)
+        Seq(p25, p50, p90, p100).foreach(p => assert(vs.contains(p)))
+        assert(p25 <= p50 && p50 <= p90 && p90 <= p100)
+        assert(p100 == vs.last)
+      }
+    }
+  }
+
+  test("property: column profile counts obey n_distinct ≤ n_nonnull ≤ " +
+      "n_rows on frames with generated null patterns") {
+    val rowGen = Gen.listOfN(30, Gen.zip(
+      Gen.option(Gen.choose(0L, 5L)), Gen.option(Gen.oneOf("p", "q"))))
+    forAllSampled(rowGen, 8) { rows =>
+      val df = rows.toDF("a", "b")
+      val out = graft.ext.Profiling.columnProfile(df, Seq("a", "b"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      out.foreach { case (c, nRows, nn, nd) =>
+        assert(nRows == rows.size)
+        assert(nd <= nn && nn <= nRows)
+        val col_ = if (c == "a") rows.map(_._1) else rows.map(_._2)
+        assert(nn == col_.count(_.isDefined))
+        assert(nd == col_.flatten.distinct.size)
+      }
+    }
+  }
+
+  test("property: source KL is non-negative (within per-term rounding) " +
+      "and zero for a single source") {
+    val docGen = Gen.listOfN(12, Gen.zip(
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")),
+      Gen.oneOf("s1", "s2", "s3")))
+    forAllSampled(docGen, 8) { docs =>
+      val df = docs.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+        .toDF("doc_id", "text", "source")
+      val out = graft.ext.TextAnalysis.sourceTokenKl(df, "text", "source")
+        .collect().map(_.getDouble(2))
+      out.foreach(kl => assert(kl >= -1e-6, s"KL negative: $kl"))
+      val single = graft.ext.TextAnalysis.sourceTokenKl(
+        df.withColumn("source", lit("only")), "text", "source")
+        .collect().map(_.getDouble(2))
+      assert(single.forall(_ == 0.0))
+    }
+  }
 }
