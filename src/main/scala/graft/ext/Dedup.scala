@@ -497,6 +497,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental (archive-probe) near-dup detection: flag incoming
+    * batch documents that near-duplicate the EXISTING archive, without
+    * ever pairing archive-vs-archive or batch-vs-batch — the dedup an
+    * append-only corpus actually runs per ingest (the full self-join
+    * re-pays the whole archive every batch; the probe pays
+    * |batch| + index lookups). Asymmetric twin of
+    * [[minhashNearDupPairsFromHashedSets]]: both sides band their
+    * signatures, candidates come from an (band_id, band_hash) equi-join
+    * of batch bands against archive bands, and exact hashed-set Jaccard
+    * verifies. At threshold 0.8 with b=16, r=4 the candidate recall is
+    * ≈1 (same curve as the self-join variant), so the output equals the
+    * unblocked batch×archive definition — hence the oracle twin.
+    *
+    * Scale shape: the archive's banded frame is the INDEX — at 100 TB
+    * it persists once (bucketed by band_hash) and every ingest joins
+    * its batch bands against it shuffle-free on the bucket; nothing
+    * here is quadratic in the archive. Callers materialize the hashed
+    * shingle-set frames (each feeds its signature pass AND the
+    * verification join).
+    */
+  def incrementalDupProbe(archiveHsets: DataFrame, batchHsets: DataFrame,
+      numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"probe threshold must be in (0, 1], got $threshold")
+    require(numPerms >= 1 && bands >= 1 && numPerms % bands == 0,
+      s"numPerms ($numPerms) must be a positive multiple of bands ($bands)")
+    val r = numPerms / bands
+    val aBanded = bandedSignatures(
+      minhashSignaturesFromHashed(archiveHsets, numPerms), bands, r)
+    val bBanded = bandedSignatures(
+      minhashSignaturesFromHashed(batchHsets, numPerms), bands, r)
+    val cands = bBanded.as("b").hint("SHUFFLE_HASH")
+      .join(aBanded.as("a").hint("SHUFFLE_HASH"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("b.doc_id").as("batch_id"),
+        col("a.doc_id").as("archive_id"))
+      .distinct()
+    cands
+      .join(batchHsets.select(col("doc_id").as("batch_id"),
+        col("shs").as("sb")), "batch_id")
+      .join(archiveHsets.select(col("doc_id").as("archive_id"),
+        col("shs").as("sa")), "archive_id")
+      .select(col("batch_id"), col("archive_id"),
+        (size(array_intersect(col("sb"), col("sa"))).cast("double") /
+          size(array_union(col("sb"), col("sa")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Fuzzy-dup pairs with EDIT-DISTANCE verification — the two-stage
     * fuzzy dedup a production curation run ships: banded MinHash-LSH
     * proposes candidates (never all-pairs), a cheap hashed-Jaccard

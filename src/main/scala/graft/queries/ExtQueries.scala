@@ -73,6 +73,20 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // incremental ingest dedup (round 11): odd-id docs are the incoming
+    // batch probing the even-id archive's band index — asymmetric LSH,
+    // no archive×archive or batch×batch pairs ever materialize
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ah = Dedup.hashedShingleSets(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", n = 3).localCheckpoint()
+      val bh = Dedup.hashedShingleSets(docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", n = 3).localCheckpoint()
+      Dedup.incrementalDupProbe(ah, bh, numPerms = 48, bands = 16,
+          threshold = 0.8)
+        .orderBy(col("batch_id"), col("archive_id"))
+    }),
+
     // SimHash near-dup, chunk-blocked. The pair set's basis is xxhash64,
     // which DuckDB cannot evaluate — but the output is deterministic
     // given the fixture, so the registered form reduces the full pair
@@ -690,6 +704,16 @@ object ExtQueries {
          |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
          |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.6
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""$ShingleCte,
+         |p AS (SELECT b.doc_id AS batch_id, a.doc_id AS archive_id,
+         |  CAST(len(list_intersect(b.s, a.s)) AS DOUBLE) /
+         |    (len(b.s) + len(a.s) - len(list_intersect(b.s, a.s))) AS jaccard
+         |  FROM g b JOIN g a
+         |    ON b.doc_id % 2 = 1 AND a.doc_id % 2 = 0)
+         |SELECT batch_id, archive_id, jaccard FROM p WHERE jaccard >= 0.8
+         |ORDER BY batch_id, archive_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""$ShingleCte,

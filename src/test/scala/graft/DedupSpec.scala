@@ -338,6 +338,49 @@ class DedupSpec extends AnyFunSuite {
       check(graft.model.Tables.documents(spark, sf001), "sf0.01")
   }
 
+  test("incremental dup probe: batch docs pair only against the archive " +
+      "— hand-computed jaccard; archive-internal and batch-internal " +
+      "duplicates never pair; equals the unblocked batch×archive set " +
+      "on the sf0.001 corpus") {
+    // archive: 10, 12 identical; batch: 11 ≈ archive text, 13 unrelated,
+    // 15 identical to 13 (batch-internal dup — must NOT appear)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (10L, base), (12L, base),
+      (11L, base), (13L, "one two three four five six seven eight"),
+      (15L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val ah = Dedup.hashedShingleSets(
+      corpus.filter(col("doc_id") % 2 === 0), "text", "doc_id", 3)
+    val bh = Dedup.hashedShingleSets(
+      corpus.filter(col("doc_id") % 2 === 1), "text", "doc_id", 3)
+    val out = Dedup.incrementalDupProbe(ah, bh, numPerms = 48, bands = 16,
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // batch 11 == archive 10 and 12 exactly (J = 1); 13/15 match no
+    // archive doc and never pair with each other
+    assert(out == Set((11L, 10L, 1.0), (11L, 12L, 1.0)))
+    // full-corpus parity with the unblocked definition at spec scale
+    val blocked = Dedup.incrementalDupProbe(
+        Dedup.hashedShingleSets(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", 3).localCheckpoint(),
+        Dedup.hashedShingleSets(docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", 3).localCheckpoint(),
+        numPerms = 48, bands = 16, threshold = 0.8)
+      .select("batch_id", "archive_id").as[(Long, Long)].collect().toSet
+    val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
+    val brute = sets.as("b").crossJoin(sets.as("a"))
+      .filter(col("b.doc_id") % 2 === 1 && col("a.doc_id") % 2 === 0)
+      .select(col("b.doc_id").as("batch_id"), col("a.doc_id").as("archive_id"),
+        (size(array_intersect(col("b.shingles"), col("a.shingles"))).cast("double") /
+          size(array_union(col("b.shingles"), col("a.shingles")))).as("j"))
+      .filter(col("j") >= 0.8)
+      .select("batch_id", "archive_id").as[(Long, Long)].collect().toSet
+    assert(blocked == brute,
+      s"missing=${brute -- blocked} extra=${blocked -- brute}")
+  }
+
   test("fuzzy dedup parameter validation is loud") {
     val hsets = Dedup.hashedShingleSets(
       Seq((1L, "a b c")).toDF("doc_id", "text"), "text", "doc_id", 3)

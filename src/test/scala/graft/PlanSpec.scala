@@ -358,6 +358,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("incremental dup probe: band-bucketed equi-join (asymmetric " +
+      "index probe) — no cartesian, no nested loop, Levenshtein-free") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q14: month filter pushes to the lineitem scan, part broadcasts, " +
       "the conditional ratio is ONE aggregation pass") {
     val p = plan("q14_promo_effect")
