@@ -106,6 +106,33 @@ object Profiling {
       .orderBy(col("grp"))
   }
 
+  /** Per-group winsorization: clip each value into its group's exact
+    * [p_lo, p_hi] PERCENTILE_DISC band — the outlier-capping a feature
+    * pipeline applies before normalization/training (heavy-tailed
+    * telemetry otherwise dominates scale statistics). Bounds come from
+    * [[groupPercentiles]]'s integer-rank selection (values copied, not
+    * computed), the clip is a pure two-sided `greatest(least(...))` —
+    * every output value is a copy of an input value, so the result is
+    * bit-exact on any engine.
+    *
+    * Scale shape: the percentile pass is one group window; the bounds
+    * frame is group-cardinality-sized and broadcasts back onto the
+    * row stream — the zscoreOutliers moment-broadcast shape exactly.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, pLo: Int, pHi: Int): DataFrame = {
+    require(pLo >= 1 && pHi <= 100 && pLo < pHi,
+      s"need 1 <= pLo < pHi <= 100, got ($pLo, $pHi)")
+    val bounds = groupPercentiles(df, groupCol, valueCol, Seq(pLo, pHi))
+      .select(col("grp"), col(s"p$pLo").as("lo"), col(s"p$pHi").as("hi"))
+    df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(valueCol).as("v"))
+      .join(broadcast(bounds), Seq("grp"))
+      .select(col("id"), col("grp"), col("v"),
+        greatest(least(col("v"), col("hi")), col("lo")).as("v_clipped"))
+      .orderBy(col("id"))
+  }
+
   /** Per-group quantile normalization: each value maps to its exact
     * percentile rank within its group — `(rank − 1) / (n − 1)` with
     * RANK semantics (ties share the rank of their first member), the

@@ -265,6 +265,32 @@ object PipelineQueries {
       TimeSeries.eventTransitions(Tables.events(s, d),
         "user_id", "ts", "event_id", "event_type")),
 
+    // temporal train/validation split + leakage audit (round 11): split
+    // events at a fixed cutoff and count the users appearing on BOTH
+    // sides — the entity leakage a time-series model must know about
+    // before trusting its validation score. ONE scan: conditional
+    // counts per user, then a one-row rollup
+    "q_temporal_split" -> ((s, d) => {
+      val cutoff = lit("2024-01-22 00:00:00").cast("timestamp")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(when(col("ts") < cutoff, true)).as("n_train_u"),
+          count(when(col("ts") >= cutoff, true)).as("n_val_u"))
+        .agg(sum(col("n_train_u")).as("n_train"),
+          sum(col("n_val_u")).as("n_val"),
+          count(when(col("n_train_u") > 0, true)).as("train_users"),
+          count(when(col("n_val_u") > 0, true)).as("val_users"),
+          count(when(col("n_train_u") > 0 && col("n_val_u") > 0, true))
+            .as("leaky_users"))
+    }),
+
+    // per-group winsorization (round 11): clip values into the exact
+    // [p05, p95] band — outlier capping before feature normalization;
+    // bounds broadcast back onto the row stream
+    "q_winsorize" -> ((s, d) =>
+      Profiling.winsorize(Tables.events(s, d),
+        "event_type", "value", "event_id", pLo = 5, pHi = 95)),
+
     // exact per-group latency-style percentiles (round 11):
     // PERCENTILE_DISC p50/p90/p99 of value per event_type via integer
     // rank selection — values copied, never computed
@@ -532,6 +558,35 @@ object PipelineQueries {
         |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
         |  COUNT(*) AS n_intervals
         |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin,
+
+    "q_temporal_split" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |u AS (SELECT user_id,
+        |  COUNT(CASE WHEN us < epoch_us(TIMESTAMP '2024-01-22 00:00:00')
+        |    THEN 1 END) AS n_train_u,
+        |  COUNT(CASE WHEN us >= epoch_us(TIMESTAMP '2024-01-22 00:00:00')
+        |    THEN 1 END) AS n_val_u
+        |  FROM e GROUP BY user_id)
+        |SELECT CAST(SUM(n_train_u) AS BIGINT) AS n_train,
+        |  CAST(SUM(n_val_u) AS BIGINT) AS n_val,
+        |  COUNT(CASE WHEN n_train_u > 0 THEN 1 END) AS train_users,
+        |  COUNT(CASE WHEN n_val_u > 0 THEN 1 END) AS val_users,
+        |  COUNT(CASE WHEN n_train_u > 0 AND n_val_u > 0 THEN 1 END)
+        |    AS leaky_users
+        |FROM u""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH r AS (SELECT event_id AS id, event_type AS grp, value AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC)
+        |    AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM events),
+        |b AS (SELECT grp,
+        |  MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS lo,
+        |  MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS hi
+        |  FROM r GROUP BY grp)
+        |SELECT id, grp, v, GREATEST(LEAST(v, hi), lo) AS v_clipped
+        |FROM r JOIN b USING (grp)
+        |ORDER BY id""".stripMargin,
 
     "q_group_percentiles" ->
       """WITH r AS (SELECT event_type AS grp, value AS v,

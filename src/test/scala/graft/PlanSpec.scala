@@ -381,6 +381,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("winsorize: the group-sized bounds frame broadcasts back onto " +
+      "the row stream (no row-stream shuffle for the clip)") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("event transitions: the lead() window keys on the user exchange, " +
       "pair counts aggregate two-phase, no cartesian") {
     val p = plan("q_event_transitions")

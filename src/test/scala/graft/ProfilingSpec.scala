@@ -266,6 +266,23 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  // ---- winsorization ---------------------------------------------------
+
+  test("winsorize: hand-computed [p05, p95] clip on 1..20 — extremes cap " +
+      "to the band, interior values pass through unchanged") {
+    val df = (1 to 20).map(v => (v.toLong, "a", v.toDouble))
+      .toDF("id", "g", "v")
+    // n=20: p05 rank = (20*5+99)/100 = 1 → lo=1.0 (nothing clips low);
+    // p95 rank = (20*95+99)/100 = 19 → hi=19.0 (only v=20 clips)
+    val out = graft.ext.Profiling.winsorize(df, "g", "v", "id", 5, 95)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(20L) == 19.0)
+    assert((1 to 19).forall(v => out(v.toLong) == v.toDouble))
+    intercept[IllegalArgumentException] {
+      graft.ext.Profiling.winsorize(df, "g", "v", "id", 95, 5)
+    }
+  }
+
   // ---- quantile normalization -----------------------------------------
 
   test("quantileNorm: RANK tie semantics by hand; singleton group pins " +
