@@ -299,6 +299,42 @@ class ScaleSpec extends AnyFunSuite {
       s"confirmed=$confirmed")
   }
 
+  test("incremental probe cost scales with the BATCH, not the archive " +
+      "pair space: candidates grow ~linearly in batch size and stay a " +
+      "vanishing fraction of |batch| × |archive| (measured at sf0.01)") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val archive = docs.filter(col("doc_id") % 2 === 0)
+    val batchFull = docs.filter(col("doc_id") % 2 === 1)
+    val batchHalf = batchFull.filter(col("doc_id") < 250)
+    val nArchive = archive.count(); val nFull = batchFull.count()
+    val nHalf = batchHalf.count()
+    def candidates(batch: org.apache.spark.sql.DataFrame): Long = {
+      val ab = Dedup.bandedSignatures(Dedup.minhashSignaturesFromHashed(
+        Dedup.hashedShingleSets(archive, "text", "doc_id", 3), 48), 16, 3)
+      val bb = Dedup.bandedSignatures(Dedup.minhashSignaturesFromHashed(
+        Dedup.hashedShingleSets(batch, "text", "doc_id", 3), 48), 16, 3)
+      bb.as("b").join(ab.as("a"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash"))
+        .select(col("b.doc_id"), col("a.doc_id")).distinct().count()
+    }
+    val cHalf = candidates(batchHalf)
+    val cFull = candidates(batchFull)
+    // linear-ish growth: doubling the batch must not square the work.
+    // Absolute counts here are tiny (dup pairs cluster in the high ids:
+    // 2 -> 12 on current fixtures), so the bound is a ratio with an
+    // additive floor that swamps that granularity noise while still
+    // failing loudly on anything quadratic (250×250 would be 62 500).
+    assert(cFull <= cHalf * 4 + 48,
+      s"candidate growth superlinear: $cHalf -> $cFull")
+    // and the probe never approaches the unblocked batch × archive space
+    assert(cFull < nFull * nArchive / 100,
+      s"banding did not prune: $cFull of ${nFull * nArchive}")
+    info(s"archive=$nArchive batch=$nHalf->$nFull candidates=$cHalf->$cFull " +
+      s"(unblocked ${nFull * nArchive})")
+  }
+
   test("z-order beats a single-column sort on cross-column pruning: a " +
       "suppkey predicate skips MORE buckets under z-order than under a " +
       "partkey sort (measured on lineitem)") {
