@@ -133,6 +133,53 @@ object Profiling {
       .orderBy(col("id"))
   }
 
+  /** Robust per-group outliers — median/MAD instead of mean/stddev: flag
+    * rows with |v − median| ≥ `kCut` · MAD, where MAD is the (exact,
+    * PERCENTILE_DISC) median of absolute deviations. The resistant twin
+    * of [[zscoreOutliers]]: a handful of extreme values inflate the
+    * stddev and mask each other; they cannot move the median, so the
+    * robust gate catches what the moment gate dilutes (the standard
+    * telemetry-anomaly practice).
+    *
+    * Determinism: medians are rank-SELECTED copies (the
+    * [[groupPercentiles]] integer-rank machinery); |v − median| is one
+    * IEEE subtraction per row (bit-deterministic); the flag compares
+    * doubles computed identically on any engine, and the reported
+    * score rounds through bround(…, 9) + DECIMAL(18,9). Zero-MAD
+    * groups (≥ half the rows at the median) have no robust scale and
+    * drop out, like sd = 0 in the moment variant.
+    *
+    * Scale shape: two group windows (value rank, then deviation rank)
+    * with the group-sized median/MAD frames broadcast back between —
+    * the zscoreOutliers broadcast shape with rank selection instead of
+    * decimal moments. Same approx_percentile swap if a group outgrows
+    * a partition.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, kCut: Double): DataFrame = {
+    require(kCut > 0, s"kCut must be positive, got $kCut")
+    def discMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(vCol).asc)
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+        .groupBy(col("grp"))
+        .agg(max(when(col("rn") === expr("(n * 50 + 99) div 100"),
+          col(vCol))).as(out))
+    }
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      col(valueCol).as("v"))
+    val med = discMedian(base, "v", "med")
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("ad", abs(col("v") - col("med")))
+    val mad = discMedian(dev, "ad", "mad").filter(col("mad") > 0)
+    dev.join(broadcast(mad), Seq("grp"))
+      .filter(col("ad") >= lit(kCut) * col("mad"))
+      .select(col("id"), col("grp"), col("v"),
+        bround(col("ad") / col("mad"), 9).cast("decimal(18,9)")
+          .as("robust_score"))
+      .orderBy(col("id"))
+  }
+
   /** Per-group quantile normalization: each value maps to its exact
     * percentile rank within its group — `(rank − 1) / (n − 1)` with
     * RANK semantics (ties share the rank of their first member), the

@@ -284,6 +284,13 @@ object PipelineQueries {
             .as("leaky_users"))
     }),
 
+    // robust median/MAD outliers (round 11): the resistant twin of
+    // q_anomaly_zscore — extremes can't move the median, so they can't
+    // mask each other; exact rank-selected medians, kCut = 3.5
+    "q_anomaly_robust" -> ((s, d) =>
+      Profiling.robustOutliers(Tables.events(s, d),
+        "event_type", "value", "event_id", kCut = 3.5)),
+
     // per-group winsorization (round 11): clip values into the exact
     // [p05, p95] band — outlier capping before feature normalization;
     // bounds broadcast back onto the row stream
@@ -558,6 +565,28 @@ object PipelineQueries {
         |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
         |  COUNT(*) AS n_intervals
         |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin,
+
+    "q_anomaly_robust" ->
+      """WITH b AS (SELECT event_id AS id, event_type AS grp, value AS v
+        |  FROM events),
+        |r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+        |    ORDER BY v ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY grp) AS n FROM b),
+        |m AS (SELECT grp, MAX(CASE WHEN rn = (n * 50 + 99) // 100
+        |    THEN v END) AS med FROM r1 GROUP BY grp),
+        |d AS (SELECT b.id, b.grp, b.v, abs(b.v - m.med) AS ad
+        |  FROM b JOIN m USING (grp)),
+        |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+        |    ORDER BY ad ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY grp) AS n FROM d),
+        |md AS (SELECT grp, MAX(CASE WHEN rn = (n * 50 + 99) // 100
+        |    THEN ad END) AS mad FROM r2 GROUP BY grp),
+        |f AS (SELECT d.id, d.grp, d.v, d.ad, md.mad
+        |  FROM d JOIN md USING (grp) WHERE md.mad > 0)
+        |SELECT id, grp, v,
+        |  CAST(round(ad / mad, 9) AS DECIMAL(18,9)) AS robust_score
+        |FROM f WHERE ad >= 3.5 * mad
+        |ORDER BY id""".stripMargin,
 
     "q_temporal_split" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),

@@ -381,6 +381,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("robust outliers: median and MAD frames broadcast back onto the " +
+      "row stream (two group windows, no corpus-sized join)") {
+    val p = plan("q_anomaly_robust")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("winsorize: the group-sized bounds frame broadcasts back onto " +
       "the row stream (no row-stream shuffle for the clip)") {
     val p = plan("q_winsorize")

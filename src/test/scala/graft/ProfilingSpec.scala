@@ -266,6 +266,36 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  // ---- robust outliers -------------------------------------------------
+
+  test("robustOutliers: hand-computed median/MAD — the extreme value " +
+      "cannot mask itself (the moment z-score's weakness); zero-MAD " +
+      "groups drop out") {
+    // 1..9 plus 100: median = 5 (rank (10·50+99)/100 = 5 of the asc
+    // order), deviations sorted 0,1,1,2,2,3,3,4,4,95 → MAD = 2;
+    // only v=100 has ad (95) ≥ 3.5·MAD (7); score = 95/2 = 47.5
+    val df = ((1 to 9).map(v => (v.toLong, "a", v.toDouble)) :+
+      (10L, "a", 100.0)).toDF("id", "g", "v")
+    val out = graft.ext.Profiling.robustOutliers(df, "g", "v", "id", 3.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2),
+        r.getDecimal(3).doubleValue())).toSeq
+    assert(out == Seq((10L, 100.0, 47.5)))
+    // the same value under the MOMENT z-score at cut 3.0: stddev ≈ 29.8
+    // is inflated by the outlier itself → z ≈ 2.85 < 3 and it escapes —
+    // the documented masking the robust gate exists to fix
+    val masked = graft.ext.Profiling.zscoreOutliers(df, "g", "v", "id", 3.0)
+      .count()
+    assert(masked == 0L)
+    // constant group: MAD = 0 → no robust scale → no rows
+    val const = Seq((1L, "c", 5.0), (2L, "c", 5.0), (3L, "c", 5.0))
+      .toDF("id", "g", "v")
+    assert(graft.ext.Profiling.robustOutliers(const, "g", "v", "id", 3.5)
+      .isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.ext.Profiling.robustOutliers(df, "g", "v", "id", 0.0)
+    }
+  }
+
   // ---- winsorization ---------------------------------------------------
 
   test("winsorize: hand-computed [p05, p95] clip on 1..20 — extremes cap " +
