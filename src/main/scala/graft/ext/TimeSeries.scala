@@ -154,6 +154,36 @@ object TimeSeries {
       .orderBy(col("conv_id"))
   }
 
+  /** Dense daily counts with gap filling: per (group, day) event counts
+    * over the FULL [min_day, max_day] date spine — absent days emit 0
+    * instead of vanishing, which is the difference between a downsample
+    * and a time series (rolling averages, anomaly baselines, and
+    * charting all break on implicit gaps). The spine generates from a
+    * broadcast 1-row bounds frame via `sequence` + `explode` — the
+    * dimension-generation shape nothing else in the registry exercises.
+    *
+    * Scale shape: counts aggregate two-phase on (group, day); the spine
+    * is days × groups (tiny, corpus-independent) built from TWO
+    * broadcast frames — the crossJoin is spine-sized, never row-sized —
+    * and the zero-fill is a left join of that small dense frame against
+    * the aggregated counts. All integers ⇒ engine-exact.
+    */
+  def denseDailyCounts(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val bounds = events.agg(min(to_date(col(tsCol))).as("lo"),
+      max(to_date(col(tsCol))).as("hi"))
+    val spine = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val groups = events.select(col(groupCol).as("grp")).distinct()
+    val counts = events
+      .groupBy(col(groupCol).as("grp"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    spine.crossJoin(broadcast(groups))
+      .join(counts, Seq("grp", "day"), "left")
+      .select(col("grp"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("grp"), col("day"))
+  }
+
   /** First-order Markov transition matrix over per-user event streams:
     * count and conditional probability of each (from_type → to_type)
     * step under the (ts, tie) total order — the user-journey summary a

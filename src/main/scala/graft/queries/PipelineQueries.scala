@@ -284,6 +284,14 @@ object PipelineQueries {
             .as("leaky_users"))
     }),
 
+    // dense daily counts (round 11): per-(type, day) counts over the
+    // FULL date spine — absent days emit 0 (gap filling), the
+    // dimension-generation shape (sequence + explode of a broadcast
+    // bounds row) nothing else in the registry exercises
+    "q_daily_dense" -> ((s, d) =>
+      TimeSeries.denseDailyCounts(Tables.events(s, d),
+        "event_type", "ts")),
+
     // robust median/MAD outliers (round 11): the resistant twin of
     // q_anomaly_zscore — extremes can't move the median, so they can't
     // mask each other; exact rank-selected medians, kCut = 3.5
@@ -565,6 +573,20 @@ object PipelineQueries {
         |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
         |  COUNT(*) AS n_intervals
         |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin,
+
+    "q_daily_dense" ->
+      """WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,
+        |    CAST(max(ts) AS DATE) AS hi FROM events),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |t AS (SELECT DISTINCT event_type AS grp FROM events),
+        |c AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT t.grp, spine.day, COALESCE(c.n, 0) AS n
+        |FROM spine CROSS JOIN t
+        |LEFT JOIN c ON c.grp = t.grp AND c.day = spine.day
+        |ORDER BY t.grp, spine.day""".stripMargin,
 
     "q_anomaly_robust" ->
       """WITH b AS (SELECT event_id AS id, event_type AS grp, value AS v

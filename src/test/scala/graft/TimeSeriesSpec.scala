@@ -239,6 +239,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out == Seq(("A", "A", 2L, 2.0 / 3.0), ("A", "B", 1L, 1.0 / 3.0)))
   }
 
+  test("denseDailyCounts: gap days emit 0 for EVERY group (the fixture " +
+      "has no gaps, so the semantics live here); spine spans exactly " +
+      "[min_day, max_day]") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), "A"),
+      (2L, java.sql.Timestamp.valueOf("2024-03-01 11:00:00"), "A"),
+      (3L, java.sql.Timestamp.valueOf("2024-03-04 09:00:00"), "A"),
+      (4L, java.sql.Timestamp.valueOf("2024-03-02 09:00:00"), "B"))
+      .toDF("event_id", "ts", "event_type")
+    val out = TimeSeries.denseDailyCounts(ev, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("A", "2024-03-01", 2L), ("A", "2024-03-02", 0L),
+      ("A", "2024-03-03", 0L), ("A", "2024-03-04", 1L),
+      ("B", "2024-03-01", 0L), ("B", "2024-03-02", 1L),
+      ("B", "2024-03-03", 0L), ("B", "2024-03-04", 0L)))
+  }
+
   test("trailing RANGE frame (q_trailing_window semantics): the 1-hour " +
       "frame is inclusive at both bounds and admits variable row " +
       "counts — hand-computed on boundary-spaced events") {
