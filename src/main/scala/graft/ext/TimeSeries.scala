@@ -184,6 +184,51 @@ object TimeSeries {
       .orderBy(col("grp"), col("day"))
   }
 
+  /** Exact CUSUM changepoint per group: the day t maximizing
+    * |Σ_{s≤t} x_s − (n_t/N)·S| — the classic mean-shift statistic —
+    * computed ENTIRELY in integers: values quantize to cents once
+    * (exact for money-like doubles), and the statistic scales by N to
+    * clear the division: score_t = |N·C_t − n_t·S| with C_t the
+    * cumulative cents, n_t the cumulative count, S/N the group totals.
+    * No float ever enters, so the argmax day is bit-reproducible on
+    * any engine — the property a data-drift alert must have to avoid
+    * flapping across recomputes. Ties break to the earliest day.
+    *
+    * Scale shape: one (group, day) two-phase agg collapses the corpus
+    * to the daily grid; the cumulative window and the argmax run on
+    * that grid (days × groups, corpus-independent); group totals join
+    * back from a broadcast-sized frame. Products go through
+    * DECIMAL(38,0): N·C_t at petabyte row counts overflows int64, and
+    * decimal keeps the arithmetic exact instead of silently wrapping.
+    */
+  def changepoints(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol).as("grp"), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("cents"),
+        count(lit(1)).as("n_day"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("c_t", sum(col("cents")).over(wCum))
+      .withColumn("n_t", sum(col("n_day")).over(wCum))
+    val totals = daily.groupBy(col("grp"))
+      .agg(sum(col("cents")).as("s_total"), sum(col("n_day")).as("n_total"),
+        count(lit(1)).as("n_days"))
+    val scored = cum.join(broadcast(totals), Seq("grp"))
+      .withColumn("score",
+        abs(col("n_total").cast("decimal(38,0)") * col("c_t") -
+          col("n_t").cast("decimal(38,0)") * col("s_total")))
+    val wBest = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("day").asc)
+    scored
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("grp"), col("day").as("change_day"), col("score"),
+        col("n_days"))
+      .orderBy(col("grp"))
+  }
+
   /** First-order Markov transition matrix over per-user event streams:
     * count and conditional probability of each (from_type → to_type)
     * step under the (ts, tie) total order — the user-journey summary a

@@ -284,6 +284,13 @@ object PipelineQueries {
             .as("leaky_users"))
     }),
 
+    // exact integer CUSUM changepoint (round 11): the mean-shift day
+    // per event_type, score = |N·C_t − n_t·S| in pure integer cents —
+    // bit-reproducible drift alerts that can't flap across recomputes
+    "q_changepoint" -> ((s, d) =>
+      TimeSeries.changepoints(Tables.events(s, d),
+        "event_type", "ts", "value")),
+
     // dense daily counts (round 11): per-(type, day) counts over the
     // FULL date spine — absent days emit 0 (gap filling), the
     // dimension-generation shape (sequence + explode of a broadcast
@@ -573,6 +580,28 @@ object PipelineQueries {
         |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
         |  COUNT(*) AS n_intervals
         |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH d AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    COUNT(*) AS n_day
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT grp, day,
+        |  SUM(cents) OVER w AS c_t, SUM(n_day) OVER w AS n_t
+        |  FROM d WINDOW w AS (PARTITION BY grp ORDER BY day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT grp, SUM(cents) AS s_total, SUM(n_day) AS n_total,
+        |  COUNT(*) AS n_days FROM d GROUP BY grp),
+        |sc AS (SELECT c.grp, c.day,
+        |  CAST(abs(CAST(t.n_total AS HUGEINT) * c.c_t -
+        |    CAST(c.n_t AS HUGEINT) * t.s_total) AS DECIMAL(38,0)) AS score,
+        |  t.n_days FROM c JOIN t USING (grp)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+        |    ORDER BY score DESC, day ASC) AS rk FROM sc)
+        |SELECT grp, day AS change_day, score,
+        |  CAST(n_days AS BIGINT) AS n_days
+        |FROM r WHERE rk = 1 ORDER BY grp""".stripMargin,
 
     "q_daily_dense" ->
       """WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,

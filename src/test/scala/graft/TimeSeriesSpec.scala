@@ -258,6 +258,30 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("B", "2024-03-03", 0L), ("B", "2024-03-04", 0L)))
   }
 
+  test("changepoints: hand-computed CUSUM — a 1.0→5.0 level shift after " +
+      "day 3 maximizes |N·C_t − n_t·S| exactly at the boundary day; " +
+      "flat series score peaks are symmetric-tie-broken to the " +
+      "earliest day") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$d%d 12:00:00")
+    val ev = (1 to 3).map(d => (d.toLong, t(d), "A", 1.0)) ++
+      (4 to 6).map(d => (d.toLong, t(d), "A", 5.0))
+    val out = TimeSeries.changepoints(
+        ev.toDF("event_id", "ts", "event_type", "value"),
+        "event_type", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDecimal(2).longValueExact(), r.getLong(3)))
+    // daily cents 100×3 then 500×3: S=1800, N=6, scores
+    // 1200,2400,3600,2400,1200,0 → argmax day 3 with 3600
+    assert(out.toSeq == Seq(("A", "2024-03-03", 3600L, 6L)))
+    // constant series: every score is 0 → earliest day wins the tie
+    val flat = (1 to 4).map(d => (d.toLong, t(d), "B", 2.0))
+    val f = TimeSeries.changepoints(
+        flat.toDF("event_id", "ts", "event_type", "value"),
+        "event_type", "ts", "value").collect()(0)
+    assert(f.getDate(1).toString == "2024-03-01" &&
+      f.getDecimal(2).longValueExact() == 0L)
+  }
+
   test("trailing RANGE frame (q_trailing_window semantics): the 1-hour " +
       "frame is inclusive at both bounds and admits variable row " +
       "counts — hand-computed on boundary-spaced events") {
