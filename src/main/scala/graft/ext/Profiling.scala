@@ -206,6 +206,108 @@ object Profiling {
       .orderBy(col("id"))
   }
 
+  /** Exact per-group Pearson correlation between an integer feature and
+    * a money-like double: every moment (Σx, Σx², Σy, Σxy, and the
+    * hi/lo-split Σy²) accumulates in integers over cents, the closed
+    * form r = (N·Σxy − Σx·Σy) / √((N·Σx² − Σx²ᵗᵒᵗ)(N·Σy² − Σy²ᵗᵒᵗ))
+    * assembles in DECIMAL(38,0) (exact at petabyte counts), and ONLY
+    * the final quotient touches floating point — one √ per group,
+    * rounded through bround(…, 9) + DECIMAL(18,9). The
+    * feature-correlation profile a training pipeline checks before
+    * trusting a signal (`corr` built-in runs float partials whose merge
+    * order varies; this one cannot).
+    *
+    * Scale shape: one two-phase agg of constant-width integer partials
+    * — the q_variance_stats machinery with a second variable. Groups
+    * with zero variance on either side have no defined r and drop out.
+    */
+  def groupCorrelation(df: DataFrame, groupCol: String, xCol: Column,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+        xCol.cast("long").as("x"),
+        round(col(valueCol) * 100, 0).cast("long").as("cy"))
+      .withColumn("cy2", col("cy") * col("cy"))
+    val m = base
+      .withColumn("cy2_hi", expr("cy2 div 1000000"))
+      .withColumn("cy2_lo", col("cy2") % 1000000L)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("cy")).as("sy"),
+        sum(col("cy2_hi")).as("syy_hi"), sum(col("cy2_lo")).as("syy_lo"),
+        sum(col("x") * col("cy")).as("sxy"))
+    val d38 = "decimal(38,0)"
+    val syy = m("syy_hi").cast(d38) * lit(1000000L) + m("syy_lo").cast(d38)
+    val num = m("n").cast(d38) * m("sxy").cast(d38) -
+      m("sx").cast(d38) * m("sy").cast(d38)
+    val dx = m("n").cast(d38) * m("sxx").cast(d38) -
+      m("sx").cast(d38) * m("sx").cast(d38)
+    val dy = m("n").cast(d38) * syy - m("sy").cast(d38) * m("sy").cast(d38)
+    m.select(col("grp"), col("n"), num.as("num"), dx.as("dx"), dy.as("dy"))
+      .filter(col("dx") > 0 && col("dy") > 0)
+      .select(col("grp"), col("n"),
+        bround(col("num").cast("double") /
+          sqrt(col("dx").cast("double") * col("dy").cast("double")), 9)
+          .cast("decimal(18,9)").as("r"))
+      .orderBy(col("grp"))
+  }
+
+  /** Chi-square test of independence over an integer contingency table:
+    * χ² = Σ_cells (O·N − rs·cs)² / (N·rs·cs) — the algebraic clearing of
+    * the usual (O−E)²/E, so numerator and denominator are EXACT
+    * DECIMAL(38,0) integers per cell; each cell contributes one double
+    * quotient rounded through DECIMAL(18,9) and the per-cell terms sum
+    * exactly (order-independent). The
+    * does-this-feature-depend-on-that-one gate, deterministic enough to
+    * gate on.
+    *
+    * Scale shape: the corpus collapses to the contingency grid
+    * (rows × cols cells) in one two-phase count agg; margins come from
+    * grid-sized windows (the unpartitioned window runs on CELLS, never
+    * rows); everything after is cell-local arithmetic. Exactness bound:
+    * dev² needs 2·digits(N·O) ≤ 38, i.e. exact up to N ≈ 10⁹ rows —
+    * beyond that, square dev in double (the term is about to be a
+    * double quotient anyway, and the relative error is ~1e-16 against
+    * a χ² compared to O(1) critical values).
+    */
+  def chiSquare(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val observed = df.select(rowCol.as("r"), colCol.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("obs"))
+    // the FULL grid, not just observed cells: a zero-count cell still
+    // contributes (0 − E)²/E — dropping it understates χ² exactly when
+    // dependence is strongest (a perfectly dependent 2×2 would read
+    // N/2 instead of N)
+    val cells = observed.select(col("r")).distinct()
+      .crossJoin(broadcast(observed.select(col("c")).distinct()))
+      .join(observed, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), coalesce(col("obs"), lit(0L)).as("o"))
+    val wr = Window.partitionBy(col("r"))
+    val wc = Window.partitionBy(col("c"))
+    val wAll = Window.partitionBy(lit(1))
+    val d38 = "decimal(38,0)"
+    val withMargins = cells
+      .withColumn("rs", sum(col("o")).over(wr))
+      .withColumn("cs", sum(col("o")).over(wc))
+      .withColumn("nn", sum(col("o")).over(wAll))
+      .withColumn("nr",
+        size(collect_set(col("r")).over(wAll)).cast("long"))
+      .withColumn("nc",
+        size(collect_set(col("c")).over(wAll)).cast("long"))
+    val dev = withMargins("o").cast(d38) * withMargins("nn").cast(d38) -
+      withMargins("rs").cast(d38) * withMargins("cs").cast(d38)
+    val term = (dev * dev).cast("double") /
+      (withMargins("nn").cast(d38) * withMargins("rs").cast(d38) *
+        withMargins("cs").cast(d38)).cast("double")
+    withMargins
+      .select(col("nr"), col("nc"), col("nn"),
+        bround(term, 9).cast("decimal(18,9)").as("term"))
+      .groupBy(col("nr"), col("nc"), col("nn"))
+      .agg(sum(col("term")).cast("double").as("chi2"))
+      .select(col("chi2"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        col("nn").as("n"))
+  }
+
   /** One-pass per-column profile — row/non-null/distinct counts plus
     * string-canonicalized min/max for every requested column: the
     * schema-drift and data-quality summary an archive maintenance job

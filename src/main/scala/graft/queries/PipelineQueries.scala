@@ -284,6 +284,18 @@ object PipelineQueries {
             .as("leaky_users"))
     }),
 
+    // exact Pearson correlation (round 11): hour-of-day vs value per
+    // event_type from pure integer moments — one sqrt per group
+    "q_correlation" -> ((s, d) =>
+      Profiling.groupCorrelation(Tables.events(s, d),
+        "event_type", hour(col("ts")), "value")),
+
+    // chi-square independence (round 11): event_type × (value ≥ 50)
+    // contingency — corpus collapses to the cell grid first
+    "q_chi_square" -> ((s, d) =>
+      Profiling.chiSquare(Tables.events(s, d),
+        col("event_type"), (col("value") >= 50.0).cast("int"))),
+
     // exact integer CUSUM changepoint (round 11): the mean-shift day
     // per event_type, score = |N·C_t − n_t·S| in pure integer cents —
     // bit-reproducible drift alerts that can't flap across recomputes
@@ -580,6 +592,54 @@ object PipelineQueries {
         |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
         |  COUNT(*) AS n_intervals
         |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin,
+
+    // mirrors groupCorrelation: integer moments (hi/lo split for Σcy²),
+    // HUGEINT closed-form assembly, ONE sqrt per group through
+    // round + DECIMAL(18,9)
+    "q_correlation" ->
+      """WITH b AS (SELECT event_type AS grp,
+        |    CAST(hour(make_timestamp(epoch_ns(ts) // 1000)) AS BIGINT) AS x,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cy FROM events),
+        |m AS (SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+        |  SUM(cy) AS sy,
+        |  SUM((cy * cy) // 1000000) AS syy_hi,
+        |  SUM((cy * cy) % 1000000) AS syy_lo,
+        |  SUM(x * cy) AS sxy FROM b GROUP BY grp),
+        |a AS (SELECT grp, n,
+        |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+        |  CAST(n AS HUGEINT) * (syy_hi * 1000000 + syy_lo) -
+        |    CAST(sy AS HUGEINT) * sy AS dy
+        |  FROM m)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(round(CAST(num AS DOUBLE) /
+        |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
+        |    AS DECIMAL(18,9)) AS r
+        |FROM a WHERE dx > 0 AND dy > 0 ORDER BY grp""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH b AS (SELECT event_type AS r,
+        |    CAST(value >= 50.0 AS INTEGER) AS c FROM events),
+        |obs AS (SELECT r, c, COUNT(*) AS o FROM b GROUP BY 1, 2),
+        |cells AS (SELECT rr.r, cc.c, COALESCE(obs.o, 0) AS o
+        |  FROM (SELECT DISTINCT r FROM obs) rr
+        |  CROSS JOIN (SELECT DISTINCT c FROM obs) cc
+        |  LEFT JOIN obs ON obs.r = rr.r AND obs.c = cc.c),
+        |m AS (SELECT r, c, o,
+        |  SUM(o) OVER (PARTITION BY r) AS rs,
+        |  SUM(o) OVER (PARTITION BY c) AS cs,
+        |  SUM(o) OVER () AS nn FROM cells),
+        |k AS (SELECT COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc
+        |  FROM cells),
+        |tm AS (SELECT nn, CAST(round(
+        |    CAST((CAST(o AS HUGEINT) * nn - rs * cs) *
+        |      (CAST(o AS HUGEINT) * nn - rs * cs) AS DOUBLE) /
+        |    CAST(CAST(nn AS HUGEINT) * rs * cs AS DOUBLE), 9)
+        |    AS DECIMAL(18,9)) AS term FROM m)
+        |SELECT CAST(SUM(term) AS DOUBLE) AS chi2,
+        |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        |  CAST(nn AS BIGINT) AS n
+        |FROM tm, k GROUP BY nr, nc, nn""".stripMargin,
 
     "q_changepoint" ->
       """WITH d AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,

@@ -266,6 +266,39 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  // ---- correlation / chi-square ---------------------------------------
+
+  test("groupCorrelation: perfectly linear data gives r = ±1 exactly; " +
+      "zero-variance groups drop out") {
+    val df = Seq(
+      (1L, "up", 0, 0.0), (2L, "up", 1, 1.0), (3L, "up", 2, 2.0),
+      (4L, "dn", 0, 2.0), (5L, "dn", 1, 1.0), (6L, "dn", 2, 0.0),
+      (7L, "fl", 0, 3.0), (8L, "fl", 1, 3.0))
+      .toDF("id", "g", "x", "v")
+    val out = graft.ext.Profiling.groupCorrelation(df, "g", col("x"), "v")
+      .collect().map(r => (r.getString(0),
+        r.getDecimal(2).doubleValue())).toMap
+    assert(out == Map("up" -> 1.0, "dn" -> -1.0)) // "fl" dropped: dy = 0
+  }
+
+  test("chiSquare: independent 2x2 gives 0; perfectly dependent 2x2 " +
+      "gives chi2 = N (zero-count cells INCLUDED — dropping them would " +
+      "halve it); dof = (r-1)(c-1)") {
+    // independent: every (r, c) cell = 5
+    val ind = (for { r <- Seq("A", "B"); c <- 0 to 1; _ <- 1 to 5 }
+      yield (r, c)).toDF("r", "c")
+    val i = graft.ext.Profiling.chiSquare(ind, col("r"), col("c"))
+      .collect()(0)
+    assert(i.getDouble(0) == 0.0 && i.getLong(1) == 1L && i.getLong(2) == 20L)
+    // dependent: A only with 0, B only with 1 — chi2 must equal N = 20
+    val dep = ((1 to 10).map(_ => ("A", 0)) ++ (1 to 10).map(_ => ("B", 1)))
+      .toDF("r", "c")
+    val p = graft.ext.Profiling.chiSquare(dep, col("r"), col("c"))
+      .collect()(0)
+    assert(p.getDouble(0) == 20.0, s"chi2=${p.getDouble(0)}")
+    assert(p.getLong(1) == 1L && p.getLong(2) == 20L)
+  }
+
   // ---- robust outliers -------------------------------------------------
 
   test("robustOutliers: hand-computed median/MAD — the extreme value " +
