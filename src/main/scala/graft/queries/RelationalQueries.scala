@@ -304,6 +304,21 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
     }),
 
+    // skew-salted equi-join (round 11): the explicit-salting machinery
+    // ScaleSpec measures, now under the oracle gate — semantics must
+    // equal the plain inner join exactly (the salt key spreads a hot
+    // orderkey over 8 reducer tasks; the build side explodes ×8)
+    "q_join_salted" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.ops.Scale.saltedJoin(l, o, "l_orderkey", "o_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity"), 2).as("total_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // 2.5 RANGE-frame window on event time (round 11): trailing-hour
     // count + decimal-exact sum per event — the time-based frame spec
     // the ROWS-frame q_window_moving_avg can't express (a RANGE frame
@@ -589,6 +604,15 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, o_orderdate, o_orderkey""".stripMargin,
+
+    // the PLAIN inner join: the salted plan must be observationally
+    // identical to it
+    "q_join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_trailing_window" ->
       """WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us,
