@@ -284,6 +284,13 @@ object PipelineQueries {
             .as("leaky_users"))
     }),
 
+    // DAU / 7-day WAU / stickiness (round 11): rolling exact distinct
+    // via the banded self-join on the (day, user) grid — distinct
+    // isn't frame-aggregable, so this IS the standard exact shape
+    "q_active_users" -> ((s, d) =>
+      TimeSeries.activeUsers(Tables.events(s, d), "ts", "user_id",
+        windowDays = 7)),
+
     // exact Pearson correlation (round 11): hour-of-day vs value per
     // event_type from pure integer moments — one sqrt per group
     "q_correlation" -> ((s, d) =>
@@ -592,6 +599,19 @@ object PipelineQueries {
         |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
         |  COUNT(*) AS n_intervals
         |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin,
+
+    "q_active_users" ->
+      """WITH g AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+        |  FROM events),
+        |daily AS (SELECT day, COUNT(DISTINCT u) AS dau FROM g GROUP BY day),
+        |spine AS (SELECT DISTINCT day FROM g),
+        |rolling AS (SELECT s.day, COUNT(DISTINCT g.u) AS wau
+        |  FROM spine s JOIN g ON g.day <= s.day
+        |    AND g.day >= s.day - INTERVAL 6 DAY
+        |  GROUP BY s.day)
+        |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM daily JOIN rolling USING (day) ORDER BY day""".stripMargin,
 
     // mirrors groupCorrelation: integer moments (hi/lo split for Σcy²),
     // HUGEINT closed-form assembly, ONE sqrt per group through

@@ -258,6 +258,23 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("B", "2024-03-03", 0L), ("B", "2024-03-04", 0L)))
   }
 
+  test("activeUsers: hand-computed DAU/WAU — the trailing window counts " +
+      "distinct users, not visits, and days outside the band don't leak") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
+    // d1: u1 (twice!) + u2; d2: u1; d9: u2 (d1/d2 are outside its 7-day
+    // trailing band, which covers d3..d9)
+    val ev = Seq((1L, t(1), 1L), (2L, t(1), 1L), (3L, t(1), 2L),
+      (4L, t(2), 1L), (5L, t(9), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val out = TimeSeries.activeUsers(ev, "ts", "user_id", windowDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("2024-03-01", 2L, 2L, 1.0),
+      ("2024-03-02", 1L, 2L, 0.5),
+      ("2024-03-09", 1L, 1L, 1.0)))
+  }
+
   test("changepoints: hand-computed CUSUM — a 1.0→5.0 level shift after " +
       "day 3 maximizes |N·C_t − n_t·S| exactly at the boundary day; " +
       "flat series score peaks are symmetric-tie-broken to the " +
