@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Layout, Profiling, TextAnalysis, TimeSeries}
 import graft.model.Tables
@@ -282,6 +283,23 @@ object PipelineQueries {
           count(when(col("n_val_u") > 0, true)).as("val_users"),
           count(when(col("n_train_u") > 0 && col("n_val_u") > 0, true))
             .as("leaky_users"))
+    }),
+
+    // week-over-week growth (round 11): weekly counts per type with
+    // lag-based pct change — the reporting rollup over the time grid;
+    // NULL growth on a zero/absent previous week (ANSI-safe guard),
+    // integer counts ⇒ the quotient is engine-identical
+    "q_weekly_growth" -> ((s, d) => {
+      val wk = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev", lag(col("n"), 1).over(wk))
+        .withColumn("growth",
+          when(col("prev") > 0,
+            (col("n") - col("prev")).cast("double") / col("prev")))
+        .orderBy(col("event_type"), col("week"))
     }),
 
     // DAU / 7-day WAU / stickiness (round 11): rolling exact distinct
@@ -599,6 +617,19 @@ object PipelineQueries {
         |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
         |  COUNT(*) AS n_intervals
         |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin,
+
+    "q_weekly_growth" ->
+      """WITH w AS (SELECT event_type,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, CAST(n AS BIGINT) AS n,
+        |  CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY week)
+        |    AS BIGINT) AS prev FROM w)
+        |SELECT event_type, week, n, prev,
+        |  CASE WHEN prev > 0
+        |    THEN CAST(n - prev AS DOUBLE) / prev END AS growth
+        |FROM l ORDER BY event_type, week""".stripMargin,
 
     "q_active_users" ->
       """WITH g AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
