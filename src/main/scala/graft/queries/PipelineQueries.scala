@@ -285,6 +285,30 @@ object PipelineQueries {
             .as("leaky_users"))
     }),
 
+    // Gini concentration (round 11): per-type value inequality via the
+    // exact rank-weight form G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over cents —
+    // the source-concentration audit a mixing pipeline runs. Ties are
+    // safe: equal values swap ranks without moving Σi·xᵢ. All integer
+    // sums (W in DECIMAL(38,0)); only the two final quotients are
+    // doubles, computed identically on any engine.
+    "q_gini" -> ((s, d) => {
+      val w = Window.partitionBy(col("grp")).orderBy(col("cents").asc)
+      Tables.events(s, d)
+        .select(col("event_type").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("rn").cast("decimal(38,0)") * col("cents")).as("wsum"))
+        .filter(col("s") > 0)
+        .select(col("grp"), col("n"),
+          bround((lit(2).cast("decimal(38,0)") * col("wsum")).cast("double") /
+              (col("n").cast("decimal(38,0)") * col("s")).cast("double") -
+            (col("n") + 1).cast("double") / col("n"), 9)
+            .cast("decimal(18,9)").as("gini"))
+        .orderBy(col("grp"))
+    }),
+
     // week-over-week growth (round 11): weekly counts per type with
     // lag-based pct change — the reporting rollup over the time grid;
     // NULL growth on a zero/absent previous week (ANSI-safe guard),
@@ -617,6 +641,19 @@ object PipelineQueries {
         |SELECT k, span, MIN(s) AS span_start, MAX(e) AS span_end,
         |  COUNT(*) AS n_intervals
         |FROM g GROUP BY k, span ORDER BY k, span""".stripMargin,
+
+    "q_gini" ->
+      """WITH b AS (SELECT event_type AS grp,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT grp, cents, ROW_NUMBER() OVER (PARTITION BY grp
+        |    ORDER BY cents ASC) AS rn FROM b),
+        |m AS (SELECT grp, COUNT(*) AS n, SUM(cents) AS s,
+        |  SUM(CAST(rn AS HUGEINT) * cents) AS wsum FROM r GROUP BY grp)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(round(CAST(2 * wsum AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * s AS DOUBLE) -
+        |    CAST(n + 1 AS DOUBLE) / n, 9) AS DECIMAL(18,9)) AS gini
+        |FROM m WHERE s > 0 ORDER BY grp""".stripMargin,
 
     "q_weekly_growth" ->
       """WITH w AS (SELECT event_type,
