@@ -31,12 +31,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.defs ++ RelationalQueries.defs ++ ExtQueries.defs ++ StatsQueries.defs ++ ShapeQueries.defs ++ FuncQueries.defs ++ CorpusQueries.defs ++ PipelineQueries.defs
+    RefQueries.defs ++ RelationalQueries.defs ++ TpchQueries.defs ++ ExtQueries.defs ++ StatsQueries.defs ++ ShapeQueries.defs ++ FuncQueries.defs ++ CorpusQueries.defs ++ PipelineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops) get
     * the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    RefQueries.oracles ++ RelationalQueries.oracles ++ ExtQueries.oracles ++ StatsQueries.oracles ++ ShapeQueries.oracles ++ FuncQueries.oracles ++ CorpusQueries.oracles ++ PipelineQueries.oracles
+    RefQueries.oracles ++ RelationalQueries.oracles ++ TpchQueries.oracles ++ ExtQueries.oracles ++ StatsQueries.oracles ++ ShapeQueries.oracles ++ FuncQueries.oracles ++ CorpusQueries.oracles ++ PipelineQueries.oracles
 }

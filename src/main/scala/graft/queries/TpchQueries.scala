@@ -1,0 +1,537 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** TPC-H completion (round 11): the 14 query shapes not yet covered by
+  * q1/q3/q4/q5/q10/q14/q16/q18 — every remaining join/subquery topology
+  * of the suite, adapted where the fixture schema is slimmer than
+  * stock TPC-H (no partsupp, no l_shipmode/commitdate/receiptdate, no
+  * c_phone/p_container — each adaptation keeps the SHAPE: correlated
+  * min, nested NOT EXISTS pairs, scalar-subquery HAVING, …).
+  *
+  * Reference analogue: the delegated-analytics queries the archiver's
+  * README pushes to the warehouse (`/root/reference/README.md:80-102`)
+  * — this module generalizes them to the full relational surface.
+  *
+  * Determinism discipline (see graft-round-workflow): every double SUM
+  * runs in DECIMAL(18,2)-derived exact arithmetic and is cast to
+  * double only at output; quantity brackets compare cross-multiplied
+  * in BIGINT (never a float divide inside a predicate); counts that
+  * DuckDB would widen to HUGEINT are CAST AS BIGINT in the oracle.
+  *
+  * Scale notes per query inline: dims broadcast, correlated shapes are
+  * re-expressed as single-pass window/agg plans (no re-scan of the
+  * fact), and every output is bounded (grouped rollup or LIMIT).
+  */
+object TpchQueries {
+
+  /** Exact line revenue l_extendedprice*(1-l_discount) in DECIMAL. */
+  private def rev =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+
+  private val OracleRev =
+    """CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q6 shape (forecast revenue change): pure scan-side conjunctive
+    // range filter + single exact aggregate. Everything pushes to the
+    // parquet scan; zero joins, one shuffle-free partial agg tree.
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // Q7 shape (volume shipping between nation sets): both sides of
+    // the trade filter to a small nation set (keys, stable across
+    // fixture scales), supplier≠customer nation; yearly rollup.
+    // Nation/supplier/customer dims broadcast — lineitem⋈orders is the
+    // only shuffle join.
+    "q7_volume_shipping" -> ((s, d) => {
+      val n1 = Tables.nation(s, d).filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter(col("sn_key") =!= col("cn_key"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q8 shape (national market share): share of one supplier nation
+    // inside a customer-region × part-type market, per order year. The
+    // conditional-over-total ratio divides two exact DECIMAL sums cast
+    // to double (engine-identical); all dims broadcast.
+    "q8_market_share" -> ((s, d) => {
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter(col("n_regionkey") === 0)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          (coalesce(sum(when(col("s_nationkey") === 3, rev)), lit(0).cast("decimal(18,2)"))
+            .cast("double") / sum(rev).cast("double")).as("mkt_share"),
+          coalesce(sum(when(col("s_nationkey") === 3, rev)), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("nation_volume"),
+          sum(rev).cast("double").as("total_volume"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q9 shape (product-type profit, adapted: no partsupp, so cost =
+    // p_retailprice × l_quantity): profit per supplier nation per
+    // order year over a part-name LIKE filter. All DECIMAL until the
+    // output cast; part/supplier/nation broadcast; lineitem⋈orders is
+    // the only shuffle.
+    "q9_product_profit" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_name").like("%red%"))
+      val amount = rev -
+        col("p_retailprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Q11 shape (important inventory, adapted to the lineitem fact):
+    // per (supplier-nation, part) DECIMAL value with a scalar-subquery
+    // HAVING — "important" = value above 2× the mean group value
+    // (scale-invariant, unlike Q11's fixed fraction which vanishes as
+    // the part count grows). The global (total, count) computes once
+    // and broadcasts back as a 1-row frame; the compare
+    // cross-multiplies (val·n > 2·total) so no division enters the
+    // predicate.
+    "q11_important_parts" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("l_partkey"),
+          col("l_extendedprice").cast("decimal(18,2)").as("v"))
+      // grouped feeds both the threshold aggregate and the probe — AQE
+      // does not dedupe the identical subtree, so materialize once
+      // (bounded: |nation × part| rows, a dimension product, never the
+      // corpus).
+      val grouped = base.groupBy(col("n_name"), col("l_partkey"))
+        .agg(sum(col("v")).as("val"))
+        .localCheckpoint()
+      val total = grouped.agg(sum(col("val")).cast("double").as("grand"),
+        count(lit(1)).as("n_groups"))
+      grouped.crossJoin(broadcast(total))
+        .filter(col("val").cast("double") * col("n_groups") >
+          lit(2.0) * col("grand"))
+        .select(col("n_name"), col("l_partkey"),
+          col("val").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("n_name"), col("l_partkey"))
+    }),
+
+    // Q12 shape (late-shipment priority split, adapted: l_linestatus
+    // stands in for the missing l_shipmode; "late" = shipped >60 days
+    // after order date): the two-way conditional count in one pass.
+    // The ship-year range pushes to the lineitem scan; the late
+    // predicate is a join-side compare.
+    "q12_late_lines" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Q13 shape (customer order-count distribution): left outer join
+    // with an ON-clause filter (kept on the join, NOT a post-filter —
+    // customers without qualifying orders must survive with count 0),
+    // then a second aggregation over the first's result.
+    "q13_customer_distribution" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q15 shape (top supplier by revenue): the revenue view computes
+    // ONCE (localCheckpoint — AQE does not dedupe the identical agg
+    // subtree feeding both the max and the equality probe), its max
+    // broadcasts back as a scalar frame, equality compares in exact
+    // DECIMAL. Output casts to double only after the compare.
+    "q15_top_supplier" -> ((s, d) => {
+      val revBySupp = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(rev).as("r"))
+        .localCheckpoint()
+      val mx = revBySupp.agg(max(col("r")).as("mr"))
+      revBySupp.crossJoin(broadcast(mx))
+        .filter(col("r") === col("mr"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("r").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q17 shape (small-quantity bracket, adapted: brand-only part
+    // filter): the correlated per-part average decorrelates to ONE
+    // per-part aggregate broadcast back onto the lines; the bracket
+    // compares cross-multiplied in BIGINT (l_quantity×5×cnt < Σqty ⇔
+    // qty < 0.2·avg) so no float division enters the predicate.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#3")
+      val perPart = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"),
+          count(lit(1)).as("cnt"))
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sq"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Q19 shape (disjunctive bracket predicates): OR-of-ANDs across
+    // part attributes × line quantity ranges — the classic
+    // can't-push-a-single-range filter; the part dim broadcasts and
+    // the compound predicate evaluates post-join in one codegen stage.
+    "q19_disjunctive_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // Q20 shape (excess-volume suppliers, adapted: lineitem volume
+    // stands in for ps_availqty): nested aggregate-HAVING subquery →
+    // distinct supplier keys → left-semi join. The part LIKE filter
+    // broadcasts; the HAVING aggregate groups on (supp, part) so the
+    // probe side never exceeds |supplier×part|.
+    "q20_excess_suppliers" -> ((s, d) => {
+      val smallParts = Tables.part(s, d).filter(col("p_name").like("small%"))
+      val heavy = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+        .filter(col("sq") > 50)
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q21 shape (suppliers who kept orders waiting, adapted: "late" =
+    // shipped >90 days after order date): the textbook EXISTS +
+    // NOT EXISTS double self-correlation collapses to ONE pass — a
+    // per-order window computes (distinct suppliers, distinct LATE
+    // suppliers); a line is a waiting-supplier witness iff it is late,
+    // the order is multi-supplier, and its supplier is the ONLY late
+    // one. One l⋈o shuffle + one window shuffle on the same key
+    // (orderkey) vs the textbook's three lineitem scans.
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val lines = Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .withColumn("n_supps", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late_supps",
+          size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+      lines.filter(col("late") && col("n_supps") >= 2 && col("n_late_supps") === 1)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // Q22 shape (inactive high-balance customers, adapted: nation-key
+    // bucket stands in for the missing phone country code, "no orders"
+    // relaxed to "no orders since 1999" — the fixture has no orderless
+    // customers): scalar-subquery average threshold (broadcast 1-row
+    // frame) + NOT EXISTS anti join against the recent-orders keys.
+    "q22_inactive_customers" -> ((s, d) => {
+      val sel = Tables.customer(s, d)
+        .withColumn("code", col("c_nationkey") % 5)
+        .filter(col("code").isin(0, 1, 2))
+      val avgBal = sel.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey"))
+      sel.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy(col("code"))
+    }),
+
+    // Q2 shape (min-cost supplier per part, adapted: s_acctbal stands
+    // in for the missing ps_supplycost, lineitem's distinct
+    // (part,supplier) pairs for partsupp): the correlated MIN
+    // decorrelates to a per-part window — one pass over the pairs, no
+    // re-scan per part. Region restricts via broadcast nation dim.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+      val n = Tables.nation(s, d).filter(col("n_regionkey") === 0)
+      val w = Window.partitionBy(col("p_partkey"))
+      pairs
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("min_bal", min(col("s_acctbal")).over(w))
+        .filter(col("s_acctbal") === col("min_bal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM($OracleRev) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+        |  AND n1.n_nationkey <> n2.n_nationkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(COALESCE(SUM(CASE WHEN s_nationkey = 3 THEN $OracleRev END),
+        |      0) AS DOUBLE) /
+        |    CAST(SUM($OracleRev) AS DOUBLE) AS mkt_share,
+        |  CAST(COALESCE(SUM(CASE WHEN s_nationkey = 3 THEN $OracleRev END),
+        |      0) AS DOUBLE) AS nation_volume,
+        |  CAST(SUM($OracleRev) AS DOUBLE) AS total_volume
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_type = 'STANDARD' AND n2.n_regionkey = 0
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM($OracleRev -
+        |    CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT n_name, l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, l_partkey, CAST(val AS DOUBLE) AS part_value
+        |FROM v
+        |WHERE CAST(val AS DOUBLE) * (SELECT COUNT(*) FROM v) >
+        |  2.0 * (SELECT CAST(SUM(val) AS DOUBLE) FROM v)
+        |ORDER BY part_value DESC, n_name, l_partkey""".stripMargin,
+
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+        |  SELECT l_suppkey, SUM($OracleRev) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT MAX(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH agg AS (
+        |  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN agg ON pk = l_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND CAST(l_quantity AS BIGINT) * 5 * cnt < sq""".stripMargin,
+
+    "q19_disjunctive_filter" ->
+      s"""SELECT CAST(SUM($OracleRev) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_inactive_customers" ->
+      """WITH sel AS (
+        |  SELECT c_custkey, c_acctbal, c_nationkey % 5 AS code
+        |  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)),
+        |avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS a
+        |  FROM sel WHERE c_acctbal > 0)
+        |SELECT code, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM sel, avg_bal
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY code ORDER BY code""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part JOIN ps ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'STANDARD' AND n_regionkey = 0
+        |  AND s_acctbal = (
+        |    SELECT MIN(s2.s_acctbal)
+        |    FROM ps ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    WHERE ps2.l_partkey = p_partkey AND n2.n_regionkey = 0)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+}
