@@ -42,6 +42,36 @@ object Profiling {
       .orderBy(col("bucket"))
   }
 
+  /** Equi-DEPTH histogram (the [[histogram]] complement): `nBuckets`
+    * buckets of (near-)equal row count per group via `ntile` under a
+    * TOTAL order — `(valueCol asc, tieCol asc)`. ANSI NTILE semantics
+    * are engine-identical (the first `n mod k` buckets take one extra
+    * row), and the tie column makes the row→bucket assignment — hence
+    * each bucket's min/max/count — fully deterministic even when
+    * values repeat across a bucket boundary. Bucket bounds are COPIES
+    * of input values, never computed, so the output is bit-exact on
+    * any engine. This is the sampled-boundaries profile a range
+    * partitioner or OPTIMIZE-style layout rewrite consumes.
+    *
+    * Scale shape: one (group) window + a two-phase (group, bucket)
+    * agg — the [[groupPercentiles]] cost class; a group that outgrows
+    * a partition swaps to approx_percentile boundaries with the same
+    * output contract modulo sketch error (DEPLOY.md).
+    */
+  def eqdepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("v").asc, col("tie").asc)
+    df.select(col(groupCol).as("grp"), col(valueCol).as("v"),
+        col(tieCol).as("tie"))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .orderBy(col("grp"), col("bucket"))
+  }
+
   /** Per-domain corpus stats over a documents table — the
     * RefinedWeb/Dolma-style per-source curation ledger: volume (docs,
     * chars, whitespace tokens), diversity (distinct languages), and

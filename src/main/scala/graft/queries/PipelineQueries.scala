@@ -61,6 +61,13 @@ object PipelineQueries {
     "q_histogram" -> ((s, d) =>
       Profiling.histogram(Tables.events(s, d), "value", nBuckets = 20)),
 
+    // equi-DEPTH histogram (round 11): 4 equal-count value buckets per
+    // event_type via ntile under the (value, event_id) total order —
+    // the range-partitioner boundary profile; bounds are value COPIES
+    "q_histogram_eqdepth" -> ((s, d) =>
+      Profiling.eqdepthHistogram(Tables.events(s, d),
+        "event_type", "value", "event_id", nBuckets = 4)),
+
     // per-source curation ledger: volume, language diversity, and
     // exact-duplicate pressure per domain
     "q_domain_stats" -> ((s, d) =>
@@ -457,6 +464,14 @@ object PipelineQueries {
         |  vmin + (bucket + 1) * (vmax - vmin) / 20.0 AS hi,
         |  COUNT(*) AS n
         |FROM b GROUP BY bucket, vmin, vmax ORDER BY bucket""".stripMargin,
+
+    "q_histogram_eqdepth" ->
+      """WITH r AS (SELECT event_type AS grp, value AS v,
+        |    CAST(NTILE(4) OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS INT) AS bucket
+        |  FROM events)
+        |SELECT grp, bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY grp, bucket ORDER BY grp, bucket""".stripMargin,
 
     "q_domain_stats" ->
       """WITH c AS (SELECT source, lang, n_chars,

@@ -23,6 +23,27 @@ object ShapeQueries {
         .agg(count(lit(1)))
         .orderBy(col("day"))),
 
+    // unpivot (wide → long): the melt that turns lineitem's four
+    // numeric measures into (measure, value) rows — the inverse
+    // reshape of q_pivot_events. Output stays bounded by the grouped
+    // rollup; sums run in exact integer cents (every fixture measure
+    // is 2-dp) and divide once at the end, min/max are copies.
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "v")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("v") * 100, 0).cast("long")).cast("double")
+            / 100.0).as("total"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy(col("measure"))),
+
     // ordered array aggregation (collect_list is unordered by contract;
     // sort_array pins it).
     "q_collect_ordered" -> ((s, d) =>
@@ -102,6 +123,19 @@ object ShapeQueries {
         |COUNT(*) FILTER (event_type = 'signup') AS signup,
         |COUNT(*) FILTER (event_type = 'view') AS view
         |FROM e GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(v * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total,
+        |  MIN(v) AS lo, MAX(v) AS hi
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
 
     "q_collect_ordered" ->
       """SELECT l_orderkey,

@@ -266,6 +266,29 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("eqdepthHistogram: ANSI NTILE by hand — 10 rows into 4 buckets " +
+      "split 3/3/2/2, bounds are value copies, tie column decides a " +
+      "boundary tie deterministically") {
+    // values 1..10 with ids 1..10: buckets [1,2,3][4,5,6][7,8][9,10]
+    val df = (1 to 10).map(v => ("a", v.toDouble, v.toLong)).toDF("g", "v", "id")
+    val out = graft.ext.Profiling.eqdepthHistogram(df, "g", "v", "id", 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq((1, 3L, 1.0, 3.0), (2, 3L, 4.0, 6.0),
+      (3, 2L, 7.0, 8.0), (4, 2L, 9.0, 10.0)))
+    // a tie spanning the bucket boundary: four 5.0s with ids 1..4 into
+    // 2 buckets — ids 1,2 land in bucket 1, ids 3,4 in bucket 2, and
+    // both buckets report lo = hi = 5.0 (copies, not interpolations)
+    val tied = Seq(("t", 5.0, 1L), ("t", 5.0, 2L), ("t", 5.0, 3L),
+      ("t", 5.0, 4L)).toDF("g", "v", "id")
+    val t = graft.ext.Profiling.eqdepthHistogram(tied, "g", "v", "id", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(t == Seq((1, 2L, 5.0, 5.0), (2, 2L, 5.0, 5.0)))
+    intercept[IllegalArgumentException] {
+      graft.ext.Profiling.eqdepthHistogram(df, "g", "v", "id", 0)
+    }
+  }
+
   // ---- correlation / chi-square ---------------------------------------
 
   test("groupCorrelation: perfectly linear data gives r = ±1 exactly; " +
