@@ -221,6 +221,51 @@ object TimeSeries {
       .orderBy(col("day"))
   }
 
+  /** Trailing-window exact median per (group, day): for each day a
+    * group was active, the PERCENTILE_DISC(0.5) of every raw value in
+    * the trailing `windowDays` — the robust smoothing a drift monitor
+    * plots where a rolling MEAN would chase single spikes. A rolling
+    * median cannot ride a window frame (rank selection isn't
+    * frame-aggregable, exactly like rolling DISTINCT in
+    * [[activeUsers]]); the exact formulation is the same banded
+    * self-join: rows join the day spine within [day − w + 1, day],
+    * then the median is rank-SELECTED at integer index
+    * (n·50 + 99) div 100 under the (value, tie) total order — the
+    * [[graft.ext.Profiling.groupPercentiles]] machinery on a
+    * (group, day) grid. The output value is a COPY of an input value,
+    * so it is bit-exact on any engine.
+    *
+    * Scale shape: the band join fans raw rows ≤ w× (bounded, never
+    * quadratic); rank selection partitions by (group, day) — the same
+    * key the join produces, so one exchange feeds both. At 100 TB a
+    * window whose row count outgrows a partition swaps to
+    * approx_percentile per (group, day) with the same contract modulo
+    * sketch error (DEPLOY.md).
+    */
+  def rollingMedian(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, idCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val rows = events.select(col(groupCol).as("grp"),
+      to_date(col(tsCol)).as("day"), col(valueCol).as("v"),
+      col(idCol).as("tie"))
+    val spine = rows.select(col("grp"), col("day")).distinct()
+    val joined = spine.as("s")
+      .join(rows.as("g"), col("s.grp") === col("g.grp") &&
+        datediff(col("s.day"), col("g.day")).between(0, windowDays - 1))
+      .select(col("s.grp").as("grp"), col("s.day").as("day"),
+        col("g.v").as("v"), col("g.tie").as("tie"))
+    val w = Window.partitionBy(col("grp"), col("day"))
+      .orderBy(col("v").asc, col("tie").asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("grp"), col("day"))))
+      .filter(col("rn") === expr("(n * 50 + 99) div 100"))
+      .select(col("grp"), col("day"), col("n").as("n_window"),
+        col("v").as("med"))
+      .orderBy(col("grp"), col("day"))
+  }
+
   /** Exact CUSUM changepoint per group: the day t maximizing
     * |Σ_{s≤t} x_s − (n_t/N)·S| — the classic mean-shift statistic —
     * computed ENTIRELY in integers: values quantize to cents once

@@ -333,6 +333,13 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("week"))
     }),
 
+    // trailing 7-day exact median (round 11): rank selection isn't
+    // frame-aggregable — the banded day-spine self-join + integer-rank
+    // PERCENTILE_DISC, the robust twin of a rolling mean
+    "q_rolling_median" -> ((s, d) =>
+      TimeSeries.rollingMedian(Tables.events(s, d),
+        "event_type", "ts", "value", "event_id", windowDays = 7)),
+
     // DAU / 7-day WAU / stickiness (round 11): rolling exact distinct
     // via the banded self-join on the (day, user) grid — distinct
     // isn't frame-aggregable, so this IS the standard exact shape
@@ -682,6 +689,21 @@ object PipelineQueries {
         |  CASE WHEN prev > 0
         |    THEN CAST(n - prev AS DOUBLE) / prev END AS growth
         |FROM l ORDER BY event_type, week""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH b AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |    value AS v, event_id AS tie FROM events),
+        |spine AS (SELECT DISTINCT grp, day FROM b),
+        |j AS (SELECT s.grp, s.day, g.v, g.tie
+        |  FROM spine s JOIN b g ON s.grp = g.grp
+        |    AND g.day <= s.day AND g.day >= s.day - INTERVAL 6 DAY),
+        |r AS (SELECT grp, day, v,
+        |  ROW_NUMBER() OVER (PARTITION BY grp, day
+        |    ORDER BY v ASC, tie ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY grp, day) AS n FROM j)
+        |SELECT grp, day, CAST(n AS BIGINT) AS n_window, v AS med
+        |FROM r WHERE rn = (n * 50 + 99) // 100
+        |ORDER BY grp, day""".stripMargin,
 
     "q_active_users" ->
       """WITH g AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u

@@ -275,6 +275,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-03-09", 1L, 1L, 1.0)))
   }
 
+  test("rollingMedian: hand-computed trailing-2-day PERCENTILE_DISC — " +
+      "the lower median on even counts, old days slide out, groups " +
+      "never mix") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
+    val ev = Seq(
+      (1L, t(1), "a", 5.0), (2L, t(1), "a", 1.0),   // d1: [1,5]
+      (3L, t(2), "a", 3.0),                          // d2 window: [1,3,5]
+      (4L, t(3), "a", 9.0),                          // d3 window: [3,9] (d1 out)
+      (5L, t(1), "b", 100.0))                        // separate group
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = TimeSeries.rollingMedian(ev, "event_type", "ts", "value",
+        "event_id", windowDays = 2)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3))).toSeq
+    // d1: n=2, rank (2·50+99)div100 = 1 → 1.0 (PERCENTILE_DISC lower);
+    // d2: n=3, rank 2 → 3.0; d3: n=2, rank 1 → 3.0
+    assert(out == Seq(
+      ("a", "2024-03-01", 2L, 1.0),
+      ("a", "2024-03-02", 3L, 3.0),
+      ("a", "2024-03-03", 2L, 3.0),
+      ("b", "2024-03-01", 1L, 100.0)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.rollingMedian(ev, "event_type", "ts", "value",
+        "event_id", windowDays = 0)
+    }
+  }
+
   test("changepoints: hand-computed CUSUM — a 1.0→5.0 level shift after " +
       "day 3 maximizes |N·C_t − n_t·S| exactly at the boundary day; " +
       "flat series score peaks are symmetric-tie-broken to the " +
