@@ -177,6 +177,59 @@ object PipelineQueries {
       s.table(sink).orderBy(col("p_id"), col("s_id"))
     }),
 
+    // Stateful streaming dedup through the ACTUAL incremental path
+    // (round 11, fourth streaming-evidence query): the corpus is
+    // delivered TWICE — each time-range slice followed immediately by
+    // a byte-identical duplicate file, arrival order = event order via
+    // strictly increasing mtimes — and dedupedStream
+    // (dropDuplicatesWithinWatermark on event_id) must emit every
+    // event exactly once. The interleaved staging makes the guarantee
+    // exact: a duplicate arrives while its key is still inside the
+    // watermark horizon, so it is dropped by state (or, equivalently,
+    // as late data — either way never re-emitted), and no FIRST
+    // occurrence is ever late because slices arrive time-ordered. The
+    // gate rolls up the sink per event_type — a doubled or dropped key
+    // shifts the counts and fails the plain batch oracle over events.
+    "q_stream_dedup" -> ((s, d) => {
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft_stream_dedup_stage").toString
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_dedup").toString
+      Tables.eventsNative(s, d).repartitionByRange(2, col("ts"))
+        .write.mode("overwrite").parquet(staging)
+      val parts = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 120000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = new java.io.File(tmp, f.getName)
+        val dup = new java.io.File(tmp, "dup_" + f.getName)
+        java.nio.file.Files.copy(f.toPath, dup.toPath): Unit
+        require(f.renameTo(dst) &&
+          dst.setLastModified(base + (2 * i) * 60000L) &&
+          dup.setLastModified(base + (2 * i + 1) * 60000L),
+          s"could not stage stream file ${f.getName}")
+      }
+      val sink = "graft_stream_dedup_sink"
+      s.catalog.dropTempView(sink): Unit
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Streaming.dedupedStream(
+            graft.streaming.Streaming.readEventsStream(s, tmp,
+              maxFilesPerTrigger = 1))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(round(col("value") * 100, 0).cast("long")).cast("double")
+            / 100.0).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // The reference's archival loop through the ACTUAL incremental sink
     // (round 11): events file-streamed one file per micro-batch through
     // archiveSink (shape → year=/month= partitioned parquet append,
@@ -549,6 +602,15 @@ object PipelineQueries {
 
     // the batch twin of the incremental archival sink: identical
     // shape/partition derivation over events, aggregated per partition
+    // the twice-delivered stream must collapse back to the plain batch
+    // rollup — a doubled (dedup miss) or missing (over-drop) key fails
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_stream_archive" ->
       """WITH a AS (SELECT event_id AS id, epoch_ns(ts) // 1000 AS us,
         |    year(ts) AS year, month(ts) AS month FROM events)
