@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Layout, Profiling, TextAnalysis, TimeSeries}
+import graft.ext.{Bpe, Dedup, Layout, Profiling, TextAnalysis, TimeSeries}
 import graft.model.Tables
 import graft.ops.Archive
 
@@ -268,6 +268,15 @@ object PipelineQueries {
         "ts", "event_id", "event_type", "click", "purchase",
         windowDays = 7)),
 
+    // BPE-style tokenizer training (round 11): the first 3
+    // most-frequent-adjacent-pair merges with greedy left-to-right
+    // non-overlapping rewrites — pure window algebra, identical in the
+    // oracle, so the merge table is hash-exact; state frames feed both
+    // the count and the rewrite, hence the localCheckpoint hook
+    "q_bpe_merges" -> ((s, d) =>
+      Bpe.pairMerges(Tables.documents(s, d), "doc_id", "text",
+        steps = 3, materialize = _.localCheckpoint())),
+
     // per-doc OOV rate vs the corpus top-1000 vocabulary (tokenizer
     // coverage); vocab top-k is deterministic via (count desc, token)
     "q_vocab_oov" -> ((s, d) =>
@@ -457,7 +466,54 @@ object PipelineQueries {
           "o_orderdate", "o_orderpriority")))
   )
 
+  /** One BPE step in the oracle: identical window algebra to
+    * [[graft.ext.Bpe.pairMerges]] — match marking, cumulative-count
+    * run keys, even-offset greedy selection, right-half drop,
+    * renumber. `prev` is the incoming state CTE (doc, pos, tok);
+    * emits CTEs suffixed `s`, with `b$s` holding the chosen pair.
+    */
+  private def bpeStepSql(s: Int, prev: String): String =
+    s"""p$s AS (SELECT tok, lead(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt
+       |  FROM $prev),
+       |c$s AS (SELECT tok, nxt, COUNT(*) AS n FROM p$s
+       |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |b$s AS (SELECT tok AS lft, nxt AS rgt, n FROM c$s
+       |  ORDER BY n DESC, tok, nxt LIMIT 1),
+       |m$s AS (SELECT t.doc, t.pos, t.tok,
+       |    lead(t.tok) OVER (PARTITION BY t.doc ORDER BY t.pos) AS nxt,
+       |    b.lft, b.rgt FROM $prev t, b$s b),
+       |mm$s AS (SELECT doc, pos, tok, lft, rgt,
+       |    CASE WHEN tok = lft AND nxt = rgt THEN 1 ELSE 0 END AS m FROM m$s),
+       |r$s AS (SELECT *, SUM(m) OVER (PARTITION BY doc ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rnm FROM mm$s),
+       |k$s AS (SELECT *, CASE WHEN m = 1 THEN pos - rnm END AS runkey FROM r$s),
+       |s$s AS (SELECT *, MIN(CASE WHEN m = 1 THEN pos END)
+       |    OVER (PARTITION BY doc, runkey) AS runstart FROM k$s),
+       |tk$s AS (SELECT doc, pos, tok, lft, rgt,
+       |    CASE WHEN m = 1 AND (pos - runstart) % 2 = 0 THEN 1 ELSE 0 END AS tk
+       |  FROM s$s),
+       |n$s AS (SELECT doc, pos, tok, tk, lft, rgt,
+       |    COALESCE(LAG(tk) OVER (PARTITION BY doc ORDER BY pos), 0) AS ptk
+       |  FROM tk$s),
+       |t$s AS (SELECT doc, ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS pos,
+       |    CASE WHEN tk = 1 THEN lft || '+' || rgt ELSE tok END AS tok
+       |  FROM n$s WHERE ptk = 0)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    "q_bpe_merges" ->
+      (s"""WITH t0 AS (SELECT doc_id AS doc,
+          |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+          |    unnest(string_split(text, ' ')) AS tok FROM documents),
+          |""".stripMargin +
+        bpeStepSql(1, "t0") + ",\n" + bpeStepSql(2, "t1") + ",\n" +
+        bpeStepSql(3, "t2") + "\n" +
+        """SELECT * FROM (
+          |  SELECT CAST(1 AS INTEGER) AS step, lft, rgt,
+          |    CAST(n AS BIGINT) AS n_pairs FROM b1
+          |  UNION ALL SELECT 2, lft, rgt, CAST(n AS BIGINT) FROM b2
+          |  UNION ALL SELECT 3, lft, rgt, CAST(n AS BIGINT) FROM b3)
+          |ORDER BY step""".stripMargin),
 
     "q_dedup_fuzzy" ->
       s"""${ExtQueries.ShingleCte},

@@ -271,4 +271,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       "text", "source").collect()
     assert(one.length == 1 && one(0).getDouble(2) == 0.0)
   }
+
+  test("bpe pairMerges: greedy left-to-right non-overlap on a " +
+      "self-pair run ('a a a a a' → [aa, aa, a]), deterministic " +
+      "tie-break, merged tokens pair in later steps") {
+    // doc0 'a a a a a': (a,a) count 4; doc1 'x a a y a a': +2 → 6.
+    val docs = Seq((0L, "a a a a a"), (1L, "x a a y a a"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Bpe.pairMerges(docs, "doc_id", "text", steps = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // step 1: (a,a,6). After greedy rewrite: doc0 = [a+a, a+a, a]
+    // (NON-overlapping — never [a, a+a, ...]), doc1 = [x, a+a, y, a+a].
+    // step 2 pairs all count 1 → tie-break (lft, rgt) ascending:
+    // (a+a, a) beats (a+a, a+a), (a+a, y), (x, a+a), (y, a+a).
+    // After step 2: doc0 = [a+a, a+a+a]. step 3: (a+a, a+a+a) wins
+    // the remaining all-1 tie on lft then rgt.
+    assert(out == Seq((1, "a", "a", 6L), (2, "a+a", "a", 1L),
+      (3, "a+a", "a+a+a", 1L)))
+    // a corpus whose pairs run out stops early instead of failing
+    val tiny = graft.ext.Bpe.pairMerges(
+      Seq((0L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect()
+    assert(tiny.length >= 1 && tiny(0).getString(1) == "a")
+    intercept[IllegalArgumentException] {
+      graft.ext.Bpe.pairMerges(docs, "doc_id", "text", steps = 0)
+    }
+  }
 }
