@@ -128,6 +128,43 @@ object StatsQueries {
         .select(col("id"), col("device_id"),
           round(weighted / wsum, 9).as("ewma"))
         .orderBy(col("id"))
+    }),
+
+    // Market-basket frequent pairs (round 11): the A-Priori level-2
+    // support count — top-20 part pairs co-occurring in an order,
+    // with lift = support·n_baskets / (n(p1)·n(p2)). The per-basket
+    // pair fan is bounded by basket size squared (≈7² lines, never
+    // the corpus); item counts and the basket total broadcast back;
+    // top-k fuses to TakeOrderedAndProject. The basket-item frame
+    // feeds BOTH self-join sides — AQE does not dedupe the subtree,
+    // hence the localCheckpoint. Lift's single double division over
+    // exact integers is engine-identical.
+    "q_basket_pairs" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint()
+      val itemN = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val baskets = items.agg(countDistinct(col("ok")).as("n_baskets"))
+      items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .join(broadcast(itemN.select(col("pk").as("p1"),
+          col("n_item").as("n1"))), Seq("p1"))
+        .join(broadcast(itemN.select(col("pk").as("p2"),
+          col("n_item").as("n2"))), Seq("p2"))
+        .crossJoin(broadcast(baskets))
+        .select(col("p1"), col("p2"), col("support"),
+          // lift in doubles end-to-end: every count is < 2^53 so each
+          // cast is exact and the multiply/divide round identically on
+          // any engine (an integer n1·n2 product would overflow BIGINT
+          // at extreme item frequencies; doubles degrade gracefully)
+          (col("support").cast("double") * col("n_baskets").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))).as("lift"))
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+        .limit(20)
     })
   )
 
@@ -193,6 +230,21 @@ object StatsQueries {
          |      i -> l[i] * pow(0.8, len(l) - i)), (a, b) -> a + b) /
          |    list_reduce(list_transform(generate_series(1, len(l)),
          |      i -> pow(0.8, i - 1)), (a, b) -> a + b), 9) AS ewma
-         |FROM t ORDER BY id""".stripMargin
+         |FROM t ORDER BY id""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |n_i AS (SELECT pk, COUNT(*) AS n_item FROM items GROUP BY pk),
+        |nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+        |p AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT p1, p2, CAST(support AS BIGINT) AS support,
+        |  CAST(support AS DOUBLE) * CAST(n_baskets AS DOUBLE) /
+        |    (CAST(i1.n_item AS DOUBLE) * CAST(i2.n_item AS DOUBLE)) AS lift
+        |FROM p JOIN n_i i1 ON i1.pk = p.p1
+        |JOIN n_i i2 ON i2.pk = p.p2, nb
+        |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin
   )
 }

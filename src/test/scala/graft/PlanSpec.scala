@@ -546,6 +546,19 @@ class PlanSpec extends AnyFunSuite {
       "bracket predicate must not divide:\n" + p)
   }
 
+  test("q_basket_pairs: the basket-item self-join reads the checkpoint " +
+      "(no rescan), item counts and the basket total join back as " +
+      "broadcasts, and the top-20 fuses to TakeOrderedAndProject") {
+    val p = plan("q_basket_pairs")
+    assert("Scan parquet".r.findAllIn(p).length == 0,
+      "all consumers must read the checkpointed basket-item frame:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    // the only nested-loop is the broadcast 1-row basket total
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q11: the grand-total threshold joins back as a broadcast " +
       "1-row frame onto the checkpointed group frame — no recompute " +
       "of the grouped aggregate, no unguarded cartesian") {
