@@ -72,6 +72,44 @@ object Profiling {
       .orderBy(col("grp"), col("bucket"))
   }
 
+  /** Benford first-significant-digit audit: the distribution of
+    * leading digits of a positive money-like column vs the Benford
+    * expectation log10(1 + 1/d) — the classic fabricated-/synthetic-
+    * data screen an ingest pipeline runs on financial-looking fields.
+    * The digit extracts INTEGER-exactly: values quantize to cents
+    * once, and the leading digit is the first character of the
+    * integer's decimal string — integer-to-string is unambiguous on
+    * every engine, unlike float formatting or a log10-based exponent
+    * (which can land one-off at powers of ten). The observed share is
+    * an exact-integer quotient; the expected share is ONE libm log10
+    * per OUTPUT row (≤ 9 rows) through bround(…, 9) + DECIMAL(18,9)
+    * — the standard determinism policy for transcendental outputs.
+    *
+    * Scale shape: one two-phase (digit) count over a map-side
+    * projection — the cheapest possible profile — with the total
+    * joined back from a broadcast 1-row frame.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .select(round(col(valueCol) * 100, 0).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .withColumn("digit",
+        substring(col("c").cast("string"), 1, 1).cast("int"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // the total rides a global window over the ≤ 9-row digit frame —
+    // one pass, no second corpus scan (the digit frame would feed two
+    // consumers otherwise, and AQE does not dedupe the subtree)
+    digits
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .as("obs_share"),
+        bround(log10(lit(1.0) + lit(1.0) / col("digit")), 9)
+          .cast("decimal(18,9)").as("exp_share"))
+      .orderBy(col("digit"))
+  }
+
   /** Per-domain corpus stats over a documents table — the
     * RefinedWeb/Dolma-style per-source curation ledger: volume (docs,
     * chars, whitespace tokens), diversity (distinct languages), and

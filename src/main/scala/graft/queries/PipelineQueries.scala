@@ -68,6 +68,12 @@ object PipelineQueries {
       Profiling.eqdepthHistogram(Tables.events(s, d),
         "event_type", "value", "event_id", nBuckets = 4)),
 
+    // Benford first-digit audit (round 11): leading-digit distribution
+    // of the value column vs log10(1 + 1/d) — the fabricated-data
+    // screen; digit extraction is integer-exact via the cents string
+    "q_benford" -> ((s, d) =>
+      Profiling.benfordDigits(Tables.events(s, d), "value")),
+
     // per-source curation ledger: volume, language diversity, and
     // exact-duplicate pressure per domain
     "q_domain_stats" -> ((s, d) =>
@@ -588,6 +594,18 @@ object PipelineQueries {
         |  FROM events)
         |SELECT grp, bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
         |FROM r GROUP BY grp, bucket ORDER BY grp, bucket""".stripMargin,
+
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+        |    FROM events),
+        |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit FROM c WHERE c > 0),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS obs_share,
+        |  CAST(round(log10(1 + 1.0 / digit), 9) AS DECIMAL(18,9))
+        |    AS exp_share
+        |FROM g ORDER BY digit""".stripMargin,
 
     "q_domain_stats" ->
       """WITH c AS (SELECT source, lang, n_chars,

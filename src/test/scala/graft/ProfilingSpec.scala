@@ -289,6 +289,22 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("benfordDigits: integer-exact leading digits by hand — 1.23 → " +
+      "123 cents → digit 1; zero/negative rows drop; shares sum to 1; " +
+      "expected shares are the Benford constants") {
+    // cents: 123→1, 950→9, 12→1, 5→5, 0 dropped, -3.0 dropped
+    val df = Seq(1.23, 9.50, 0.12, 0.05, 0.0, -3.0).toDF("v")
+    val out = graft.ext.Profiling.benfordDigits(df, "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDecimal(3).doubleValue)).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((1, 2L), (5, 1L), (9, 1L)))
+    assert(out.map(_._3) == Seq(0.5, 0.25, 0.25))
+    // Benford constants: log10(2) ≈ 0.301029996, log10(1.2), log10(10/9)
+    assert(math.abs(out(0)._4 - 0.301029996) < 1e-9)
+    assert(math.abs(out(1)._4 - math.log10(1.2)) < 1e-9)
+    assert(math.abs(out(2)._4 - math.log10(10.0 / 9.0)) < 1e-9)
+  }
+
   // ---- correlation / chi-square ---------------------------------------
 
   test("groupCorrelation: perfectly linear data gives r = ±1 exactly; " +
