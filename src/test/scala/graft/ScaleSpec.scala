@@ -335,6 +335,51 @@ class ScaleSpec extends AnyFunSuite {
       s"(unblocked ${nFull * nArchive})")
   }
 
+  test("rolling-median band join fans each row at most w times — w=1 " +
+      "degenerates to exactly n rows, and disjoint-group doubling " +
+      "doubles the fan exactly (group-local, never cross-group)") {
+    import graft.ext.TimeSeries
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val n = ev.count()
+    // Σ n_window over the median rows IS the joined-row count: every
+    // joined row lands in exactly one (grp, day) window partition.
+    def fan(df: org.apache.spark.sql.DataFrame, w: Int): Long =
+      TimeSeries.rollingMedian(df, "event_type", "ts", "value",
+          "event_id", windowDays = w)
+        .agg(sum(col("n_window"))).head.getLong(0)
+    assert(fan(ev, 1) == n,
+      s"w=1 must join each row to its own day only: ${fan(ev, 1)} vs $n")
+    val f7 = fan(ev, 7)
+    assert(f7 > n && f7 <= 7 * n,
+      s"fan must be in (n, 7n]: $f7 vs n=$n")
+    val ev2 = ev.unionByName(
+      ev.withColumn("event_type", concat(lit("x_"), col("event_type"))))
+    assert(fan(ev2, 7) == 2 * f7,
+      s"disjoint-group doubling not linear: $f7 -> ${fan(ev2, 7)}")
+    info(s"n=$n fan(w=7)=$f7 (${f7.toDouble / n}x)")
+  }
+
+  test("basket-pair generation is basket-local: 2x corpus (disjoint " +
+      "order keys) gives exactly 2x pairs, and the pair count never " +
+      "exceeds the per-basket quadratic bound") {
+    val items = Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().localCheckpoint()
+    def pairCount(it: org.apache.spark.sql.DataFrame): Long =
+      it.as("a").join(it.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk")).count()
+    val p1 = pairCount(items)
+    val bound = items.groupBy(col("ok")).agg(count(lit(1)).as("b"))
+      .agg(sum(col("b") * (col("b") - 1))).head.getLong(0) / 2
+    assert(p1 == bound, // distinct items per basket ⇒ the bound is exact
+      s"pair count $p1 != per-basket bound $bound")
+    val doubled = items.unionByName(
+      items.withColumn("ok", col("ok") + lit(100000000L))).localCheckpoint()
+    assert(pairCount(doubled) == 2 * p1,
+      s"disjoint-basket doubling not linear: $p1 -> ${pairCount(doubled)}")
+    info(s"pairs=$p1 bound=$bound")
+  }
+
   test("z-order beats a single-column sort on cross-column pruning: a " +
       "suppkey predicate skips MORE buckets under z-order than under a " +
       "partkey sort (measured on lineitem)") {
