@@ -158,6 +158,49 @@ object Profiling {
     * outgrows a partition swaps to approx_percentile with the same
     * output contract modulo sketch error (DEPLOY.md).
     */
+  /** Exact PERCENTILE_CONT twin of [[groupPercentiles]]: linear
+    * interpolation at h = (n−1)·p/100 computed ENTIRELY in integers —
+    * h's fractional part is m/100 with m = (n−1)·p mod 100, so the
+    * interpolated value is (v_lo·(100−m) + v_hi·m) ten-thousandths of
+    * a cent: exact BIGINT arithmetic end-to-end over 2-dp values, then
+    * ONE division by the constant 10000.0 (the scaled sum is an
+    * integer ≤ 2^53, so the double is exact and the division rounds
+    * identically on every engine). No libm, no rounding discipline
+    * needed — the float-free version of the interpolation every SQL
+    * engine implements with engine-specific float rank math.
+    *
+    * Scale shape: identical to groupPercentiles — one per-group sort
+    * (the window), one two-phase agg; p99 of a billion-row group is
+    * the same plan as p99 of a thousand-row group.
+    */
+  def groupPercentilesCont(df: DataFrame, groupCol: String,
+      valueCol: String, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 99),
+      s"percents must be in [1, 99], got $pcts")
+    val w = Window.partitionBy(col("grp")).orderBy(col("cv").asc)
+    val ranked = df.select(col(groupCol).as("grp"),
+        round(col(valueCol) * 100, 0).cast("long").as("cv"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val picks = pcts.flatMap(p => Seq(
+      max(when(col("rn") === expr(s"((n - 1) * $p) div 100 + 1"),
+        col("cv"))).as(s"lo$p"),
+      max(when(col("rn") === expr(s"((n - 1) * $p) div 100 + 2"),
+        col("cv"))).as(s"hi$p")))
+    val agg = ranked.groupBy(col("grp"))
+      .agg(max(col("n")).as("n_rows"), picks: _*)
+    val outs = pcts.map { p =>
+      val m = expr(s"((n_rows - 1) * $p) % 100")
+      // m = 0 ⇒ the hi pick is unused (and may be absent for the last
+      // rank); coalesce keeps the arithmetic total
+      ((col(s"lo$p") * (lit(100) - m) +
+        coalesce(col(s"hi$p"), col(s"lo$p")) * m).cast("double") /
+        10000.0).as(s"p$p")
+    }
+    agg.select(col("grp") +: col("n_rows") +: outs: _*)
+      .orderBy(col("grp"))
+  }
+
   def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
@@ -317,6 +360,74 @@ object Profiling {
         bround(col("num").cast("double") /
           sqrt(col("dx").cast("double") * col("dy").cast("double")), 9)
           .cast("decimal(18,9)").as("r"))
+      .orderBy(col("grp"))
+  }
+
+  /** Per-group OLS regression of a 2-dp value on an integer regressor —
+    * the trend line a drift monitor fits per segment (is `value`
+    * rising per day for this event type, and how fast?). Same exact
+    * integer-moment machinery as [[groupCorrelation]]: y is cents
+    * (exact), x is a small integer, all five sums are exact BIGINT →
+    * DECIMAL(38,0) closed forms, then ONE double division per output
+    * column rounded through DECIMAL(18,9):
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)        [value/x-unit]
+    *   intercept = (Σy·Σxx − Σx·Σxy) / (n·Σxx − Σx²)      [value at x=0]
+    *   r²        = num² / (dx·dy)                          [fit quality]
+    *
+    * (the /100 cents→value rescale folds into the same rounded
+    * division). r²'s numerator squares a DECIMAL(38,0) so it runs in
+    * double — it is a pure diagnostic ratio in [0,1], where 1-ulp is
+    * invisible, and both engines compute the identical IEEE product.
+    *
+    * Scale shape: one two-phase agg of constant-width integer partials
+    * — map-side combine collapses the corpus to one row per group
+    * before the shuffle; everything after is group-local arithmetic.
+    * Degenerate groups (zero x-variance: slope undefined) drop out,
+    * like groupCorrelation.
+    */
+  def groupRegression(df: DataFrame, groupCol: String, xCol: Column,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+        xCol.cast("long").as("x"),
+        round(col(valueCol) * 100, 0).cast("long").as("cy"))
+      .withColumn("cy2", col("cy") * col("cy"))
+    val m = base
+      .withColumn("cy2_hi", expr("cy2 div 1000000"))
+      .withColumn("cy2_lo", col("cy2") % 1000000L)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("cy")).as("sy"),
+        sum(col("cy2_hi")).as("syy_hi"), sum(col("cy2_lo")).as("syy_lo"),
+        sum(col("x") * col("cy")).as("sxy"))
+    val d38 = "decimal(38,0)"
+    val syy = m("syy_hi").cast(d38) * lit(1000000L) + m("syy_lo").cast(d38)
+    val num = m("n").cast(d38) * m("sxy").cast(d38) -
+      m("sx").cast(d38) * m("sy").cast(d38)
+    val dx = m("n").cast(d38) * m("sxx").cast(d38) -
+      m("sx").cast(d38) * m("sx").cast(d38)
+    val dy = m("n").cast(d38) * syy - m("sy").cast(d38) * m("sy").cast(d38)
+    val icNum = m("sy").cast(d38) * m("sxx").cast(d38) -
+      m("sx").cast(d38) * m("sxy").cast(d38)
+    m.select(col("grp"), col("n"), num.as("num"), dx.as("dx"), dy.as("dy"),
+        icNum.as("ic"))
+      .filter(col("dx") > 0)
+      .select(col("grp"), col("n"),
+        // cents → value units: one division per column, denominator
+        // pre-scaled by 100 so the quotient is a single IEEE op
+        bround(col("num").cast("double") /
+          (col("dx").cast("double") * 100.0), 9)
+          .cast("decimal(18,9)").as("slope"),
+        bround(col("ic").cast("double") /
+          (col("dx").cast("double") * 100.0), 9)
+          .cast("decimal(18,9)").as("intercept"),
+        // dy = 0 (constant y) ⇒ num = 0 too: define r² as NULL rather
+        // than evaluate 0/0 (NaN in Spark, engine-dependent elsewhere)
+        when(col("dy") > 0, bround(
+          (col("num").cast("double") * col("num").cast("double")) /
+            (col("dx").cast("double") * col("dy").cast("double")), 9)
+          .cast("decimal(18,9)")).as("r2"))
       .orderBy(col("grp"))
   }
 

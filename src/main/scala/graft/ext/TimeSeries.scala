@@ -345,4 +345,55 @@ object TimeSeries {
         col("n").cast("double") / sum(col("n")).over(grid).cast("double"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Linear-interpolation resampling onto exact hour boundaries — the
+    * irregular-sensor-to-regular-grid step every time-series feature
+    * pipeline needs before windowed models. For each key's consecutive
+    * reading pair (t₀,v₀)→(t₁,v₁) with gap ≤ `maxGapHours` (wider gaps
+    * are outages: interpolating across them fabricates data), emit
+    * every hour mark t in (t₀, t₁] with
+    *
+    *   v(t) = (v₀·(t₁−t) + v₁·(t−t₀)) / (t₁−t₀)
+    *
+    * All inputs integer (µs timestamps, cent values): the numerator is
+    * exact BIGINT (< 2⁶³ for cents × 48h-µs), ONE double division per
+    * output row rounded through DECIMAL(18,9) — the standard one-libm-
+    * call discipline. Duplicate readings at the same (key, µs) collapse
+    * deterministically to the MIN value first (an ill-defined vertical
+    * segment otherwise). Each mark is owned by exactly one segment
+    * (strictly-after t₀, up-to-and-including t₁), so resampling never
+    * duplicates a boundary row.
+    *
+    * Scale shape: one per-key sort (the lead window), then a row-local
+    * GENERATE — no joins at all; fan-out per segment is bounded by
+    * maxGapHours, so output ≤ keys × span-hours regardless of reading
+    * density (denser input means FEWER generated marks per segment).
+    */
+  def interpolateHourly(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxGapHours: Int = 48): DataFrame = {
+    require(maxGapHours >= 1, s"maxGapHours must be >= 1, got $maxGapHours")
+    val HourUs = 3600L * 1000000L
+    val pts = events.select(col(keyCol).as("k"),
+        unix_micros(col(tsCol)).as("us"),
+        round(col(valueCol) * 100, 0).cast("long").as("cv"))
+      .groupBy(col("k"), col("us")).agg(min(col("cv")).as("cv"))
+    val w = Window.partitionBy(col("k")).orderBy(col("us"))
+    val seg = pts
+      .withColumn("nus", lead(col("us"), 1).over(w))
+      .withColumn("ncv", lead(col("cv"), 1).over(w))
+      .filter(col("nus").isNotNull &&
+        col("nus") - col("us") <= lit(maxGapHours * HourUs))
+      .withColumn("first", (expr(s"us div $HourUs") + 1L) * HourUs)
+      .withColumn("last", expr(s"nus div $HourUs") * HourUs)
+      .filter(col("first") <= col("last"))
+    seg.select(col("k"), col("us"), col("cv"), col("nus"), col("ncv"),
+        explode(sequence(col("first"), col("last"), lit(HourUs))).as("t"))
+      .select(col("k"), timestamp_micros(col("t")).as("ts_hour"),
+        bround(
+          (col("cv") * (col("nus") - col("t")) +
+            col("ncv") * (col("t") - col("us"))).cast("double") /
+          ((col("nus") - col("us")) * 100L).cast("double"), 9)
+          .cast("decimal(18,9)").as("v_interp"))
+      .orderBy(col("k"), col("ts_hour"))
+  }
 }

@@ -133,6 +133,25 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // triangle counting (round 11) over the co-purchase graph (parts
+    // sharing an order): degree-oriented wedge counting — the exact
+    // O(E^1.5)-work algorithm, no node fans out more than O(√E)
+    // oriented edges however big its raw degree. Pure integer counts.
+    "q_triangles" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint() // feeds both self-join sides (AQE no-dedup)
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
+        .distinct()
+      Graph.triangleCounts(pairs, "a_id", "b_id")
+        .select(col("node").as("part_id"), col("triangles"), col("deg"))
+        .orderBy(col("part_id"))
+    }),
+
     // hard-negative mining: per query, top-5 most-similar vectors with
     // a DIFFERENT label (similar-but-wrong — what a contrastive loss
     // learns from). Broadcast queries, one corpus scan, label predicate
@@ -353,6 +372,29 @@ object CorpusQueries {
     // every other op is IEEE double with identical parenthesization —
     // note (1 - CAST(0.85 AS DOUBLE)), not a 0.15 literal, because
     // 1 − 0.85 in binary is not 0.15.
+    // with pairs normalized a<b, triangle {x<y<z} enumerates exactly
+    // once via edges (x,y),(x,z),(y,z); per-node counts then just
+    // union the three corners
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |p AS (SELECT DISTINCT a.pk AS a_id, b.pk AS b_id
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT a_id AS u, b_id AS v FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p),
+        |dg AS (SELECT u AS node, COUNT(*) AS deg FROM e GROUP BY u),
+        |tri AS (SELECT p1.a_id AS x, p1.b_id AS y, p2.b_id AS z
+        |  FROM p p1 JOIN p p2 ON p1.a_id = p2.a_id AND p1.b_id < p2.b_id
+        |  JOIN p p3 ON p3.a_id = p1.b_id AND p3.b_id = p2.b_id),
+        |pn AS (SELECT node, COUNT(*) AS triangles FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) c GROUP BY node)
+        |SELECT pn.node AS part_id, CAST(pn.triangles AS BIGINT) AS triangles,
+        |  CAST(dg.deg AS BIGINT) AS deg
+        |FROM pn JOIN dg ON dg.node = pn.node
+        |ORDER BY part_id""".stripMargin,
+
     "q_pagerank" ->
       s"""$ShingleCte,
          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id

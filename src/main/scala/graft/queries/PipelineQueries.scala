@@ -421,6 +421,15 @@ object PipelineQueries {
       Profiling.groupCorrelation(Tables.events(s, d),
         "event_type", hour(col("ts")), "value")),
 
+    // per-group OLS trend (round 11): value regressed on days-since-
+    // 2024-01-01 per event_type — slope/intercept/r² from the same
+    // exact integer moments as q_correlation, one rounded division
+    // per output column
+    "q_group_regression" -> ((s, d) =>
+      Profiling.groupRegression(Tables.events(s, d),
+        "event_type", datediff(to_date(col("ts")), lit("2024-01-01")),
+        "value")),
+
     // chi-square independence (round 11): event_type × (value ≥ 50)
     // contingency — corpus collapses to the cell grid first
     "q_chi_square" -> ((s, d) =>
@@ -442,6 +451,16 @@ object PipelineQueries {
       TimeSeries.denseDailyCounts(Tables.events(s, d),
         "event_type", "ts")),
 
+    // hourly linear-interpolation resample (round 11): irregular user
+    // readings onto the exact hour grid — integer µs/cents arithmetic,
+    // one rounded division per emitted mark, no joins (window + the
+    // bounded row-local generate)
+    "q_interpolate" -> ((s, d) =>
+      TimeSeries.interpolateHourly(
+          Tables.events(s, d).filter(col("user_id") < 40),
+          "user_id", "ts", "value", maxGapHours = 48)
+        .withColumnRenamed("k", "user_id")),
+
     // robust median/MAD outliers (round 11): the resistant twin of
     // q_anomaly_zscore — extremes can't move the median, so they can't
     // mask each other; exact rank-selected medians, kCut = 3.5
@@ -462,6 +481,27 @@ object PipelineQueries {
     "q_group_percentiles" -> ((s, d) =>
       Profiling.groupPercentiles(Tables.events(s, d),
         "event_type", "value", Seq(50, 90, 99))),
+
+    // interpolated percentiles (round 11): PERCENTILE_CONT semantics
+    // with the (n−1)·p/100 interpolation done in EXACT integers —
+    // ten-thousandths of a cent, one constant division at the end
+    "q_percentile_cont" -> ((s, d) =>
+      Profiling.groupPercentilesCont(Tables.events(s, d),
+        "event_type", "value", Seq(50, 90, 99))),
+
+    // lag-1 autocorrelation of the dense daily count series (round
+    // 11): "does yesterday predict today" per event_type — the dense
+    // spine makes absent days zeros (a sparse series would silently
+    // skip gaps and overstate persistence), then exact integer-moment
+    // Pearson on (count, previous count) pairs
+    "q_autocorr" -> ((s, d) => {
+      val daily = TimeSeries.denseDailyCounts(Tables.events(s, d),
+        "event_type", "ts")
+      val w = Window.partitionBy(col("grp")).orderBy(col("day"))
+      val lagged = daily.withColumn("prev", lag(col("n"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      Profiling.groupCorrelation(lagged, "grp", col("prev"), "n")
+    }),
 
     // one-pass per-column profile of the orders snapshot (round 11):
     // row/non-null/distinct counts + canonical min/max per column —
@@ -878,6 +918,38 @@ object PipelineQueries {
         |    AS DECIMAL(18,9)) AS r
         |FROM a WHERE dx > 0 AND dy > 0 ORDER BY grp""".stripMargin,
 
+    // mirrors Profiling.groupRegression: the q_correlation moment CTE
+    // plus the intercept numerator; cents → value units folds the /100
+    // into each division's denominator so it stays ONE IEEE op
+    "q_group_regression" ->
+      """WITH b AS (SELECT event_type AS grp,
+        |    CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cy FROM events),
+        |m AS (SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+        |  SUM(cy) AS sy,
+        |  SUM((cy * cy) // 1000000) AS syy_hi,
+        |  SUM((cy * cy) % 1000000) AS syy_lo,
+        |  SUM(x * cy) AS sxy FROM b GROUP BY grp),
+        |a AS (SELECT grp, n,
+        |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+        |  CAST(n AS HUGEINT) * (syy_hi * 1000000 + syy_lo) -
+        |    CAST(sy AS HUGEINT) * sy AS dy,
+        |  CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS ic
+        |  FROM m)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(round(CAST(num AS DOUBLE) /
+        |    (CAST(dx AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) AS slope,
+        |  CAST(round(CAST(ic AS DOUBLE) /
+        |    (CAST(dx AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) AS intercept,
+        |  CASE WHEN dy > 0 THEN CAST(round(
+        |    (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+        |    (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
+        |    AS DECIMAL(18,9)) END AS r2
+        |FROM a WHERE dx > 0 ORDER BY grp""".stripMargin,
+
     "q_chi_square" ->
       """WITH b AS (SELECT event_type AS r,
         |    CAST(value >= 50.0 AS INTEGER) AS c FROM events),
@@ -938,6 +1010,31 @@ object PipelineQueries {
         |LEFT JOIN c ON c.grp = t.grp AND c.day = spine.day
         |ORDER BY t.grp, spine.day""".stripMargin,
 
+    // mirrors interpolateHourly: min-collapsed points, lead segments,
+    // hour marks via generate_series on µs BIGINTs, one rounded
+    // division per mark
+    "q_interpolate" ->
+      """WITH base AS (SELECT user_id AS k,
+        |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cv
+        |  FROM events WHERE user_id < 40),
+        |pts AS (SELECT k, us, MIN(cv) AS cv FROM base GROUP BY k, us),
+        |seg AS (SELECT k, us, cv, LEAD(us) OVER w AS nus,
+        |    LEAD(cv) OVER w AS ncv
+        |  FROM pts WINDOW w AS (PARTITION BY k ORDER BY us)),
+        |valid AS (SELECT * FROM seg WHERE nus IS NOT NULL
+        |  AND nus - us <= 48 * 3600 * CAST(1000000 AS BIGINT)),
+        |marks AS (SELECT k, us, cv, nus, ncv,
+        |    unnest(generate_series((us // 3600000000 + 1) * 3600000000,
+        |      (nus // 3600000000) * 3600000000, 3600000000)) AS t
+        |  FROM valid
+        |  WHERE (us // 3600000000 + 1) <= (nus // 3600000000))
+        |SELECT k AS user_id, make_timestamp(t) AS ts_hour,
+        |  CAST(round(CAST(cv * (nus - t) + ncv * (t - us) AS DOUBLE) /
+        |    CAST((nus - us) * 100 AS DOUBLE), 9) AS DECIMAL(18,9))
+        |    AS v_interp
+        |FROM marks ORDER BY user_id, ts_hour""".stripMargin,
+
     "q_anomaly_robust" ->
       """WITH b AS (SELECT event_id AS id, event_type AS grp, value AS v
         |  FROM events),
@@ -988,6 +1085,70 @@ object PipelineQueries {
         |SELECT id, grp, v, GREATEST(LEAST(v, hi), lo) AS v_clipped
         |FROM r JOIN b USING (grp)
         |ORDER BY id""".stripMargin,
+
+    // mirrors groupPercentilesCont: integer interpolation in
+    // ten-thousandths of a cent, one /10000.0 at the end
+    "q_percentile_cont" ->
+      """WITH r AS (SELECT event_type AS grp,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cv,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY
+        |    CAST(round(value * 100, 0) AS BIGINT) ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM events),
+        |a AS (SELECT grp, MAX(n) AS n_rows,
+        |  MAX(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN cv END) AS lo50,
+        |  MAX(CASE WHEN rn = ((n - 1) * 50) // 100 + 2 THEN cv END) AS hi50,
+        |  MAX(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN cv END) AS lo90,
+        |  MAX(CASE WHEN rn = ((n - 1) * 90) // 100 + 2 THEN cv END) AS hi90,
+        |  MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN cv END) AS lo99,
+        |  MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 2 THEN cv END) AS hi99
+        |  FROM r GROUP BY grp)
+        |SELECT grp, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(lo50 * (100 - (n_rows - 1) * 50 % 100) +
+        |    COALESCE(hi50, lo50) * ((n_rows - 1) * 50 % 100) AS DOUBLE)
+        |    / 10000.0 AS p50,
+        |  CAST(lo90 * (100 - (n_rows - 1) * 90 % 100) +
+        |    COALESCE(hi90, lo90) * ((n_rows - 1) * 90 % 100) AS DOUBLE)
+        |    / 10000.0 AS p90,
+        |  CAST(lo99 * (100 - (n_rows - 1) * 99 % 100) +
+        |    COALESCE(hi99, lo99) * ((n_rows - 1) * 99 % 100) AS DOUBLE)
+        |    / 10000.0 AS p99
+        |FROM a ORDER BY grp""".stripMargin,
+
+    // dense spine + lag, then the q_correlation moment CTE verbatim on
+    // (prev, count·100) integer pairs
+    "q_autocorr" ->
+      """WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,
+        |    CAST(max(ts) AS DATE) AS hi FROM events),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |t AS (SELECT DISTINCT event_type AS grp FROM events),
+        |c AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |dense AS (SELECT t.grp, spine.day, COALESCE(c.n, 0) AS cnt
+        |  FROM spine CROSS JOIN t
+        |  LEFT JOIN c ON c.grp = t.grp AND c.day = spine.day),
+        |lagged AS (SELECT grp, cnt,
+        |    LAG(cnt, 1) OVER (PARTITION BY grp ORDER BY day) AS prev
+        |  FROM dense),
+        |b AS (SELECT grp, CAST(prev AS BIGINT) AS x, cnt * 100 AS cy
+        |  FROM lagged WHERE prev IS NOT NULL),
+        |m AS (SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+        |  SUM(cy) AS sy,
+        |  SUM((cy * cy) // 1000000) AS syy_hi,
+        |  SUM((cy * cy) % 1000000) AS syy_lo,
+        |  SUM(x * cy) AS sxy FROM b GROUP BY grp),
+        |a AS (SELECT grp, n,
+        |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+        |  CAST(n AS HUGEINT) * (syy_hi * 1000000 + syy_lo) -
+        |    CAST(sy AS HUGEINT) * sy AS dy
+        |  FROM m)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(round(CAST(num AS DOUBLE) /
+        |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
+        |    AS DECIMAL(18,9)) AS r
+        |FROM a WHERE dx > 0 AND dy > 0 ORDER BY grp""".stripMargin,
 
     "q_group_percentiles" ->
       """WITH r AS (SELECT event_type AS grp, value AS v,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ops.Scalar.dsum
+import graft.ext.Ranking
 
 /** Reshaping + remaining analytic surface: pivot, ordered array
   * aggregation, dense_rank/ntile/lead, arg-max aggregates, EXCEPT ALL.
@@ -102,6 +103,31 @@ object ShapeQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // generator / lateral-view explode (round 11): tokens to rows WITH
+    // ordinal position — the flatten every doc-to-token pipeline stage
+    // starts from (chunking, span indexing, token-level labels). The
+    // generate is row-local (no shuffle at all before the presentation
+    // sort); output is bounded by the doc_id predicate, which pushes
+    // to the scan.
+    "q_explode_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // 2-D skyline / Pareto frontier (round 11): parts where no other
+    // part is both cheaper and larger — dominance ranking without the
+    // naive O(n²) NOT-EXISTS self-join (see Ranking.skyline for the
+    // distinct-value running-max shape).
+    "q_skyline" -> ((s, d) =>
+      Ranking.skyline(Tables.part(s, d),
+          col("p_retailprice"), col("p_size"),
+          Seq(col("p_partkey"), col("p_brand")))
+        .select(col("p_partkey"), col("p_brand"),
+          col("cost").as("price"), col("gain").as("sz"))
+        .orderBy(col("price"), col("p_partkey"))),
+
     // multiset difference: EXCEPT ALL keeps duplicate cardinalities.
     "q_set_except_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -186,6 +212,31 @@ object ShapeQueries {
         |UNION
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |ORDER BY o_custkey""".stripMargin,
+
+    // lockstep unnest = posexplode: DuckDB zips parallel unnests in the
+    // same SELECT, so the series unnest IS the ordinal of the token
+    // unnest
+    "q_explode_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(0, len(toks) - 1)) AS INT) AS pos,
+        |  unnest(toks) AS tok
+        |FROM d ORDER BY doc_id, pos""".stripMargin,
+
+    // same distinct-cost running-max construction as Ranking.skyline —
+    // pure comparisons, nothing to round
+    "q_skyline" ->
+      """WITH r AS (SELECT p_partkey, p_brand, p_retailprice AS price,
+        |    p_size AS sz FROM part),
+        |b AS (SELECT price, MAX(sz) AS gmax FROM r GROUP BY price),
+        |f AS (SELECT price, gmax, MAX(gmax) OVER (ORDER BY price
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM b)
+        |SELECT r.p_partkey, r.p_brand, r.price, r.sz
+        |FROM r JOIN f ON r.price = f.price AND r.sz = f.gmax
+        |WHERE f.prevmax IS NULL OR f.prevmax < f.gmax
+        |ORDER BY r.price, r.p_partkey""".stripMargin,
 
     "q_set_except_all" ->
       """WITH x AS (SELECT o_custkey FROM orders

@@ -45,4 +45,38 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.pageRank(
       Seq.empty[(Long, Long)].toDF("a_id", "b_id"), "a_id", "b_id").isEmpty)
   }
+
+  private def tris(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Graph.triangleCounts(pairs.toDF("a_id", "b_id"), "a_id", "b_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("triangles: K4 has C(4,3)=4 triangles, every node in 3 with deg 3") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val t = tris(k4)
+    assert(t.size == 4)
+    t.foreach { case (_, (n, d)) => assert(n == 3L && d == 3L, t.toString) }
+  }
+
+  test("triangles: a star has none (output empty); a triangle plus a " +
+      "pendant edge counts exactly the triangle corners") {
+    assert(tris(Seq((0L, 1L), (0L, 2L), (0L, 3L))).isEmpty)
+    // triangle {1,2,3} + pendant 3-4: nodes 1,2,3 in exactly 1 each,
+    // node 4 in none; deg(3) = 3 includes the pendant edge
+    val t = tris(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(t == Map(1L -> (1L, 2L), 2L -> (1L, 2L), 3L -> (1L, 3L)), t.toString)
+  }
+
+  test("triangles: input orientation and duplicate pairs don't change " +
+      "counts (undirected-set semantics)") {
+    val canonical = tris(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val messy = tris(Seq((2L, 1L), (1L, 3L), (3L, 2L), (1L, 2L), (1L, 2L)))
+    assert(canonical == messy && canonical.values.forall(_._1 == 1L))
+  }
+
+  test("triangles: two triangles sharing an edge — shared-edge nodes " +
+      "count both") {
+    // {1,2,3} and {2,3,4}: nodes 2,3 in 2 triangles; 1,4 in 1
+    val t = tris(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(t(1L)._1 == 1L && t(4L)._1 == 1L && t(2L)._1 == 2L && t(3L)._1 == 2L)
+  }
 }

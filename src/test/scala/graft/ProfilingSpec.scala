@@ -399,4 +399,70 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0.0, 2L -> (1.0 / 3), 3L -> (1.0 / 3),
       4L -> 1.0, 5L -> 0.0))
   }
+
+  // ---- groupPercentilesCont ---------------------------------------------
+
+  test("groupPercentilesCont: hand-computed interpolation on n=5 — " +
+      "p50 hits a row exactly, p90 blends 80/100 at 0.6, p99 at 0.96") {
+    val df = Seq(("g", 10.00), ("g", 20.00), ("g", 40.00), ("g", 80.00),
+      ("g", 100.00)).toDF("grp", "v")
+    val out = Profiling.groupPercentilesCont(df, "grp", "v", Seq(50, 90, 99))
+      .collect().head
+    // h = (n−1)p/100: p50 → 2.0 (exact row 40); p90 → 3.6 → 80·0.4 +
+    // 100·0.6 = 92; p99 → 3.96 → 80·0.04 + 100·0.96 = 99.2
+    assert(out.getLong(1) == 5L)
+    assert(out.getDouble(2) == 40.0 && out.getDouble(3) == 92.0 &&
+      out.getDouble(4) == 99.2, out.toString)
+  }
+
+  test("groupPercentilesCont: n=1 group returns the single value at " +
+      "every percentile (h=0, hi pick absent, coalesce covers it)") {
+    val df = Seq(("a", 7.25)).toDF("grp", "v")
+    val out = Profiling.groupPercentilesCont(df, "grp", "v", Seq(50, 99))
+      .collect().head
+    assert(out.getDouble(2) == 7.25 && out.getDouble(3) == 7.25)
+  }
+
+  // ---- groupRegression -------------------------------------------------
+
+  test("groupRegression: exact line y = 2x + 1 recovers slope 2, " +
+      "intercept 1, r² = 1; constant-y group gets slope 0 with NULL r²") {
+    val df = Seq(
+      ("a", 0L, 1.00), ("a", 1L, 3.00), ("a", 2L, 5.00), ("a", 3L, 7.00),
+      ("b", 0L, 4.25), ("b", 5L, 4.25), ("b", 9L, 4.25)
+    ).toDF("grp", "x", "value")
+    val out = Profiling.groupRegression(df, "grp", col("x"), "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4)))
+      .toMap
+    val (na, sa, ia, ra) = out("a")
+    assert(na == 4L && sa.doubleValue == 2.0 && ia.doubleValue == 1.0
+      && ra.doubleValue == 1.0, out.toString)
+    // constant y: num = 0 ⇒ slope 0; intercept = ȳ; dy = 0 ⇒ r² NULL
+    val (nb, sb, ib, rb) = out("b")
+    assert(nb == 3L && sb.doubleValue == 0.0 && ib.doubleValue == 4.25
+      && rb == null, out.toString)
+  }
+
+  test("groupRegression: hand-computed non-trivial fit — y=(1,2,2,4) " +
+      "on x=(0,1,2,3) gives slope 0.9, intercept 0.9, r² = 324/380; " +
+      "zero-x-variance groups drop out") {
+    // unit moments: n=4 Σx=6 Σxx=14 Σy=9 Σxy=18
+    // num = 4·18−6·9 = 18; dx = 4·14−36 = 20; dy = 4·25−81… in cents:
+    // num_c = 1800, dy_c = 4·250000−900² = 190000
+    // slope = 18/20 = 0.9; intercept = (9·14−6·18)/20 = 18/20 = 0.9
+    // r² = 1800²/(20·190000) = 324/380 = 0.8526315789…→ 0.852631579
+    val df = Seq(
+      ("g", 0L, 1.00), ("g", 1L, 2.00), ("g", 2L, 2.00), ("g", 3L, 4.00),
+      ("z", 7L, 1.00), ("z", 7L, 2.00) // all x equal: dx = 0, drops
+    ).toDF("grp", "x", "value")
+    val out = Profiling.groupRegression(df, "grp", col("x"), "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue,
+          r.getDecimal(4).doubleValue)).toMap
+    assert(out.keySet == Set("g"), out.toString)
+    val (slope, icept, r2) = out("g")
+    assert(slope == 0.9 && icept == 0.9, out.toString)
+    assert(r2 == 0.852631579, out.toString)
+  }
 }

@@ -380,6 +380,45 @@ class ScaleSpec extends AnyFunSuite {
     info(s"pairs=$p1 bound=$bound")
   }
 
+  test("triangle counting's degree orientation caps wedge fan-out: max " +
+      "oriented out-degree stays within the O(sqrt(E)) bound and below " +
+      "the raw hub degree, so hub wedges can't go quadratic") {
+    import graft.ext.Graph
+    val items = Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().localCheckpoint()
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
+      .distinct().localCheckpoint()
+    val e = pairs.count()
+    // re-derive the oriented list exactly as Graph.triangleCounts does
+    val und = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id"), col("a_id")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val maxRaw = deg.agg(max(col("deg"))).head.getLong(0)
+    val oriented = pairs
+      .join(deg.select(col("u").as("a_id"), col("deg").as("da")), "a_id")
+      .join(deg.select(col("u").as("b_id"), col("deg").as("db")), "b_id")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a_id") < col("b_id")),
+          col("a_id")).otherwise(col("b_id")).as("src"))
+    val maxOut = oriented.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .agg(max(col("od"))).head.getLong(0)
+    // theory: a node keeps an out-edge only toward >=-degree neighbors,
+    // so od <= sqrt(2E) always; on real data it should also undercut
+    // the raw hub degree by a wide margin
+    val cap = math.ceil(math.sqrt(2.0 * e)).toLong
+    assert(maxOut <= cap, s"orientation bound violated: $maxOut > $cap")
+    assert(maxOut < maxRaw,
+      s"orientation didn't shrink the hub: $maxOut vs raw $maxRaw")
+    // and the count itself matches the unconstrained oracle join shape
+    val tri = Graph.triangleCounts(pairs, "a_id", "b_id")
+      .agg(sum(col("triangles"))).head.getLong(0)
+    assert(tri % 3 == 0, s"per-node counts must sum to 3x triangles: $tri")
+    info(s"E=$e maxRawDeg=$maxRaw maxOutDeg=$maxOut (cap=$cap) triSum=$tri")
+  }
+
   test("z-order beats a single-column sort on cross-column pruning: a " +
       "suppkey predicate skips MORE buckets under z-order than under a " +
       "partkey sort (measured on lineitem)") {

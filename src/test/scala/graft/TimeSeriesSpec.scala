@@ -347,4 +347,53 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L, 1.0), (2L, 2L, 3.0), (3L, 3L, 7.0),
       (4L, 1L, 8.0)))
   }
+
+  test("interpolateHourly: hand-computed marks — a 00:30→02:30 segment " +
+      "emits 01:00 and 02:00 at the exact linear blend; a mark landing " +
+      "on the right endpoint copies it; wide gaps emit nothing") {
+    import graft.ext.TimeSeries
+    val df = Seq(
+      // key 1: v ramps 10.00 → 14.00 over 00:30 → 02:30 (gap 2h)
+      (1L, "2024-01-01 00:30:00", 10.00),
+      (1L, "2024-01-01 02:30:00", 14.00),
+      // key 2: next reading exactly ON an hour boundary → that mark
+      // must equal the reading itself, exactly once
+      (2L, "2024-01-01 05:15:00", 8.00),
+      (2L, "2024-01-01 06:00:00", 20.00),
+      // key 3: a 72 h outage — no marks across it (cap 48 h)
+      (3L, "2024-01-01 00:10:00", 1.00),
+      (3L, "2024-01-04 00:10:00", 2.00)
+    ).toDF("k", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = TimeSeries.interpolateHourly(df, "k", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getDecimal(2).doubleValue)).toSeq
+    // key 1: 01:00 is 30/120 of the way → 10 + 4·0.25 = 11; 02:00 →
+    // 10 + 4·(90/120) = 13
+    assert(out == Seq(
+      (1L, "2024-01-01 01:00:00.0", 11.0),
+      (1L, "2024-01-01 02:00:00.0", 13.0),
+      (2L, "2024-01-01 06:00:00.0", 20.0)), out.toString)
+  }
+
+  test("interpolateHourly: duplicate readings at one instant collapse " +
+      "to the min deterministically; marks are never double-emitted at " +
+      "segment boundaries") {
+    import graft.ext.TimeSeries
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 6.00), // on-boundary reading
+      (1L, "2024-01-01 00:00:00", 4.00), // same instant: min wins → 4
+      (1L, "2024-01-01 01:00:00", 8.00),
+      (1L, "2024-01-01 02:00:00", 2.00)
+    ).toDF("k", "s", "value").withColumn("ts", to_timestamp(col("s")))
+    val out = TimeSeries.interpolateHourly(df, "k", "ts", "value")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDecimal(2).doubleValue))
+      .toSeq
+    // 00:00 itself is NOT re-emitted (marks are strictly after t0);
+    // 01:00 and 02:00 each appear once, as the right-endpoint copies
+    assert(out == Seq(("2024-01-01 01:00:00.0", 8.0),
+      ("2024-01-01 02:00:00.0", 2.0)), out.toString)
+  }
 }
