@@ -431,6 +431,115 @@ object Profiling {
       .orderBy(col("grp"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between two groups'
+    * value distributions — THE nonparametric drift detector (did this
+    * week's `value` distribution shift vs last week's?). D = sup_x
+    * |F_a(x) − F_b(x)| computed entirely in integers: at every
+    * DISTINCT value the CDF difference is |c_a·n_b − c_b·n_a| /
+    * (n_a·n_b), so the supremum is a max over exact DECIMAL(38,0)
+    * numerators with ONE division at the end, plus one sqrt for the
+    * scaled statistic √(n_a·n_b/(n_a+n_b))·D through the DECIMAL(18,9)
+    * rounding discipline. Ties inside and across samples are handled
+    * by construction — the CDF is evaluated after collapsing to
+    * per-value counts, exactly as the definition demands.
+    *
+    * Scale shape: corpus → per-distinct-value count grid in one
+    * two-phase agg (map-side combined); the running sums ride ONE
+    * window over the VALUE GRID (cardinality-bounded, like
+    * chiSquare's cell windows — never the corpus); totals broadcast
+    * back as a 1-row frame. At 10⁹+ rows per side nothing changes:
+    * the grid is still |distinct values| rows.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val counts = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 100, 0).cast("long").as("cv"))
+      .groupBy(col("cv"))
+      .agg(sum(when(col("g") === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy(col("cv"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+    val tot = cum.agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("ca").cast(d38) * col("n_b").cast(d38) -
+          col("cb").cast(d38) * col("n_a").cast(d38)).as("dev"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("dev")).as("dmax"))
+      .select(col("n_a"), col("n_b"),
+        (col("dmax").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"),
+        bround(
+          sqrt((col("n_a").cast("double") * col("n_b").cast("double")) /
+            (col("n_a") + col("n_b")).cast("double")) *
+          (col("dmax").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 9)
+          .cast("decimal(18,9)").as("ks"))
+  }
+
+  /** Exact Mann–Whitney U (rank-sum) between two groups — the
+    * location-shift companion to [[ksTest]] (is group A's `value`
+    * systematically larger, ties and all?). Everything up to the final
+    * z is integer-exact: midranks over tied values are half-integers,
+    * so DOUBLED midranks 2·c_prev + t + 1 stay in BIGINT-land; the
+    * doubled rank-sum gives 2·U₁ = 2R₁ − 2·n₁(n₁+1)/2 exactly, and the
+    * tie-corrected variance numerator n₁·n₂·(N³−N−Σ(t³−t)) and
+    * denominator 12·N·(N−1) are exact DECIMAL(38,0). One division +
+    * one sqrt land in z through the DECIMAL(18,9) discipline;
+    * all-values-tied degenerates to zero variance → NULL z.
+    *
+    * Scale shape: identical to ksTest — per-value count grid, one
+    * cumulative window over the GRID, one scalar agg. Nothing touches
+    * corpus-sized data after the first map-side-combined groupBy.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val counts = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 100, 0).cast("long").as("cv"))
+      .groupBy(col("cv"))
+      .agg(sum(when(col("g") === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val w = Window.orderBy(col("cv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = counts
+      .withColumn("cprev", coalesce(sum(col("t")).over(w), lit(0L)))
+      .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        // Σ a·(2·c_prev + t + 1) = doubled rank-sum of group A
+        sum(col("a").cast(d38) *
+          (lit(2L) * col("cprev") + col("t") + lit(1L)).cast(d38))
+          .as("r1d"),
+        sum((col("t").cast(d38) * col("t").cast(d38) * col("t").cast(d38) -
+          col("t").cast(d38))).as("tcorr"))
+    val nn = (col("n_a") + col("n_b")).cast(d38)
+    val u2x = col("r1d") -
+      col("n_a").cast(d38) * (col("n_a").cast(d38) + lit(1L).cast(d38))
+    val s = nn * nn * nn - nn - col("tcorr") // N³−N−Σ(t³−t), exact
+    val zDen = lit(2.0) * sqrt(
+      (col("n_a").cast("double") * col("n_b").cast("double") *
+        col("s").cast("double")) /
+      (lit(12.0) * col("nn").cast("double") *
+        (col("nn").cast("double") - lit(1.0))))
+    agg.select(col("n_a"), col("n_b"), u2x.as("u2x"), s.as("s"), nn.as("nn"))
+      .select(col("n_a"), col("n_b"),
+        // U₁ itself can be a half-integer under cross-sample ties;
+        // halving the exact doubled form is the one exact-dyadic op
+        (col("u2x").cast("double") / 2.0).as("u"),
+        when(col("s") > 0, bround(
+          (col("u2x") - col("n_a").cast(d38) * col("n_b").cast(d38))
+            .cast("double") / zDen, 9)
+          .cast("decimal(18,9)")).as("z"))
+  }
+
   /** Chi-square test of independence over an integer contingency table:
     * χ² = Σ_cells (O·N − rs·cs)² / (N·rs·cs) — the algebraic clearing of
     * the usual (O−E)²/E, so numerator and denominator are EXACT

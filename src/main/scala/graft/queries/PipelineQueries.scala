@@ -436,6 +436,20 @@ object PipelineQueries {
       Profiling.chiSquare(Tables.events(s, d),
         col("event_type"), (col("value") >= 50.0).cast("int"))),
 
+    // two-sample Kolmogorov–Smirnov (round 11): purchase vs view value
+    // distributions — supremum CDF gap maximized over exact integer
+    // numerators on the distinct-value grid, one division + one sqrt
+    "q_ks_test" -> ((s, d) =>
+      Profiling.ksTest(Tables.events(s, d),
+        "event_type", "value", "purchase", "view")),
+
+    // Mann–Whitney rank-sum (round 11): the location-shift companion
+    // of q_ks_test — doubled midranks keep tied ranks integer-exact;
+    // one division + one sqrt in the final z
+    "q_mann_whitney" -> ((s, d) =>
+      Profiling.mannWhitney(Tables.events(s, d),
+        "event_type", "value", "purchase", "view")),
+
     // exact integer CUSUM changepoint (round 11): the mean-shift day
     // per event_type, score = |N·C_t − n_t·S| in pure integer cents —
     // bit-reproducible drift alerts that can't flap across recomputes
@@ -917,6 +931,70 @@ object PipelineQueries {
         |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
         |    AS DECIMAL(18,9)) AS r
         |FROM a WHERE dx > 0 AND dy > 0 ORDER BY grp""".stripMargin,
+
+    // mirrors Profiling.mannWhitney: doubled midranks 2·cprev + t + 1,
+    // HUGEINT moments, identical z parenthesization
+    "q_mann_whitney" ->
+      """WITH base AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cv
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |c AS (SELECT cv,
+        |    SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS b
+        |  FROM base GROUP BY cv),
+        |c2 AS (SELECT cv, a, b, a + b AS t FROM c),
+        |cp AS (SELECT a, b, t,
+        |    COALESCE(SUM(t) OVER (ORDER BY cv ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cprev FROM c2),
+        |agg AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+        |    CAST(SUM(b) AS BIGINT) AS n_b,
+        |    SUM(CAST(a AS HUGEINT) * (2 * cprev + t + 1)) AS r1d,
+        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS tcorr FROM cp),
+        |s1 AS (SELECT n_a, n_b,
+        |    r1d - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2x,
+        |    CAST(n_a + n_b AS HUGEINT) * (n_a + n_b) * (n_a + n_b)
+        |      - (n_a + n_b) - tcorr AS s,
+        |    n_a + n_b AS nn FROM agg)
+        |SELECT n_a, n_b, CAST(u2x AS DOUBLE) / 2.0 AS u,
+        |  CASE WHEN s > 0 THEN CAST(round(
+        |    CAST(u2x - CAST(n_a AS HUGEINT) * n_b AS DOUBLE) /
+        |    (2.0 * sqrt(
+        |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+        |        CAST(s AS DOUBLE)) /
+        |      (12.0 * CAST(nn AS DOUBLE) *
+        |        (CAST(nn AS DOUBLE) - 1.0)))), 9) AS DECIMAL(18,9))
+        |  END AS z
+        |FROM s1""".stripMargin,
+
+    // mirrors Profiling.ksTest: HUGEINT deviation numerators on the
+    // distinct-value grid; the sqrt·(dmax/nanb) parenthesization is
+    // copied exactly so both engines run the identical IEEE ops
+    "q_ks_test" ->
+      """WITH base AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cv
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |c AS (SELECT cv,
+        |    SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS b
+        |  FROM base GROUP BY cv),
+        |cum AS (SELECT cv, SUM(a) OVER w AS ca, SUM(b) OVER w AS cb
+        |  FROM c WINDOW w AS (ORDER BY cv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT MAX(ca) AS n_a, MAX(cb) AS n_b FROM cum),
+        |m AS (SELECT n_a, n_b,
+        |    MAX(abs(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a))
+        |      AS dmax
+        |  FROM cum, t GROUP BY n_a, n_b)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(dmax AS DOUBLE) /
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+        |  CAST(round(
+        |    sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |      CAST(n_a + n_b AS DOUBLE)) *
+        |    (CAST(dmax AS DOUBLE) /
+        |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 9)
+        |    AS DECIMAL(18,9)) AS ks
+        |FROM m""".stripMargin,
 
     // mirrors Profiling.groupRegression: the q_correlation moment CTE
     // plus the intercept numerator; cents → value units folds the /100

@@ -423,6 +423,43 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out.getDouble(2) == 7.25 && out.getDouble(3) == 7.25)
   }
 
+  // ---- ksTest / mannWhitney ----------------------------------------------
+
+  test("ksTest: hand-computed supremum — A={1,2,3} vs B={2,4} peaks at " +
+      "x=3 with D = 1/2; scaled statistic matches sqrt(6/5)/2") {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 2.0), ("B", 4.0))
+      .toDF("g", "v")
+    val r = Profiling.ksTest(df, "g", "v", "A", "B").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    // deviations ×(n1·n2): x=1→2, x=2→1, x=3→3, x=4→0 ⇒ D = 3/6
+    assert(r.getDouble(2) == 0.5, r.toString)
+    assert(math.abs(r.getDecimal(3).doubleValue -
+      math.sqrt(6.0 / 5.0) * 0.5) < 1e-9, r.toString)
+  }
+
+  test("ksTest: identical samples give D = 0 exactly") {
+    val df = Seq(("A", 5.0), ("A", 7.0), ("B", 5.0), ("B", 7.0)).toDF("g", "v")
+    val r = Profiling.ksTest(df, "g", "v", "A", "B").collect().head
+    assert(r.getDouble(2) == 0.0 && r.getDecimal(3).doubleValue == 0.0)
+  }
+
+  test("mannWhitney: hand-computed midranks — A={1,2} vs B={2,3} gives " +
+      "the half-integer U = 0.5 and z = -sqrt(1.5); all-tied input " +
+      "degenerates to NULL z") {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)).toDF("g", "v")
+    val r = Profiling.mannWhitney(df, "g", "v", "A", "B").collect().head
+    // ranks: 1→1, the tied 2s→2.5 each, 3→4; R₁ = 3.5, U₁ = 3.5−3 = 0.5
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5, r.toString)
+    // σ² = n₁n₂(N³−N−Σ(t³−t))/(12N(N−1)) = 4·54/144 = 1.5;
+    // z = (0.5−2)/√1.5 = −√1.5
+    assert(math.abs(r.getDecimal(3).doubleValue + math.sqrt(1.5)) < 1e-9,
+      r.toString)
+    val tied = Seq(("A", 3.0), ("A", 3.0), ("B", 3.0)).toDF("g", "v")
+    val t = Profiling.mannWhitney(tied, "g", "v", "A", "B").collect().head
+    assert(t.getDecimal(3) == null, t.toString)
+  }
+
   // ---- groupRegression -------------------------------------------------
 
   test("groupRegression: exact line y = 2x + 1 recovers slope 2, " +
