@@ -483,6 +483,75 @@ object Profiling {
           .cast("decimal(18,9)").as("ks"))
   }
 
+  /** Welch's unequal-variance t-test between two groups — the
+    * parametric member of the drift-test family ([[ksTest]] shape,
+    * [[mannWhitney]] location, this one mean-difference with a df that
+    * doesn't pretend variances match). Moments are exact integers
+    * (cents, hi/lo-split Σcy² — the q_variance_stats machinery run
+    * twice via conditional aggregation in ONE scan); the variance
+    * numerators v = n·Σy²−(Σy)² are exact DECIMAL(38,0); everything
+    * after is a FIXED chain of IEEE ops mirrored verbatim in the
+    * oracle, landing in DECIMAL(18,9). Degenerate inputs (a side with
+    * n < 2, or both variances zero) emit NULL t/df rather than a NaN
+    * that hashes differently per engine.
+    *
+    * Scale shape: one map-side-combined scalar agg — constant-width
+    * partials, no shuffle beyond the single-row reduce.
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(groupCol).isin(groupA, groupB))
+      .select((col(groupCol) === groupA).as("isa"),
+        round(col(valueCol) * 100, 0).cast("long").as("cy"))
+      .withColumn("cy2", col("cy") * col("cy"))
+      .withColumn("cy2_hi", expr("cy2 div 1000000"))
+      .withColumn("cy2_lo", col("cy2") % 1000000L)
+    def side(flag: Column, c: Column): Column = sum(when(flag, c)
+      .otherwise(lit(0L)))
+    val m = base.agg(
+      side(col("isa"), lit(1L)).as("n_a"),
+      side(!col("isa"), lit(1L)).as("n_b"),
+      side(col("isa"), col("cy")).as("sy_a"),
+      side(!col("isa"), col("cy")).as("sy_b"),
+      side(col("isa"), col("cy2_hi")).as("hi_a"),
+      side(col("isa"), col("cy2_lo")).as("lo_a"),
+      side(!col("isa"), col("cy2_hi")).as("hi_b"),
+      side(!col("isa"), col("cy2_lo")).as("lo_b"))
+    def v(n: Column, sy: Column, hi: Column, lo: Column): Column =
+      n.cast(d38) * (hi.cast(d38) * lit(1000000L) + lo.cast(d38)) -
+        sy.cast(d38) * sy.cast(d38)
+    val va = v(col("n_a"), col("sy_a"), col("hi_a"), col("lo_a"))
+    val vb = v(col("n_b"), col("sy_b"), col("hi_b"), col("lo_b"))
+    // q_i = s_i²/n_i = v_i / (n_i² · (n_i − 1)) — cents² cancel in t
+    val qa = col("va").cast("double") /
+      ((col("n_a").cast("double") * col("n_a").cast("double")) *
+        (col("n_a").cast("double") - lit(1.0)))
+    val qb = col("vb").cast("double") /
+      ((col("n_b").cast("double") * col("n_b").cast("double")) *
+        (col("n_b").cast("double") - lit(1.0)))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 &&
+      (col("va") > 0 || col("vb") > 0)
+    m.select(col("n_a"), col("n_b"), col("sy_a"), col("sy_b"),
+        va.as("va"), vb.as("vb"))
+      .select(col("n_a"), col("n_b"),
+        bround(col("sy_a").cast("double") /
+          (col("n_a").cast("double") * lit(100.0)), 9)
+          .cast("decimal(18,9)").as("mean_a"),
+        bround(col("sy_b").cast("double") /
+          (col("n_b").cast("double") * lit(100.0)), 9)
+          .cast("decimal(18,9)").as("mean_b"),
+        when(ok, bround(
+          (col("sy_a").cast("double") / col("n_a").cast("double") -
+            col("sy_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(qa + qb), 9).cast("decimal(18,9)")).as("t"),
+        when(ok, bround(
+          ((qa + qb) * (qa + qb)) /
+          (qa * qa / (col("n_a").cast("double") - lit(1.0)) +
+            qb * qb / (col("n_b").cast("double") - lit(1.0))), 9)
+          .cast("decimal(18,9)")).as("df"))
+  }
+
   /** Exact Mann–Whitney U (rank-sum) between two groups — the
     * location-shift companion to [[ksTest]] (is group A's `value`
     * systematically larger, ties and all?). Everything up to the final

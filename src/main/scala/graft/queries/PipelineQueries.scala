@@ -443,6 +443,12 @@ object PipelineQueries {
       Profiling.ksTest(Tables.events(s, d),
         "event_type", "value", "purchase", "view")),
 
+    // Welch's t (round 11): the parametric mean-difference member of
+    // the drift family — exact integer moments, one fixed IEEE chain
+    "q_welch_t" -> ((s, d) =>
+      Profiling.welchT(Tables.events(s, d),
+        "event_type", "value", "purchase", "view")),
+
     // Mann–Whitney rank-sum (round 11): the location-shift companion
     // of q_ks_test — doubled midranks keep tied ranks integer-exact;
     // one division + one sqrt in the final z
@@ -931,6 +937,52 @@ object PipelineQueries {
         |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
         |    AS DECIMAL(18,9)) AS r
         |FROM a WHERE dx > 0 AND dy > 0 ORDER BY grp""".stripMargin,
+
+    // mirrors Profiling.welchT: identical moment CTE and the verbatim
+    // IEEE chain — q_i parenthesized ((n·n)·(n−1)), t as
+    // (m_a − m_b)/sqrt(q_a + q_b), df as ((q+q)²)/(q²/(n−1)+q²/(n−1))
+    "q_welch_t" ->
+      """WITH b AS (SELECT event_type = 'purchase' AS isa,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cy
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |b2 AS (SELECT isa, cy, (cy * cy) // 1000000 AS hi,
+        |    (cy * cy) % 1000000 AS lo FROM b),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN isa THEN cy ELSE 0 END) AS BIGINT) AS sy_a,
+        |    CAST(SUM(CASE WHEN NOT isa THEN cy ELSE 0 END) AS BIGINT) AS sy_b,
+        |    SUM(CASE WHEN isa THEN hi ELSE 0 END) AS hi_a,
+        |    SUM(CASE WHEN isa THEN lo ELSE 0 END) AS lo_a,
+        |    SUM(CASE WHEN NOT isa THEN hi ELSE 0 END) AS hi_b,
+        |    SUM(CASE WHEN NOT isa THEN lo ELSE 0 END) AS lo_b FROM b2),
+        |v AS (SELECT n_a, n_b, sy_a, sy_b,
+        |    CAST(n_a AS HUGEINT) * (hi_a * 1000000 + lo_a)
+        |      - CAST(sy_a AS HUGEINT) * sy_a AS va,
+        |    CAST(n_b AS HUGEINT) * (hi_b * 1000000 + lo_b)
+        |      - CAST(sy_b AS HUGEINT) * sy_b AS vb FROM m),
+        |q AS (SELECT n_a, n_b, sy_a, sy_b, va, vb,
+        |    CAST(va AS DOUBLE) / ((CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+        |      * (CAST(n_a AS DOUBLE) - 1.0)) AS qa,
+        |    CAST(vb AS DOUBLE) / ((CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      * (CAST(n_b AS DOUBLE) - 1.0)) AS qb FROM v)
+        |SELECT n_a, n_b,
+        |  CAST(round(CAST(sy_a AS DOUBLE) /
+        |    (CAST(n_a AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) AS mean_a,
+        |  CAST(round(CAST(sy_b AS DOUBLE) /
+        |    (CAST(n_b AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0 OR vb > 0) THEN
+        |    CAST(round(
+        |      (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |        CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |      sqrt(qa + qb), 9) AS DECIMAL(18,9)) END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0 OR vb > 0) THEN
+        |    CAST(round(
+        |      ((qa + qb) * (qa + qb)) /
+        |      (qa * qa / (CAST(n_a AS DOUBLE) - 1.0) +
+        |        qb * qb / (CAST(n_b AS DOUBLE) - 1.0)), 9)
+        |      AS DECIMAL(18,9)) END AS df
+        |FROM q""".stripMargin,
 
     // mirrors Profiling.mannWhitney: doubled midranks 2·cprev + t + 1,
     // HUGEINT moments, identical z parenthesization

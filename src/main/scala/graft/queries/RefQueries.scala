@@ -148,6 +148,35 @@ object RefQueries {
         .orderBy(col("table_name"), col("id"))
     }),
 
+    // schema evolution across archive epochs (round 11): epoch 1 was
+    // written BEFORE the upstream table gained `value`; epoch 2 has
+    // it. A mergeSchema read unifies them (missing column → NULL) —
+    // the archive-maintenance reality the reference's fixed-schema
+    // writer (main.go:46-85) hits the day the source table is ALTERed.
+    // The roundtrip is real (two parquet writes, one merged read); the
+    // oracle is the equivalent plain query over the fixture.
+    "q_schema_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_schema_evo").toString
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val base = Tables.events(s, d)
+      base.filter(col("ts") < cut)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(dir + "/epoch1")
+      base.filter(col("ts") >= cut)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").parquet(dir + "/epoch2")
+      s.read.option("mergeSchema", "true")
+        .parquet(dir + "/epoch1", dir + "/epoch2")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_missing"),
+          (sum(coalesce(round(col("value") * 100, 0).cast("long"),
+            lit(0L))).cast("double") / 100.0).as("value_total"))
+        .orderBy(col("event_type"))
+    }),
+
     // P5+F6 (README.md:93-101): equality / IN / range predicates over
     // the archive read path.
     "q_eq_in_filter" -> ((s, d) =>
@@ -221,6 +250,20 @@ object RefQueries {
          |CAST(year(timestamp) AS INT) AS year,
          |CAST(month(timestamp) AS INT) AS month FROM u
          |ORDER BY table_name, id""".stripMargin,
+
+    // the merged-read roundtrip collapses to: value is NULL exactly
+    // for pre-cutoff rows
+    "q_schema_evolution" ->
+      """WITH e AS (SELECT event_type,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |    THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+        |    AS DOUBLE) / 100.0 AS value_total
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_eq_in_filter" ->
       """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,

@@ -338,4 +338,23 @@ class ArchiveSpec extends AnyFunSuite {
     // and equal rows still digest equal (sanity)
     assert(digest(Seq(("a", "b", "c"))) == digest(Seq(("a", "b", "c"))))
   }
+
+  test("schema evolution: a mergeSchema read over epochs written before " +
+      "and after a column was added fills the missing column with NULL " +
+      "and keeps every row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo_spec").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .write.mode("overwrite").parquet(dir + "/e1")
+    Seq((3L, "c", 7.5), (4L, "d", 2.5)).toDF("id", "k", "v")
+      .write.mode("overwrite").parquet(dir + "/e2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(dir + "/e1", dir + "/e2")
+    assert(merged.columns.sorted.toSeq == Seq("id", "k", "v"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toSeq
+    assert(rows == Seq((1L, true), (2L, true), (3L, false), (4L, false)),
+      rows.toString)
+  }
 }

@@ -460,6 +460,24 @@ class ProfilingSpec extends AnyFunSuite {
     assert(t.getDecimal(3) == null, t.toString)
   }
 
+  test("welchT: hand-computed — A={1,3} vs B={2,4,6} gives t = " +
+      "-2/sqrt(7/3), df = 49/17; single-observation side yields NULL t") {
+    val df = Seq(("A", 1.0), ("A", 3.0), ("B", 2.0), ("B", 4.0), ("B", 6.0))
+      .toDF("g", "v")
+    val r = Profiling.welchT(df, "g", "v", "A", "B").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDecimal(2).doubleValue == 2.0 &&
+      r.getDecimal(3).doubleValue == 4.0)
+    // s_a² = 2, s_b² = 4 ⇒ q_a = 1, q_b = 4/3; t = −2/√(7/3)
+    assert(math.abs(r.getDecimal(4).doubleValue -
+      (-2.0 / math.sqrt(7.0 / 3.0))) < 1e-9, r.toString)
+    assert(math.abs(r.getDecimal(5).doubleValue - 49.0 / 17.0) < 1e-9,
+      r.toString)
+    val tiny = Seq(("A", 5.0), ("B", 1.0), ("B", 2.0)).toDF("g", "v")
+    val t = Profiling.welchT(tiny, "g", "v", "A", "B").collect().head
+    assert(t.getDecimal(4) == null && t.getDecimal(5) == null, t.toString)
+  }
+
   // ---- groupRegression -------------------------------------------------
 
   test("groupRegression: exact line y = 2x + 1 recovers slope 2, " +
