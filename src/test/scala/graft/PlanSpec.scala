@@ -568,4 +568,50 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_explode_tokens: the doc_id predicate pushes to the scan, the " +
+      "read schema prunes to (doc_id, text), and the flatten is a " +
+      "row-local Generate — no join, no pre-sort shuffle") {
+    val p = plan("q_explode_tokens")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.contains("Generate posexplode"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_triangles: the closing-edge probe is a BROADCAST hash semi " +
+      "join (the O(E^1.5) wedge stream never shuffles) and the wedge " +
+      "self-join carries no nested-loop anywhere") {
+    val p = plan("q_triangles")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "closing probe must be a broadcast semi:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_skyline: the only unpartitioned window runs on the COLLAPSED " +
+      "distinct-cost frame (after a partial agg), and the frontier " +
+      "joins back as a broadcast") {
+    val p = plan("q_skyline")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the window's input must be the aggregated (cost, gmax) frame —
+    // a HashAggregate appears upstream of the Window in the plan text
+    val wIdx = p.indexOf("Window")
+    assert(p.indexOf("HashAggregate", wIdx) > wIdx,
+      "window must run over the aggregated cost groups:\n" + p)
+  }
+
+  test("q_ks_test / q_mann_whitney: the cumulative window runs on the " +
+      "per-value COUNT GRID (post-aggregate), never corpus rows, and " +
+      "totals come back as a broadcast") {
+    for (q <- Seq("q_ks_test", "q_mann_whitney")) {
+      val p = plan(q)
+      val wIdx = p.indexOf("Window")
+      assert(wIdx >= 0, q + ":\n" + p)
+      // the grid aggregate sits below the window
+      assert(p.indexOf("HashAggregate", wIdx) > wIdx, q + ":\n" + p)
+      assert(!p.contains("CartesianProduct"), q + ":\n" + p)
+    }
+  }
 }

@@ -380,6 +380,23 @@ class ScaleSpec extends AnyFunSuite {
     info(s"pairs=$p1 bound=$bound")
   }
 
+  test("KS/MW drift tests ride a value-grid window, not corpus rows: " +
+      "doubling the corpus leaves the grid cardinality unchanged and " +
+      "the grid is bounded by the value domain") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("event_type").isin("purchase", "view"))
+    def grid(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(round(col("value") * 100, 0).cast("long").as("cv"))
+        .distinct().count()
+    val g1 = grid(ev)
+    val g2 = grid(ev.unionByName(ev))
+    assert(g2 == g1, s"grid grew with corpus size: $g1 -> $g2")
+    // 2-dp values in [0, 100] ⇒ at most 10001 grid rows at ANY corpus
+    // size — the single-partition cumulative window is always tiny
+    assert(g1 <= 10001L, s"grid exceeded the value domain: $g1")
+    info(s"rows=${ev.count()} grid=$g1 (doubled corpus grid=$g2)")
+  }
+
   test("triangle counting's degree orientation caps wedge fan-out: max " +
       "oriented out-degree stays within the O(sqrt(E)) bound and below " +
       "the raw hub degree, so hub wedges can't go quadratic") {
