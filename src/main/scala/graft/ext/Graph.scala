@@ -105,15 +105,20 @@ object Graph {
       partitions: Int = 0): DataFrame = {
     def shrink(df: DataFrame): DataFrame =
       if (partitions > 0) df.coalesce(partitions) else df
-    val und = shrink(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // normalize to one row per undirected edge (u < v) directly — the
+    // doubled u↔v list would pay a distinct over 2E rows for nothing
+    // (degree falls out of a union of the two endpoint columns)
+    val half = shrink(pairs.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") < col("v")) // drops self-loops
       .distinct()).localCheckpoint()
-    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .select(col("u").as("node"), col("deg"))
+    val deg = half.select(col("u").as("node"))
+      .union(half.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient lower-(deg, id) → higher-(deg, id); keep each undirected
     // edge once. Joining degrees twice onto the half edge list (u < v)
-    // beats re-deriving order per pair.
-    val half = und.filter(col("u") < col("v"))
+    // beats re-deriving order per pair; deg is node-sized → broadcast.
     val oriented = shrink(half
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
@@ -124,9 +129,18 @@ object Graph {
         when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"))).localCheckpoint()
-    // wedges: two out-edges of the same apex, deduped by dst order
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+    // wedges: two out-edges of the same apex, deduped by dst order.
+    // EXPLICIT repartition by apex with a pinned partition count: the
+    // edge list is small (~20 MB at E=1.2M), so AQE would coalesce the
+    // self-join's shuffle to ONE partition and run the whole O(E^1.5)
+    // wedge enumeration (41M rows at sf0.1) single-threaded — the
+    // pinned N keeps enumerate→probe at full parallelism, and the
+    // self-join reuses the one exchange for both sides.
+    val n = math.max(pairs.sparkSession.sessionState.conf.numShufflePartitions,
+      if (partitions > 0) partitions else 0)
+    val byApex = oriented.repartition(n, col("src"))
+    val wedges = byApex.as("e1")
+      .join(byApex.as("e2"), col("e1.src") === col("e2.src"))
       .filter(col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("apex"), col("e1.dst").as("b"),
         col("e2.dst").as("c"))
