@@ -24,6 +24,31 @@ object ExtQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Matryoshka truncation eval (round 11): recall@10 of cosine top-k
+    // over dim-truncated embedding prefixes (8/16/32 of 64) against
+    // the full-width top-k — the measurement that decides how far an
+    // MRL-style index can shrink its vectors before retrieval quality
+    // dies. One broadcast-query corpus scan per width; the full-width
+    // reference list is checkpointed (it feeds all three width
+    // subtrees — the AQE no-subtree-dedup lesson). Zero-overlap
+    // (width, query) rows are absent by join semantics on BOTH engines.
+    "q_matryoshka" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecs(s, d)
+      val full = Similarity.topKCosine(emb, q, k = 10)
+        .select(col("query_id"), col("vec_id")).localCheckpoint()
+      Seq(8, 16, 32).map { wd =>
+        val ew = emb.withColumn("embedding", slice(col("embedding"), 1, wd))
+        val qw = q.withColumn("query_vec", slice(col("query_vec"), 1, wd))
+        Similarity.topKCosine(ew, qw, k = 10)
+          .select(col("query_id"), col("vec_id"))
+          .join(full, Seq("query_id", "vec_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+          .select(lit(wd).as("width"), col("query_id"), col("hits"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("width"), col("query_id"))
+    }),
+
     // exact dedup: hash-groupBy on content (md5 ⇒ oracle-expressible).
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
@@ -729,6 +754,30 @@ object ExtQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // mirrors q_matryoshka: same rank construction as q_similarity_topk
+    // at each prefix width, inner-joined against the full-width list
+    "q_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |fr AS (SELECT query_id, vec_id FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |        e.vec_id) AS rank
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id) t
+        |  WHERE rank <= 10),
+        |w AS (SELECT unnest([8, 16, 32]) AS width),
+        |rw AS (SELECT width, query_id, vec_id FROM (
+        |  SELECT w.width, q.query_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY w.width, q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv[1:w.width],
+        |        e.embedding[1:w.width]) DESC, e.vec_id) AS rank
+        |  FROM q CROSS JOIN embeddings e CROSS JOIN w
+        |  WHERE e.vec_id <> q.query_id) t WHERE rank <= 10)
+        |SELECT CAST(width AS INT) AS width, query_id, COUNT(*) AS hits
+        |FROM rw JOIN fr USING (query_id, vec_id)
+        |GROUP BY width, query_id ORDER BY width, query_id""".stripMargin,
 
     "q_similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -269,4 +269,21 @@ class SimilaritySpec extends AnyFunSuite {
     val zr = z.select(zs.as("s"), zc.as("c")).as[(Double, Array[Int])].head()
     assert(zr._1 == 0.0 && zr._2.sameElements(Array(0, 0, 0)))
   }
+
+  test("matryoshka truncation: a prefix slice can invert retrieval — " +
+      "hand-built vectors where the width-2 winner loses at full width, " +
+      "so truncated recall correctly reads 0") {
+    // q·A = 4 (cos .632) beats q·B = 0 at width 4; prefixes flip it:
+    // A₂ = (1,−1) ⊥ q₂ = (1,1), B₂ = (1,1) ∥ q₂
+    val corpus = Seq((10L, Array(1f, -1f, 2f, 2f)),
+      (11L, Array(1f, 1f, -1f, -1f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1f, 1f, 1f, 1f))).toDF("query_id", "query_vec")
+    def top1(c: org.apache.spark.sql.DataFrame,
+        qq: org.apache.spark.sql.DataFrame): Long =
+      Similarity.topKCosine(c, qq, k = 1).select("vec_id").as[Long].head()
+    assert(top1(corpus, q) == 10L)
+    val c2 = corpus.withColumn("embedding", slice(col("embedding"), 1, 2))
+    val q2 = q.withColumn("query_vec", slice(col("query_vec"), 1, 2))
+    assert(top1(c2, q2) == 11L)
+  }
 }
