@@ -78,6 +78,58 @@ object Graph {
     ranks.select(col("node"), col("r").as("pagerank"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * whose degree in the CURRENT subgraph is < k until stable — the
+    * "dense interaction core" extractor (which parts sit in genuinely
+    * dense co-purchase structure vs. hang off the periphery); peeling
+    * cascades, so a plain one-shot degree filter is WRONG (removing a
+    * hub can drag its neighbors below k).
+    *
+    * Returns surviving (node, deg) with deg measured INSIDE the core.
+    *
+    * Scale shape: each round = one endpoint-union count agg + two
+    * node-sized broadcast semi-joins on a MONOTONICALLY SHRINKING edge
+    * list, lineage cut per round (the connected-components discipline);
+    * rounds are data-bounded (6 on the fixture, ≤ peeling depth of the
+    * graph — the driver-side loop runs one count() action per round
+    * exactly like CC). `maxIterations` is a runaway bound, not a
+    * tuning knob; hitting it throws rather than returning a non-core.
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      maxIterations: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var edges = pairs.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct().localCheckpoint()
+    var n = edges.count()
+    var iter = 0
+    var stable = n == 0L
+    while (!stable) {
+      require(iter < maxIterations,
+        s"k-core failed to converge within $maxIterations rounds")
+      iter += 1
+      val deg = edges.select(col("u").as("n"))
+        .union(edges.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      val keep = deg.filter(col("c") >= k).select(col("n"))
+      val next = edges
+        .join(broadcast(keep.select(col("n").as("u"))), Seq("u"), "leftsemi")
+        .join(broadcast(keep.select(col("n").as("v"))), Seq("v"), "leftsemi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val m = next.count()
+      stable = m == n
+      edges = next
+      n = m
+    }
+    edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("node"))
+  }
+
   /** Exact triangle counting over an undirected pair list — the
     * clustering-density diagnostic for a dedup pair graph (triangles =
     * mutually-near-dup cliques forming; a high triangle-to-edge ratio

@@ -152,6 +152,23 @@ object CorpusQueries {
         .orderBy(col("part_id"))
     }),
 
+    // k-core (round 11): the dense co-purchase core at k=80 — peeling
+    // until stable (6 rounds on the fixture; a one-shot degree filter
+    // would miss the cascade). Oracle unrolls 10 idempotent rounds.
+    "q_kcore" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint()
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
+        .distinct()
+      Graph.kCore(pairs, "a_id", "b_id", k = 80)
+        .select(col("node").as("part_id"), col("deg"))
+    }),
+
     // hard-negative mining: per query, top-5 most-similar vectors with
     // a DIFFERENT label (similar-but-wrong — what a contrastive loss
     // learns from). Broadcast queries, one corpus scan, label predicate
@@ -394,6 +411,28 @@ object CorpusQueries {
         |  CAST(dg.deg AS BIGINT) AS deg
         |FROM pn JOIN dg ON dg.node = pn.node
         |ORDER BY part_id""".stripMargin,
+
+    // 10 unrolled peeling rounds — the fixture converges in 6 and a
+    // converged round is the identity (keep-all filter), so the extra
+    // rounds are harmless slack against fixture drift
+    "q_kcore" -> {
+      val rounds = (0 until 10).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT n, COUNT(*) AS c FROM
+           |    (SELECT u AS n FROM e$i UNION ALL SELECT v FROM e$i) x$i
+           |  GROUP BY n),
+           |e${i + 1} AS MATERIALIZED (SELECT u, v FROM e$i
+           |  WHERE u IN (SELECT n FROM d$i WHERE c >= 80)
+           |  AND v IN (SELECT n FROM d$i WHERE c >= 80))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |    FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |$rounds
+         |SELECT node AS part_id, COUNT(*) AS deg FROM
+         |  (SELECT u AS node FROM e10 UNION ALL SELECT v FROM e10) z
+         |GROUP BY node ORDER BY part_id""".stripMargin
+    },
 
     "q_pagerank" ->
       s"""$ShingleCte,

@@ -73,6 +73,23 @@ class GraphSpec extends AnyFunSuite {
     assert(canonical == messy && canonical.values.forall(_._1 == 1L))
   }
 
+  private def core(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graph.kCore(pairs.toDF("a_id", "b_id"), "a_id", "b_id", k)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore: peeling cascades — a path at k=2 empties completely " +
+      "(one-shot degree filtering would wrongly keep the middle edge)") {
+    // path 1-2-3-4: ends have deg 1; dropping them leaves 2-3 at deg 1
+    assert(core(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 2).isEmpty)
+  }
+
+  test("kCore: a triangle with a pendant at k=2 keeps exactly the " +
+      "triangle at in-core degree 2; k=1 keeps everything") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    assert(core(g, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(core(g, 1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
   test("triangles: two triangles sharing an edge — shared-edge nodes " +
       "count both") {
     // {1,2,3} and {2,3,4}: nodes 2,3 in 2 triangles; 1,4 in 1
