@@ -90,9 +90,10 @@ object Graph {
     * Scale shape: each round = one endpoint-union count agg + two
     * node-sized broadcast semi-joins on a MONOTONICALLY SHRINKING edge
     * list, lineage cut per round (the connected-components discipline);
-    * rounds are data-bounded (6 on the fixture, ≤ peeling depth of the
-    * graph — the driver-side loop runs one count() action per round
-    * exactly like CC). `maxIterations` is a runaway bound, not a
+    * rounds are data-bounded (2 on the fixture at the registered k, ≤
+    * the graph's peeling depth — the driver-side loop runs one count()
+    * action per round exactly like CC). `maxIterations` is a runaway
+    * bound, not a
     * tuning knob; hitting it throws rather than returning a non-core.
     */
   def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,

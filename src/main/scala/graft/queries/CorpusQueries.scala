@@ -152,9 +152,11 @@ object CorpusQueries {
         .orderBy(col("part_id"))
     }),
 
-    // k-core (round 11): the dense co-purchase core at k=80 — peeling
-    // until stable (6 rounds on the fixture; a one-shot degree filter
-    // would miss the cascade). Oracle unrolls 10 idempotent rounds.
+    // k-core (round 11): the dense co-purchase core at k=60 — peeling
+    // until stable (k sits between the fixture's min and median degree
+    // at EVERY scale, so the core is non-trivial at sf0.001 through
+    // sf0.1; a one-shot degree filter would miss the cascade). Oracle
+    // unrolls 10 idempotent rounds.
     "q_kcore" -> ((s, d) => {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -165,7 +167,7 @@ object CorpusQueries {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
         .distinct()
-      Graph.kCore(pairs, "a_id", "b_id", k = 80)
+      Graph.kCore(pairs, "a_id", "b_id", k = 60)
         .select(col("node").as("part_id"), col("deg"))
     }),
 
@@ -421,8 +423,8 @@ object CorpusQueries {
            |    (SELECT u AS n FROM e$i UNION ALL SELECT v FROM e$i) x$i
            |  GROUP BY n),
            |e${i + 1} AS MATERIALIZED (SELECT u, v FROM e$i
-           |  WHERE u IN (SELECT n FROM d$i WHERE c >= 80)
-           |  AND v IN (SELECT n FROM d$i WHERE c >= 80))""".stripMargin
+           |  WHERE u IN (SELECT n FROM d$i WHERE c >= 60)
+           |  AND v IN (SELECT n FROM d$i WHERE c >= 60))""".stripMargin
       }.mkString(",\n")
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          |    FROM lineitem),

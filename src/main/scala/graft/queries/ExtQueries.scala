@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ext.{Clustering, Dedup, Pca, Similarity, TextAnalysis}
@@ -395,6 +396,56 @@ object ExtQueries {
           k = 10)
         .orderBy(col("query_id"))),
 
+    // classifier eval confusion matrix (round 11): leave-one-out 10-NN
+    // label prediction for the first 50 vectors (topKCosine's self-
+    // exclusion IS leave-one-out when query ids are corpus ids),
+    // collapsed to the (true, predicted) grid — the quality readout a
+    // labeling pipeline gates on. Pure integer counts.
+    "q_confusion_matrix" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"), col("label").as("true_label"))
+      Similarity.knnClassify(emb,
+          q.select(col("query_id"), col("query_vec")), k = 10)
+        .join(broadcast(q.select(col("query_id"), col("true_label"))),
+          Seq("query_id"))
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("pred_label"))
+    }),
+
+    // reciprocal-rank fusion (round 11): RRF of the full-width and the
+    // width-16 truncated cosine top-10 lists — the standard two-
+    // retriever blend (score = Σ 1/(60+rank)); each term is ONE double
+    // division, the two-term sum and the (score desc, vec_id) ordering
+    // are engine-identical. The full list is checkpointed (feeds the
+    // outer join AND nothing else recomputes it).
+    "q_rank_fusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = queryVecs(s, d)
+      val full = Similarity.topKCosine(emb, q, k = 10)
+        .select(col("query_id"), col("vec_id"), col("rank").as("r_full"))
+        .localCheckpoint()
+      val trunc = Similarity.topKCosine(
+          emb.withColumn("embedding", slice(col("embedding"), 1, 16)),
+          q.withColumn("query_vec", slice(col("query_vec"), 1, 16)),
+          k = 10)
+        .select(col("query_id"), col("vec_id"), col("rank").as("r_trunc"))
+      val fused = full.join(trunc, Seq("query_id", "vec_id"), "fullouter")
+        .select(col("query_id"), col("vec_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_full")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_trunc")), lit(0.0)))
+            .as("rrf"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("vec_id"))
+      fused.withColumn("fused_rank", row_number().over(w))
+        .filter(col("fused_rank") <= 10)
+        .select(col("query_id"), col("fused_rank"), col("vec_id"),
+          col("rrf"))
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
     // PII scrub: inject a deterministic synthetic email + phone per doc
     // (the corpus itself has none), then count and redact them — the
     // regex machinery is the operator under test; pure per-row
@@ -686,6 +737,59 @@ object ExtQueries {
         |    ORDER BY votes DESC, label) AS rk FROM v)
         |SELECT query_id, label AS pred_label, votes FROM p WHERE rk = 1
         |ORDER BY query_id""".stripMargin,
+
+    // leave-one-out 10-NN over the first 50 vectors → (true, pred) grid
+    "q_confusion_matrix" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |    label AS tl FROM embeddings WHERE vec_id < 50),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(q.qv, e.embedding) AS c
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, vec_id) AS rank FROM s),
+        |v AS (SELECT r.query_id, e.label, COUNT(*) AS votes
+        |  FROM r JOIN embeddings e USING (vec_id) WHERE r.rank <= 10
+        |  GROUP BY r.query_id, e.label),
+        |p AS (SELECT query_id, label AS pred_label,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, label) AS rk FROM v)
+        |SELECT q.tl AS true_label, p.pred_label, COUNT(*) AS n
+        |FROM p JOIN q USING (query_id) WHERE p.rk = 1
+        |GROUP BY q.tl, p.pred_label
+        |ORDER BY true_label, pred_label""".stripMargin,
+
+    // RRF of the full-width and width-16 top-10 lists; CAST(… AS
+    // DOUBLE) on every literal — bare 1.0 parses as DECIMAL in DuckDB
+    "q_rank_fusion" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |sf AS (SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(q.qv, e.embedding) AS c
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |ff AS (SELECT query_id, vec_id, r_full FROM (
+        |  SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY c DESC, vec_id) AS INT)
+        |    AS r_full FROM sf) t WHERE r_full <= 10),
+        |st AS (SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(q.qv[1:16], e.embedding[1:16]) AS c
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |ft AS (SELECT query_id, vec_id, r_trunc FROM (
+        |  SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY c DESC, vec_id) AS INT)
+        |    AS r_trunc FROM st) t WHERE r_trunc <= 10),
+        |u AS (SELECT query_id, vec_id,
+        |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_full),
+        |    CAST(0.0 AS DOUBLE)) +
+        |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_trunc),
+        |    CAST(0.0 AS DOUBLE)) AS rrf
+        |  FROM ff FULL OUTER JOIN ft USING (query_id, vec_id))
+        |SELECT query_id, fused_rank, vec_id, rrf FROM (
+        |  SELECT query_id, vec_id, rrf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, vec_id) AS INT) AS fused_rank FROM u) z
+        |WHERE fused_rank <= 10
+        |ORDER BY query_id, fused_rank""".stripMargin,
 
     "q_text_pii" ->
       s"""WITH t AS (SELECT doc_id,
