@@ -138,36 +138,44 @@ object CorpusQueries {
     // O(E^1.5)-work algorithm, no node fans out more than O(√E)
     // oriented edges however big its raw degree. Pure integer counts.
     "q_triangles" -> ((s, d) => {
+      // bounded showcase: the pre-1998 slice (pushed to the scan) keeps
+      // the gate query ~5x smaller in edges (~12x in wedge work) while
+      // ScaleSpec measures the growth law on the unbounded graph
       val items = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
         .localCheckpoint() // feeds both self-join sides (AQE no-dedup)
+      // no .distinct() here: triangleCounts normalizes and dedupes
+      // the pair list itself (same reasoning as q_kcore)
       val pairs = items.as("a")
         .join(items.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
-        .distinct()
       Graph.triangleCounts(pairs, "a_id", "b_id")
         .select(col("node").as("part_id"), col("triangles"), col("deg"))
         .orderBy(col("part_id"))
     }),
 
-    // k-core (round 11): the dense co-purchase core at k=60 — peeling
-    // until stable (k sits between the fixture's min and median degree
-    // at EVERY scale, so the core is non-trivial at sf0.001 through
-    // sf0.1; a one-shot degree filter would miss the cascade). Oracle
-    // unrolls 10 idempotent rounds.
+    // k-core (round 11): the dense co-purchase core of the pre-1998
+    // slice at k=12 — k sits between min and median degree at EVERY
+    // scale, so peeling is non-trivial (3-5 rounds) without emptying;
+    // a one-shot degree filter would miss the cascade. Oracle unrolls
+    // 10 idempotent rounds.
     "q_kcore" -> ((s, d) => {
       val items = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
         .localCheckpoint()
+      // no .distinct() here: kCore normalizes and dedupes the pair
+      // list itself — an outer distinct would just add a second
+      // full-width shuffle of the raw pair stream
       val pairs = items.as("a")
         .join(items.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
-        .distinct()
-      Graph.kCore(pairs, "a_id", "b_id", k = 60)
+      Graph.kCore(pairs, "a_id", "b_id", k = 12)
         .select(col("node").as("part_id"), col("deg"))
     }),
 
@@ -396,7 +404,8 @@ object CorpusQueries {
     // union the three corners
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |    FROM lineitem),
+        |    FROM lineitem
+        |    WHERE l_shipdate < TIMESTAMP '1998-01-01'),
         |p AS (SELECT DISTINCT a.pk AS a_id, b.pk AS b_id
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
         |e AS (SELECT a_id AS u, b_id AS v FROM p
@@ -423,11 +432,12 @@ object CorpusQueries {
            |    (SELECT u AS n FROM e$i UNION ALL SELECT v FROM e$i) x$i
            |  GROUP BY n),
            |e${i + 1} AS MATERIALIZED (SELECT u, v FROM e$i
-           |  WHERE u IN (SELECT n FROM d$i WHERE c >= 60)
-           |  AND v IN (SELECT n FROM d$i WHERE c >= 60))""".stripMargin
+           |  WHERE u IN (SELECT n FROM d$i WHERE c >= 12)
+           |  AND v IN (SELECT n FROM d$i WHERE c >= 12))""".stripMargin
       }.mkString(",\n")
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-         |    FROM lineitem),
+         |    FROM lineitem
+         |    WHERE l_shipdate < TIMESTAMP '1998-01-01'),
          |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
          |$rounds
