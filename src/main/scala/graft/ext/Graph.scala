@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over pair lists (the near-dup graph being the
@@ -129,6 +130,44 @@ object Graph {
       .union(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .orderBy(col("node"))
+  }
+
+  /** Synchronous label propagation (fixed iteration count): every node
+    * starts labeled with its own id; each round it adopts its
+    * neighbors' most frequent label, ties broken toward the SMALLEST
+    * label — fully deterministic community detection (async LPA's
+    * update-order dependence is exactly what makes it untestable).
+    * Fixed rounds rather than convergence: synchronous LPA can
+    * 2-cycle on bipartite structure, so "until stable" may never
+    * arrive; k rounds of a deterministic step are reproducible
+    * everywhere, and community boundaries move ≤ k hops anyway.
+    *
+    * Scale shape: per round one edge⋈label join keyed by node + one
+    * (node, label) count agg + one per-node rank window — all on the
+    * PAIR graph; label frames are node-sized and lineage is cut per
+    * round. Isolated nodes never appear (a pair list has none).
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      iterations: Int = 5, partitions: Int = 0): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    def shrink(df: DataFrame): DataFrame =
+      if (partitions > 0) df.coalesce(partitions) else df
+    val edges = shrink(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()).localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iterations) {
+      val votes = edges
+        .join(labels.select(col("node").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("n").desc, col("lbl").asc)
+      labels = shrink(votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v").as("node"), col("lbl"))).localCheckpoint()
+    }
+    labels.orderBy(col("node"))
   }
 
   /** Exact triangle counting over an undirected pair list — the

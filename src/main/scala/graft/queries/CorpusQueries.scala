@@ -179,6 +179,20 @@ object CorpusQueries {
         .select(col("node").as("part_id"), col("deg"))
     }),
 
+    // label propagation (round 11): deterministic synchronous LPA (5
+    // rounds, min-label tie break) over the near-dup pair graph — the
+    // community view of dedup structure, vs CC's transitive-closure
+    // view and PageRank's centrality view
+    "q_label_prop" -> ((s, d) => {
+      val hsets = Dedup.hashedShingleSets(Tables.documents(s, d), "text",
+        "doc_id", n = 3).localCheckpoint()
+      val pairs = Dedup.ngramJaccardPairsFromHashedSets(hsets, threshold = 0.6)
+        .coalesce(1).localCheckpoint()
+      Graph.labelPropagation(pairs, "a_id", "b_id", iterations = 5,
+          partitions = 1)
+        .select(col("node").as("doc_id"), col("lbl").as("community"))
+    }),
+
     // hard-negative mining: per query, top-5 most-similar vectors with
     // a DIFFERENT label (similar-but-wrong — what a contrastive loss
     // learns from). Broadcast queries, one corpus scan, label predicate
@@ -444,6 +458,30 @@ object CorpusQueries {
          |SELECT node AS part_id, COUNT(*) AS deg FROM
          |  (SELECT u AS node FROM e10 UNION ALL SELECT v FROM e10) z
          |GROUP BY node ORDER BY part_id""".stripMargin
+    },
+
+    // 5 unrolled synchronous LPA rounds over the near-dup pair graph;
+    // MATERIALIZED (the k-core lesson: inlined CTE chains re-expand)
+    "q_label_prop" -> {
+      val rounds = (0 until 5).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT e.v AS node, l.lbl, COUNT(*) AS n
+           |  FROM e JOIN l$i l ON e.u = l.node GROUP BY e.v, l.lbl),
+           |l${i + 1} AS MATERIALIZED (SELECT node, lbl FROM (
+           |  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+           |    ORDER BY n DESC, lbl ASC) AS rk FROM v$i) t$i
+           |  WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$ShingleCte,
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+         |e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM p
+         |  UNION SELECT b_id, a_id FROM p),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e),
+         |$rounds
+         |SELECT node AS doc_id, lbl AS community FROM l5
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_pagerank" ->

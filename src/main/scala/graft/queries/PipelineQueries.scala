@@ -471,6 +471,56 @@ object PipelineQueries {
       TimeSeries.denseDailyCounts(Tables.events(s, d),
         "event_type", "ts")),
 
+    // cumulative user growth (round 11): first-touch HOUR per user →
+    // hourly new-user counts → running total. The running sum rides a
+    // window over the HOUR GRID (≤ span hours, never rows); the corpus
+    // collapses in one user-keyed min agg.
+    "q_user_growth" -> ((s, d) => {
+      val firstHour = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("hour", col("ts"))).as("hr"))
+      val hourly = firstHour.groupBy(col("hr"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hourly.withColumn("total_users", sum(col("new_users")).over(w))
+        .orderBy(col("hr"))
+    }),
+
+    // RFM segmentation (round 11): recency (days since last purchase,
+    // anchored at the corpus max ts), frequency, monetary (exact
+    // cents) per user, quartiled by NTILE under total orders
+    // (value, user_id) — the classic customer-value grid, fully
+    // deterministic. The NTILE windows run over the USER frame (one
+    // row per purchasing user, not events); at larger user counts
+    // swap quartile assignment to broadcast rank thresholds.
+    "q_rfm_segments" -> ((s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val anchor = p.agg(max(col("day")).as("anchor"))
+      val rfm = p.groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("f"), sum(col("cents")).as("m_cents"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          datediff(col("anchor"), col("last_day")).as("r_days"),
+          col("f"), col("m_cents"))
+      rfm.withColumn("r_q", ntile(4).over(
+          Window.orderBy(col("r_days").asc, col("user_id"))))
+        .withColumn("f_q", ntile(4).over(
+          Window.orderBy(col("f").desc, col("user_id"))))
+        .withColumn("m_q", ntile(4).over(
+          Window.orderBy(col("m_cents").desc, col("user_id"))))
+        .select(col("user_id"), col("r_days"), col("f"),
+          (col("m_cents").cast("double") / 100.0).as("m"),
+          col("r_q"), col("f_q"), col("m_q"),
+          concat(col("r_q").cast("string"), col("f_q").cast("string"),
+            col("m_q").cast("string")).as("segment"))
+        .orderBy(col("user_id"))
+    }),
+
     // hourly linear-interpolation resample (round 11): irregular user
     // readings onto the exact hour grid — integer µs/cents arithmetic,
     // one rounded division per emitted mark, no joins (window + the
@@ -1139,6 +1189,42 @@ object PipelineQueries {
         |FROM spine CROSS JOIN t
         |LEFT JOIN c ON c.grp = t.grp AND c.day = spine.day
         |ORDER BY t.grp, spine.day""".stripMargin,
+
+    "q_user_growth" ->
+      """WITH f AS (SELECT user_id,
+        |    MIN(date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)))
+        |      AS hr
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT hr, COUNT(*) AS new_users FROM f GROUP BY hr)
+        |SELECT hr, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS total_users
+        |FROM d ORDER BY hr""".stripMargin,
+
+    // mirrors q_rfm_segments: same tie-broken NTILE orders; ints
+    // concatenated through VARCHAR casts
+    "q_rfm_segments" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT MAX(day) AS anchor FROM p),
+        |rfm AS (SELECT user_id,
+        |    CAST(date_diff('day', MAX(day), (SELECT anchor FROM a))
+        |      AS INT) AS r_days,
+        |    COUNT(*) AS f, CAST(SUM(cents) AS BIGINT) AS m_cents
+        |  FROM p GROUP BY user_id),
+        |q AS (SELECT user_id, r_days, f, m_cents,
+        |  CAST(NTILE(4) OVER (ORDER BY r_days ASC, user_id) AS INT) AS r_q,
+        |  CAST(NTILE(4) OVER (ORDER BY f DESC, user_id) AS INT) AS f_q,
+        |  CAST(NTILE(4) OVER (ORDER BY m_cents DESC, user_id) AS INT) AS m_q
+        |  FROM rfm)
+        |SELECT user_id, r_days, f, CAST(m_cents AS DOUBLE) / 100.0 AS m,
+        |  r_q, f_q, m_q,
+        |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) ||
+        |    CAST(m_q AS VARCHAR) AS segment
+        |FROM q ORDER BY user_id""".stripMargin,
 
     // mirrors interpolateHourly: min-collapsed points, lead segments,
     // hour marks via generate_series on µs BIGINTs, one rounded

@@ -46,6 +46,27 @@ class GraphSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id"), "a_id", "b_id").isEmpty)
   }
 
+  private def lpa(pairs: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] =
+    Graph.labelPropagation(pairs.toDF("a_id", "b_id"), "a_id", "b_id", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: disjoint triangles each converge to their " +
+      "own min label; the two components never mix") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val r = lpa(g)
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), r.toString)
+  }
+
+  test("labelPropagation: a single edge 2-cycles under synchronous " +
+      "updates — fixed iteration counts make the result deterministic " +
+      "(the documented contract), with odd/even rounds swapping") {
+    // l0 = {a:a, b:b}; each round both adopt the other's label
+    assert(lpa(Seq((1L, 2L)), 1) == Map(1L -> 2L, 2L -> 1L))
+    assert(lpa(Seq((1L, 2L)), 2) == Map(1L -> 1L, 2L -> 2L))
+  }
+
   private def tris(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
     Graph.triangleCounts(pairs.toDF("a_id", "b_id"), "a_id", "b_id")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap

@@ -377,6 +377,20 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, "2024-01-01 06:00:00.0", 20.0)), out.toString)
   }
 
+  test("rfm quartiles (q_rfm_segments semantics): NTILE under the " +
+      "(value, user) total order is deterministic across ties") {
+    // four users, two tied on frequency — the user_id tie-break pins
+    // which side of the quartile boundary each lands on
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 9L), (4L, 1L)).toDF("u", "f")
+    val out = df.withColumn("q", ntile(4).over(
+        Window.orderBy(col("f").desc, col("u"))))
+      .select(col("u"), col("q"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // order: (9,u3) (5,u1) (5,u2) (1,u4) → quartiles 1,2,3,4
+    assert(out == Map(3L -> 1, 1L -> 2, 2L -> 3, 4L -> 4), out.toString)
+  }
+
   test("interpolateHourly: duplicate readings at one instant collapse " +
       "to the min deterministically; marks are never double-emitted at " +
       "segment boundaries") {
