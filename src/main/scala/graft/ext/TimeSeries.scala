@@ -346,6 +346,47 @@ object TimeSeries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Linear (equal-split) multi-touch attribution — the fairness twin
+    * of [[lastTouchAttribution]]: every touch inside the conversion's
+    * lookback window shares credit 1/n equally. Credit per (conversion,
+    * touch) is ONE double division rounded through DECIMAL(18,9), so
+    * per-touch totals are exact decimal sums (order-independent) and
+    * cross-engine identical. Returns per-touch totals.
+    *
+    * Scale shape: the stream filters to the two event types FIRST,
+    * then one user-keyed band join (touch ≤ conv ≤ touch + window —
+    * the stream-stream-join state shape); the per-conversion count
+    * rides a window over the JOINED pairs partitioned by conversion.
+    * Per-user fan-out is touches × conversions inside the window —
+    * bounded by activity density, the same bound the watermarked
+    * streaming join carries.
+    */
+  def linearAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, touchType: String,
+      convType: String, windowDays: Int): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val winUs = windowDays.toLong * 86400L * 1000000L
+    val touches = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("user_id"), col(idCol).as("touch_id"),
+        unix_micros(col(tsCol)).as("t_us"))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
+        unix_micros(col(tsCol)).as("c_us"))
+    val pairs = convs.join(touches, Seq("user_id"))
+      .filter(col("t_us") <= col("c_us") &&
+        col("t_us") >= col("c_us") - lit(winUs))
+    val perConv = Window.partitionBy(col("conv_id"))
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(perConv))
+      .withColumn("credit",
+        bround(lit(1.0) / col("n_touches").cast("double"), 9)
+          .cast("decimal(18,9)"))
+      .groupBy(col("touch_id"))
+      .agg(count(lit(1)).as("n_convs"),
+        sum(col("credit")).cast("decimal(18,9)").as("credit_total"))
+      .orderBy(col("touch_id"))
+  }
+
   /** Linear-interpolation resampling onto exact hour boundaries — the
     * irregular-sensor-to-regular-grid step every time-series feature
     * pipeline needs before windowed models. For each key's consecutive

@@ -471,6 +471,30 @@ object PipelineQueries {
       TimeSeries.denseDailyCounts(Tables.events(s, d),
         "event_type", "ts")),
 
+    // linear multi-touch attribution (round 11): clicks within 7 days
+    // of a purchase split credit 1/n — the fairness twin of the
+    // last-touch q_attribution; decimal credit sums are exact
+    "q_attribution_linear" -> ((s, d) =>
+      TimeSeries.linearAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type",
+        touchType = "click", convType = "purchase", windowDays = 7)),
+
+    // day-of-week seasonality profile (round 11): per-dow event counts
+    // and the seasonality index (dow share × 7) — exact integer ratio,
+    // one division per output row
+    "q_seasonality_dow" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("dow"), col("n"),
+          bround((col("n") * 7L).cast("double") /
+            col("total").cast("double"), 9)
+            .cast("decimal(18,9)").as("idx"))
+        .orderBy(col("dow"))
+    }),
+
     // cumulative user growth (round 11): first-touch HOUR per user →
     // hourly new-user counts → running total. The running sum rides a
     // window over the HOUR GRID (≤ span hours, never rows); the corpus
@@ -1189,6 +1213,38 @@ object PipelineQueries {
         |FROM spine CROSS JOIN t
         |LEFT JOIN c ON c.grp = t.grp AND c.day = spine.day
         |ORDER BY t.grp, spine.day""".stripMargin,
+
+    // mirrors linearAttribution: per-(conv, touch) credit = one
+    // rounded division; per-touch totals sum exactly in decimal
+    "q_attribution_linear" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |t AS (SELECT user_id, event_id AS touch_id, us AS t_us FROM e
+        |  WHERE event_type = 'click'),
+        |c AS (SELECT user_id, event_id AS conv_id, us AS c_us FROM e
+        |  WHERE event_type = 'purchase'),
+        |p AS (SELECT conv_id, touch_id FROM c JOIN t USING (user_id)
+        |  WHERE t_us <= c_us
+        |  AND t_us >= c_us - 7 * 86400 * CAST(1000000 AS BIGINT)),
+        |n AS (SELECT conv_id, touch_id,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS n_touches FROM p)
+        |SELECT touch_id, COUNT(*) AS n_convs,
+        |  CAST(SUM(CAST(round(CAST(1.0 AS DOUBLE) /
+        |    CAST(n_touches AS DOUBLE), 9) AS DECIMAL(18,9)))
+        |    AS DECIMAL(18,9)) AS credit_total
+        |FROM n GROUP BY touch_id ORDER BY touch_id""".stripMargin,
+
+    // DuckDB dayofweek is 0-based (Sunday = 0); Spark's is 1-based
+    "q_seasonality_dow" ->
+      """WITH b AS (SELECT CAST(dayofweek(
+        |    make_timestamp(epoch_ns(ts) // 1000)) + 1 AS INT) AS dow
+        |  FROM events),
+        |c AS (SELECT dow, COUNT(*) AS n FROM b GROUP BY dow),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT dow, n,
+        |  CAST(round(CAST(n * 7 AS DOUBLE) / CAST(total AS DOUBLE), 9)
+        |    AS DECIMAL(18,9)) AS idx
+        |FROM c, t ORDER BY dow""".stripMargin,
 
     "q_user_growth" ->
       """WITH f AS (SELECT user_id,

@@ -377,6 +377,26 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, "2024-01-01 06:00:00.0", 20.0)), out.toString)
   }
 
+  test("linearAttribution: hand-computed equal splits — two in-window " +
+      "touches get 0.5 per conversion and sum across conversions; " +
+      "out-of-window touches earn nothing") {
+    import graft.ext.TimeSeries
+    val df = Seq(
+      (9L, 1L, "click", "2023-10-01 00:00:00"), // far outside 7 d
+      (10L, 1L, "click", "2024-01-01 01:00:00"),
+      (11L, 1L, "click", "2024-01-01 02:00:00"),
+      (20L, 1L, "purchase", "2024-01-01 03:00:00"),
+      (21L, 1L, "purchase", "2024-01-01 04:00:00")
+    ).toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = TimeSeries.linearAttribution(df, "user_id", "ts",
+        "event_id", "event_type", "click", "purchase", windowDays = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+      .toSeq
+    assert(out == Seq((10L, 2L, 1.0), (11L, 2L, 1.0)), out.toString)
+  }
+
   test("rfm quartiles (q_rfm_segments semantics): NTILE under the " +
       "(value, user) total order is deterministic across ties") {
     // four users, two tied on frequency — the user_id tie-break pins
