@@ -467,6 +467,9 @@ object Profiling {
       .withColumn("cb", sum(col("b")).over(w))
     val tot = cum.agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b"))
     cum.crossJoin(broadcast(tot))
+      // an absent side makes D a 0/0 — no row beats an engine-flavored
+      // NaN (the oracle carries the same guard)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .select(col("n_a"), col("n_b"),
         abs(col("ca").cast(d38) * col("n_b").cast(d38) -
           col("cb").cast(d38) * col("n_a").cast(d38)).as("dev"))

@@ -1110,7 +1110,7 @@ object PipelineQueries {
         |m AS (SELECT n_a, n_b,
         |    MAX(abs(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a))
         |      AS dmax
-        |  FROM cum, t GROUP BY n_a, n_b)
+        |  FROM cum, t WHERE n_a > 0 AND n_b > 0 GROUP BY n_a, n_b)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(dmax AS DOUBLE) /
         |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,

@@ -442,4 +442,84 @@ class PropertySpec extends AnyFunSuite {
       assert(single.forall(_ == 0.0))
     }
   }
+
+  test("property: skyline equals the brute-force dominance filter on " +
+      "random point sets (ties and duplicates included)") {
+    import graft.ext.Ranking
+    val ptsGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0, 8).map(_.toDouble), Gen.choose(0, 8)))
+    forAllSampled(ptsGen, 8) { pts =>
+      val rows = pts.zipWithIndex.map { case ((c, g), i) => (i.toLong, c, g) }
+      val got = Ranking.skyline(rows.toDF("id", "cost", "gain"),
+          col("cost"), col("gain"), Seq(col("id")))
+        .select("id").as[Long].collect().toSet
+      val want = rows.filter { case (_, c, g) =>
+        !rows.exists { case (_, c2, g2) =>
+          c2 <= c && g2 >= g && (c2 < c || g2 > g) }
+      }.map(_._1).toSet
+      assert(got == want, s"pts=$pts got=$got want=$want")
+    }
+  }
+
+  test("property: triangleCounts equals brute-force enumeration on " +
+      "random graphs, and the k-core invariant holds (every core node " +
+      "keeps >= k core neighbors)") {
+    import graft.ext.Graph
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 11L),
+      Gen.choose(0L, 11L))).map(_.filter(e => e._1 != e._2))
+    forAllSampled(edgeGen, 6) { raw =>
+      if (raw.nonEmpty) {
+        val edges = raw.map(e =>
+          (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+        val adj = edges.flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        // brute force: count triangles per node over all vertex triples
+        val nodes = adj.keys.toSeq.sorted
+        val bruteCounts = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for {
+          Seq(a, b, c) <- nodes.combinations(3)
+          if adj(a)(b) && adj(a)(c) && adj(b)(c)
+        } { bruteCounts(a) += 1; bruteCounts(b) += 1; bruteCounts(c) += 1 }
+        val got = Graph.triangleCounts(edges.toDF("a_id", "b_id"),
+            "a_id", "b_id")
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> r._2).toMap
+        assert(got == bruteCounts.toMap.filter(_._2 > 0),
+          s"edges=$edges got=$got want=$bruteCounts")
+        // k-core invariant at k=2: every surviving node has >= 2
+        // surviving neighbors
+        val core = Graph.kCore(edges.toDF("a_id", "b_id"),
+            "a_id", "b_id", k = 2)
+          .as[(Long, Long)].collect().toMap
+        core.foreach { case (n, d) =>
+          assert(d >= 2, s"core node $n has degree $d < 2")
+          assert(adj(n).count(core.contains) == d,
+            s"core degree of $n inconsistent")
+        }
+      }
+    }
+  }
+
+  test("property: groupPercentilesCont matches a driver-side reference " +
+      "interpolation on random value sets") {
+    import graft.ext.Profiling
+    val vGen = Gen.listOfN(25, Gen.choose(0, 9999).map(_ / 100.0))
+    forAllSampled(vGen, 8) { vs =>
+      val df = vs.map(("g", _)).toDF("grp", "v")
+      val out = Profiling.groupPercentilesCont(df, "grp", "v", Seq(50, 90))
+        .collect().head
+      def ref(p: Int): Double = {
+        val sorted = vs.map(v => math.round(v * 100)).sorted
+        val h = (sorted.size - 1).toLong * p
+        val lo = (h / 100).toInt
+        val m = h % 100
+        val hi = if (m > 0) sorted(lo + 1) else sorted(lo)
+        (sorted(lo) * (100 - m) + hi * m) / 10000.0
+      }
+      assert(out.getDouble(2) == ref(50) && out.getDouble(3) == ref(90),
+        s"vs=$vs got=(${out.getDouble(2)}, ${out.getDouble(3)}) " +
+          s"want=(${ref(50)}, ${ref(90)})")
+    }
+  }
 }

@@ -380,6 +380,31 @@ class ScaleSpec extends AnyFunSuite {
     info(s"pairs=$p1 bound=$bound")
   }
 
+  test("the approx_percentile swap DEPLOY recommends for outsized " +
+      "groups: measured relative error vs the exact rank-selected " +
+      "percentiles stays inside the sketch's accuracy contract") {
+    import graft.ext.Profiling
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val exact = Profiling.groupPercentiles(ev, "event_type", "value",
+        Seq(50, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val errs = exact.keys.map { g =>
+      val (e50, e99) = exact(g); val (a50, a99) = approx(g)
+      math.max(math.abs(a50 - e50) / math.max(e50, 1e-9),
+        math.abs(a99 - e99) / math.max(e99, 1e-9))
+    }
+    // accuracy=10000 bounds rank error at n/10000; on these group
+    // sizes that is sub-percent in value space
+    assert(errs.max < 0.01, s"approx percentile error too big: ${errs.max}")
+    info(f"max relative error across groups/percentiles: ${errs.max}%.5f")
+  }
+
   test("KS/MW drift tests ride a value-grid window, not corpus rows: " +
       "doubling the corpus leaves the grid cardinality unchanged and " +
       "the grid is bounded by the value domain") {
