@@ -431,6 +431,32 @@ object Profiling {
       .orderBy(col("grp"))
   }
 
+  /** Data-contract expectation check: evaluate a set of named row-level
+    * rules (each a boolean "violated" predicate) in ONE scan and emit
+    * (rule, n_checked, n_violations) — the validation gate a pipeline
+    * runs before trusting (or deleting) a batch. Pure integer counts;
+    * set-level rules (uniqueness, referential integrity) compose
+    * alongside via their own aggregates and union in.
+    *
+    * Scale shape: one map-side-combined scalar agg regardless of rule
+    * count (k conditional sums ride the same pass); the tiny k-row
+    * result explodes from a single row — no per-rule scans.
+    */
+  def expectations(df: DataFrame,
+      rowRules: Seq[(String, Column)]): DataFrame = {
+    require(rowRules.nonEmpty, "at least one rule required")
+    val aggs = count(lit(1)).as("n_checked") +:
+      rowRules.map { case (name, violated) =>
+        sum(when(violated, 1L).otherwise(0L)).as(s"v_$name") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = rowRules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col(s"v_$name").as("n_violations")) }
+    one.select(col("n_checked"), explode(array(pairs: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("n_checked"),
+        col("r.n_violations"))
+      .orderBy(col("rule"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between two groups'
     * value distributions — THE nonparametric drift detector (did this
     * week's `value` distribution shift vs last week's?). D = sup_x

@@ -471,6 +471,35 @@ object PipelineQueries {
       TimeSeries.denseDailyCounts(Tables.events(s, d),
         "event_type", "ts")),
 
+    // data-contract expectations (round 11): row rules in ONE scan +
+    // set-level rules (key uniqueness, referential integrity to
+    // customer) unioned in — the validation gate before a batch is
+    // trusted or source rows are deleted
+    "q_expectations" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val rowRules = Profiling.expectations(o, Seq(
+        "key_not_null" -> col("o_orderkey").isNull,
+        "price_in_range" ->
+          !(col("o_totalprice") > 0.0 && col("o_totalprice") < 1000000.0),
+        "status_in_domain" -> !col("o_orderstatus").isin("O", "F", "P"),
+        "date_not_future" ->
+          (col("o_orderdate") > lit("2002-01-01").cast("date"))))
+      val n = o.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("n_violations"))
+        .select(lit("key_unique").as("rule"), col("n_checked"),
+          col("n_violations"))
+      val orphans = o.join(Tables.customer(s, d)
+            .select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "leftanti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n_checked"))))
+        .select(lit("custkey_referential").as("rule"), col("n_checked"),
+          col("n_violations"))
+      rowRules.unionByName(n).unionByName(orphans)
+        .orderBy(col("rule"))
+    }),
+
     // linear multi-touch attribution (round 11): clicks within 7 days
     // of a purchase split credit 1/n — the fairness twin of the
     // last-touch q_attribution; decimal credit sums are exact
@@ -1213,6 +1242,32 @@ object PipelineQueries {
         |FROM spine CROSS JOIN t
         |LEFT JOIN c ON c.grp = t.grp AND c.day = spine.day
         |ORDER BY t.grp, spine.day""".stripMargin,
+
+    "q_expectations" ->
+      """WITH n AS (SELECT COUNT(*) AS n_checked FROM orders),
+        |rr AS (
+        |  SELECT 'key_not_null' AS rule,
+        |    (SELECT n_checked FROM n) AS n_checked,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations FROM orders
+        |  UNION ALL SELECT 'price_in_range', (SELECT n_checked FROM n),
+        |    CAST(SUM(CASE WHEN NOT (o_totalprice > 0.0 AND
+        |      o_totalprice < 1000000.0) THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM orders
+        |  UNION ALL SELECT 'status_in_domain', (SELECT n_checked FROM n),
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'date_not_future', (SELECT n_checked FROM n),
+        |    CAST(SUM(CASE WHEN o_orderdate > DATE '2002-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'key_unique', (SELECT n_checked FROM n),
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |    FROM orders
+        |  UNION ALL SELECT 'custkey_referential', (SELECT n_checked FROM n),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+        |SELECT rule, n_checked, n_violations FROM rr
+        |ORDER BY rule""".stripMargin,
 
     // mirrors linearAttribution: per-(conv, touch) credit = one
     // rounded division; per-touch totals sum exactly in decimal

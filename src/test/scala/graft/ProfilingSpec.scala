@@ -423,6 +423,21 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out.getDouble(2) == 7.25 && out.getDouble(3) == 7.25)
   }
 
+  test("expectations: one scan, per-rule violation counts — nulls " +
+      "violate only the not-null rule (range rules skip NULL inputs by " +
+      "SQL semantics, documented)") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, -5.0), (null, 7.0), (4L, null))
+      .toDF("k", "v")
+    val out = Profiling.expectations(df, Seq(
+        "k_not_null" -> col("k").isNull,
+        "v_positive" -> !(col("v") > 0.0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map("k_not_null" -> (4L, 1L), "v_positive" -> (4L, 1L)),
+      out.toString)
+  }
+
   // ---- ksTest / mannWhitney ----------------------------------------------
 
   test("ksTest: hand-computed supremum — A={1,2,3} vs B={2,4} peaks at " +
