@@ -564,12 +564,14 @@ object Profiling {
     m.select(col("n_a"), col("n_b"), col("sy_a"), col("sy_b"),
         va.as("va"), vb.as("vb"))
       .select(col("n_a"), col("n_b"),
-        bround(col("sy_a").cast("double") /
+        // an absent side would make the mean 0/0 — NULL beats a NaN
+        // that one engine can't even cast to decimal
+        when(col("n_a") > 0, bround(col("sy_a").cast("double") /
           (col("n_a").cast("double") * lit(100.0)), 9)
-          .cast("decimal(18,9)").as("mean_a"),
-        bround(col("sy_b").cast("double") /
+          .cast("decimal(18,9)")).as("mean_a"),
+        when(col("n_b") > 0, bround(col("sy_b").cast("double") /
           (col("n_b").cast("double") * lit(100.0)), 9)
-          .cast("decimal(18,9)").as("mean_b"),
+          .cast("decimal(18,9)")).as("mean_b"),
         when(ok, bround(
           (col("sy_a").cast("double") / col("n_a").cast("double") -
             col("sy_b").cast("double") / col("n_b").cast("double")) /

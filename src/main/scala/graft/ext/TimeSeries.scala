@@ -412,7 +412,8 @@ object TimeSeries {
     */
   def interpolateHourly(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, maxGapHours: Int = 48): DataFrame = {
-    require(maxGapHours >= 1, s"maxGapHours must be >= 1, got $maxGapHours")
+    require(maxGapHours >= 1 && maxGapHours <= 24 * 366,
+      s"maxGapHours must be in [1, 8784], got $maxGapHours")
     val HourUs = 3600L * 1000000L
     val pts = events.select(col(keyCol).as("k"),
         unix_micros(col(tsCol)).as("us"),

@@ -1070,10 +1070,12 @@ object PipelineQueries {
         |    CAST(vb AS DOUBLE) / ((CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
         |      * (CAST(n_b AS DOUBLE) - 1.0)) AS qb FROM v)
         |SELECT n_a, n_b,
-        |  CAST(round(CAST(sy_a AS DOUBLE) /
-        |    (CAST(n_a AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) AS mean_a,
-        |  CAST(round(CAST(sy_b AS DOUBLE) /
-        |    (CAST(n_b AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) AS mean_b,
+        |  CASE WHEN n_a > 0 THEN CAST(round(CAST(sy_a AS DOUBLE) /
+        |    (CAST(n_a AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) END
+        |    AS mean_a,
+        |  CASE WHEN n_b > 0 THEN CAST(round(CAST(sy_b AS DOUBLE) /
+        |    (CAST(n_b AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) END
+        |    AS mean_b,
         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0 OR vb > 0) THEN
         |    CAST(round(
         |      (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
