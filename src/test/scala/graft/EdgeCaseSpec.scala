@@ -293,4 +293,34 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", Seq(50))
       .isEmpty)
   }
+
+  test("round-11 second-wave operators on empty/degenerate inputs " +
+      "return empty or well-defined results, never throw") {
+    import graft.ext.{Graph, Profiling, Ranking, TimeSeries}
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Graph.triangleCounts(noPairs, "a_id", "b_id").isEmpty)
+    assert(Graph.kCore(noPairs, "a_id", "b_id", k = 2).isEmpty)
+    assert(Graph.labelPropagation(noPairs, "a_id", "b_id").isEmpty)
+    // self-loops are dropped by normalization, not counted as cycles
+    assert(Graph.triangleCounts(Seq((1L, 1L)).toDF("a_id", "b_id"),
+      "a_id", "b_id").isEmpty)
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("k", "ts", "value")
+    assert(TimeSeries.interpolateHourly(noEvents, "k", "ts", "value")
+      .isEmpty)
+    val noVals = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Profiling.groupPercentilesCont(noVals, "g", "v", Seq(50))
+      .isEmpty)
+    assert(Profiling.groupRegression(noVals.withColumn("x", lit(1L)),
+      "g", col("x"), "v").isEmpty)
+    assert(Profiling.ksTest(noVals, "g", "v", "A", "B").isEmpty)
+    // single-point series: no segment, no marks
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"),
+      5.0)).toDF("k", "ts", "value")
+    assert(TimeSeries.interpolateHourly(one, "k", "ts", "value").isEmpty)
+    // skyline of identical points keeps all of them
+    val same = Seq((1L, 2.0, 3), (2L, 2.0, 3)).toDF("id", "cost", "gain")
+    assert(Ranking.skyline(same, col("cost"), col("gain"),
+      Seq(col("id"))).count() == 2)
+  }
 }

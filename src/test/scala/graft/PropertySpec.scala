@@ -501,6 +501,76 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: mannWhitney matches a driver-side midrank reference " +
+      "on random two-sample splits (ties included)") {
+    import graft.ext.Profiling
+    val gen = Gen.listOfN(24, Gen.zip(Gen.oneOf("A", "B"),
+      Gen.choose(0, 8).map(_.toDouble)))
+    forAllSampled(gen, 8) { rows =>
+      val as = rows.filter(_._1 == "A").map(r => math.round(r._2 * 100))
+      val bs = rows.filter(_._1 == "B").map(r => math.round(r._2 * 100))
+      if (as.nonEmpty && bs.nonEmpty) {
+        val out = Profiling.mannWhitney(rows.toDF("g", "v"), "g", "v",
+          "A", "B").collect().head
+        // reference: midranks over the pooled sorted sample
+        val pooled = (as ++ bs).sorted
+        def midrank(v: Long): Double = {
+          val lo = pooled.indexOf(v); val hi = pooled.lastIndexOf(v)
+          (lo + 1 + hi + 1) / 2.0
+        }
+        val r1 = as.map(midrank).sum
+        val u1 = r1 - as.size.toLong * (as.size + 1) / 2.0
+        assert(out.getDouble(2) == u1,
+          s"rows=$rows got=${out.getDouble(2)} want=$u1")
+      }
+    }
+  }
+
+  test("property: interpolateHourly matches a driver-side reference on " +
+      "random irregular series — every mark inside a segment, exact " +
+      "blend, no duplicated boundary marks") {
+    import graft.ext.TimeSeries
+    val HourUs = 3600L * 1000000L
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val gen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 90L * 3600), Gen.choose(0, 5000)))
+    forAllSampled(gen, 8) { raw =>
+      val pts = raw.map { case (sec, cents) =>
+        (new java.sql.Timestamp(base + sec * 1000L), cents / 100.0) }
+      val df = pts.map(p => (1L, p._1, p._2)).toDF("k", "ts", "value")
+      val got = TimeSeries.interpolateHourly(df, "k", "ts", "value",
+          maxGapHours = 48)
+        .collect().map(r => (r.getTimestamp(1).getTime,
+          r.getDecimal(2))).toMap
+      // reference
+      val collapsed = pts.groupBy(_._1.getTime).map { case (tms, vs) =>
+        (tms, vs.map(v => math.round(v._2 * 100)).min) }
+        .toSeq.sortBy(_._1)
+      val want = collapsed.zip(collapsed.drop(1)).flatMap {
+        case ((t0ms, v0), (t1ms, v1)) =>
+          val t0 = t0ms * 1000L; val t1 = t1ms * 1000L
+          if (t1 - t0 > 48L * HourUs) Seq.empty
+          else {
+            val first = (t0 / HourUs + 1) * HourUs
+            val last = (t1 / HourUs) * HourUs
+            (first to last by HourUs).map { t =>
+              val num = v0 * (t1 - t) + v1 * (t - t0)
+              val exp = BigDecimal(num.toDouble / ((t1 - t0) * 100.0))
+                .setScale(9, BigDecimal.RoundingMode.HALF_EVEN)
+              t -> exp
+            }
+          }
+      }.toMap
+      assert(got.keySet == want.keySet.map(_ / 1000L),
+        s"marks differ: got=${got.keySet} want=${want.keySet}")
+      want.foreach { case (tus, exp) =>
+        val g = BigDecimal(got(tus / 1000L))
+        assert((g - exp).abs <= BigDecimal("0.000000001"),
+          s"t=$tus got=$g want=$exp")
+      }
+    }
+  }
+
   test("property: groupPercentilesCont matches a driver-side reference " +
       "interpolation on random value sets") {
     import graft.ext.Profiling
