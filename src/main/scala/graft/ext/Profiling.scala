@@ -742,9 +742,8 @@ object Profiling {
     * moments come from integer-cents sums (the `q_variance_stats`
     * hi/lo-split pattern — any partitioning, any engine, same bits),
     * so mean/stddev are bit-identical doubles and the |z| ≥ `zCut`
-    * membership is deterministic. Output carries z rounded through
-    * DECIMAL(18,9) (display stability; the FILTER uses the raw
-    * double).
+    * membership is deterministic. Output carries z as bround(…, 6)
+    * DOUBLE (display stability; the FILTER uses the raw double).
     *
     * Scale shape: one two-phase (group) agg over cents partials, the
     * per-group moments broadcast back (group cardinality = event
@@ -782,13 +781,14 @@ object Profiling {
     val z = (col("v") - col("mean")) / col("sd")
     withCents.join(broadcast(moments), Seq("grp"))
       .filter(abs(z) >= lit(zCut))
-      // bround before the decimal cast: a raw double landing exactly on
-      // a .5 tie at digit 10 rounds half-up in Spark's cast but
-      // half-to-even in DuckDB's (the labelCentroids/pageRank lesson,
-      // Graph.scala) — rounding to 9 digits first makes the cast
-      // tie-free on both engines.
+      // z emits as bround(…, 6) DOUBLE — the q_source_kl discipline.
+      // round(double, 9) → DECIMAL(18,9) proved NON-portable across
+      // DuckDB builds (two driver-gate rounds red on bit-level round
+      // disagreements at the 9th digit); at 6 digits the multiply-based
+      // vs exact-string rounding boundary shrinks by ~10³ per value and
+      // no decimal cast (a second engine-flavored rounding) is needed.
       .select(col("id"), col("grp"), col("v"),
-        bround(z, 9).cast("decimal(18,9)").as("z"))
+        bround(z, 6).as("z"))
       .orderBy(col("id"))
   }
 }

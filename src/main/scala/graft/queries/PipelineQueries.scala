@@ -797,7 +797,7 @@ object PipelineQueries {
         |    CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
         |  FROM m2),
         |m4 AS (SELECT * FROM m3 WHERE sd > 0)
-        |SELECT id, grp, v, CAST(round((v - mean) / sd, 9) AS DECIMAL(18,9)) AS z
+        |SELECT id, grp, v, round((v - mean) / sd, 6) AS z
         |FROM c JOIN m4 USING (grp)
         |WHERE abs((v - mean) / sd) >= 3.0
         |ORDER BY id""".stripMargin,

@@ -76,7 +76,7 @@ class ProfilingSpec extends AnyFunSuite {
       "event_id", zCut = 3.0).collect()
     assert(out.length == 1)
     assert(out.head.getLong(0) == 19L)
-    val z = out.head.getDecimal(3).doubleValue()
+    val z = out.head.getDouble(3)
     assert(math.abs(z - 4.2485) < 1e-3, s"z=$z")
   }
 
