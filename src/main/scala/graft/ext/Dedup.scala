@@ -506,9 +506,14 @@ object Dedup {
     * [[minhashNearDupPairsFromHashedSets]]: both sides band their
     * signatures, candidates come from an (band_id, band_hash) equi-join
     * of batch bands against archive bands, and exact hashed-set Jaccard
-    * verifies. At threshold 0.8 with b=16, r=4 the candidate recall is
-    * ≈1 (same curve as the self-join variant), so the output equals the
-    * unblocked batch×archive definition — hence the oracle twin.
+    * verifies. At threshold 0.8 the registered configuration is
+    * (numPerms, bands) = (48, 16) ⇒ r = 3, the TuneMinhash-picked point
+    * documented at the q_dedup_minhash call site: per-pair miss
+    * probability at J = 0.8 is ≈ 1e-5, so candidate recall ≈ 1 (same
+    * curve as the self-join variant) and the output equals the
+    * unblocked batch×archive definition — hence the oracle twin. (The
+    * parameter defaults are 64/16 ⇒ r = 4, a slightly flatter curve
+    * with the same ≈1 recall at 0.8.)
     *
     * Scale shape: the archive's banded frame is the INDEX — at 100 TB
     * it persists once (bucketed by band_hash) and every ingest joins

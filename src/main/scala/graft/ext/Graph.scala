@@ -98,7 +98,8 @@ object Graph {
     * tuning knob; hitting it throws rather than returning a non-core.
     */
   def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
-      maxIterations: Int = 100): DataFrame = {
+      maxIterations: Int = 100,
+      onConverged: Int => Unit = _ => ()): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var edges = pairs.select(
         least(col(aCol), col(bCol)).as("u"),
@@ -126,6 +127,7 @@ object Graph {
       edges = next
       n = m
     }
+    onConverged(iter)
     edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -82,8 +82,9 @@ object Profiling {
     * every engine, unlike float formatting or a log10-based exponent
     * (which can land one-off at powers of ten). The observed share is
     * an exact-integer quotient; the expected share is ONE libm log10
-    * per OUTPUT row (≤ 9 rows) through bround(…, 9) + DECIMAL(18,9)
-    * — the standard determinism policy for transcendental outputs.
+    * per OUTPUT row (≤ 9 rows) through bround(…, 6) as DOUBLE — the
+    * portable determinism policy for transcendental outputs (round-9
+    * decimals proved engine-version-sensitive at the driver gate).
     *
     * Scale shape: one two-phase (digit) count over a map-side
     * projection — the cheapest possible profile — with the total
@@ -105,8 +106,8 @@ object Profiling {
       .select(col("digit"), col("n"),
         (col("n").cast("double") / col("total").cast("double"))
           .as("obs_share"),
-        bround(log10(lit(1.0) + lit(1.0) / col("digit")), 9)
-          .cast("decimal(18,9)").as("exp_share"))
+        bround(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("exp_share"))
       .orderBy(col("digit"))
   }
 
@@ -256,7 +257,9 @@ object Profiling {
     * [[groupPercentiles]] integer-rank machinery); |v − median| is one
     * IEEE subtraction per row (bit-deterministic); the flag compares
     * doubles computed identically on any engine, and the reported
-    * score rounds through bround(…, 9) + DECIMAL(18,9). Zero-MAD
+    * score is the raw |v−med|/MAD quotient — value copies and three
+    * IEEE ops (abs, −, /), bit-identical everywhere with NO engine
+    * rounding in the path. Zero-MAD
     * groups (≥ half the rows at the median) have no robust scale and
     * drop out, like sd = 0 in the moment variant.
     *
@@ -286,8 +289,7 @@ object Profiling {
     dev.join(broadcast(mad), Seq("grp"))
       .filter(col("ad") >= lit(kCut) * col("mad"))
       .select(col("id"), col("grp"), col("v"),
-        bround(col("ad") / col("mad"), 9).cast("decimal(18,9)")
-          .as("robust_score"))
+        (col("ad") / col("mad")).as("robust_score"))
       .orderBy(col("id"))
   }
 
@@ -323,7 +325,8 @@ object Profiling {
     * form r = (N·Σxy − Σx·Σy) / √((N·Σx² − Σx²ᵗᵒᵗ)(N·Σy² − Σy²ᵗᵒᵗ))
     * assembles in DECIMAL(38,0) (exact at petabyte counts), and ONLY
     * the final quotient touches floating point — one √ per group,
-    * rounded through bround(…, 9) + DECIMAL(18,9). The
+    * emitted through bround(…, 6) as DOUBLE (coarse enough to absorb
+    * both engine-round differences and int128→double cast ULPs). The
     * feature-correlation profile a training pipeline checks before
     * trusting a signal (`corr` built-in runs float partials whose merge
     * order varies; this one cannot).
@@ -358,8 +361,8 @@ object Profiling {
       .filter(col("dx") > 0 && col("dy") > 0)
       .select(col("grp"), col("n"),
         bround(col("num").cast("double") /
-          sqrt(col("dx").cast("double") * col("dy").cast("double")), 9)
-          .cast("decimal(18,9)").as("r"))
+          sqrt(col("dx").cast("double") * col("dy").cast("double")), 6)
+          .as("r"))
       .orderBy(col("grp"))
   }
 
@@ -369,7 +372,7 @@ object Profiling {
     * integer-moment machinery as [[groupCorrelation]]: y is cents
     * (exact), x is a small integer, all five sums are exact BIGINT →
     * DECIMAL(38,0) closed forms, then ONE double division per output
-    * column rounded through DECIMAL(18,9):
+    * column emitted through bround(…, 6) as DOUBLE:
     *
     *   slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)        [value/x-unit]
     *   intercept = (Σy·Σxx − Σx·Σxy) / (n·Σxx − Σx²)      [value at x=0]
@@ -417,17 +420,15 @@ object Profiling {
         // cents → value units: one division per column, denominator
         // pre-scaled by 100 so the quotient is a single IEEE op
         bround(col("num").cast("double") /
-          (col("dx").cast("double") * 100.0), 9)
-          .cast("decimal(18,9)").as("slope"),
+          (col("dx").cast("double") * 100.0), 6).as("slope"),
         bround(col("ic").cast("double") /
-          (col("dx").cast("double") * 100.0), 9)
-          .cast("decimal(18,9)").as("intercept"),
+          (col("dx").cast("double") * 100.0), 6).as("intercept"),
         // dy = 0 (constant y) ⇒ num = 0 too: define r² as NULL rather
         // than evaluate 0/0 (NaN in Spark, engine-dependent elsewhere)
         when(col("dy") > 0, bround(
           (col("num").cast("double") * col("num").cast("double")) /
-            (col("dx").cast("double") * col("dy").cast("double")), 9)
-          .cast("decimal(18,9)")).as("r2"))
+            (col("dx").cast("double") * col("dy").cast("double")), 6))
+          .as("r2"))
       .orderBy(col("grp"))
   }
 
@@ -464,8 +465,8 @@ object Profiling {
     * DISTINCT value the CDF difference is |c_a·n_b − c_b·n_a| /
     * (n_a·n_b), so the supremum is a max over exact DECIMAL(38,0)
     * numerators with ONE division at the end, plus one sqrt for the
-    * scaled statistic √(n_a·n_b/(n_a+n_b))·D through the DECIMAL(18,9)
-    * rounding discipline. Ties inside and across samples are handled
+    * scaled statistic √(n_a·n_b/(n_a+n_b))·D through the bround(…, 6)
+    * DOUBLE discipline. Ties inside and across samples are handled
     * by construction — the CDF is evaluated after collapsing to
     * per-value counts, exactly as the definition demands.
     *
@@ -508,8 +509,8 @@ object Profiling {
           sqrt((col("n_a").cast("double") * col("n_b").cast("double")) /
             (col("n_a") + col("n_b")).cast("double")) *
           (col("dmax").cast("double") /
-            (col("n_a").cast("double") * col("n_b").cast("double"))), 9)
-          .cast("decimal(18,9)").as("ks"))
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+          .as("ks"))
   }
 
   /** Welch's unequal-variance t-test between two groups — the
@@ -520,7 +521,8 @@ object Profiling {
     * twice via conditional aggregation in ONE scan); the variance
     * numerators v = n·Σy²−(Σy)² are exact DECIMAL(38,0); everything
     * after is a FIXED chain of IEEE ops mirrored verbatim in the
-    * oracle, landing in DECIMAL(18,9). Degenerate inputs (a side with
+    * oracle — means as raw doubles, t/df through bround(…, 6) as
+    * DOUBLE. Degenerate inputs (a side with
     * n < 2, or both variances zero) emit NULL t/df rather than a NaN
     * that hashes differently per engine.
     *
@@ -564,23 +566,22 @@ object Profiling {
     m.select(col("n_a"), col("n_b"), col("sy_a"), col("sy_b"),
         va.as("va"), vb.as("vb"))
       .select(col("n_a"), col("n_b"),
-        // an absent side would make the mean 0/0 — NULL beats a NaN
-        // that one engine can't even cast to decimal
-        when(col("n_a") > 0, bround(col("sy_a").cast("double") /
-          (col("n_a").cast("double") * lit(100.0)), 9)
-          .cast("decimal(18,9)")).as("mean_a"),
-        when(col("n_b") > 0, bround(col("sy_b").cast("double") /
-          (col("n_b").cast("double") * lit(100.0)), 9)
-          .cast("decimal(18,9)")).as("mean_b"),
+        // an absent side would make the mean 0/0 — NULL beats an
+        // engine-flavored NaN. Means are RAW doubles: exact BIGINT
+        // inputs, one IEEE division — bit-identical on any engine.
+        when(col("n_a") > 0, col("sy_a").cast("double") /
+          (col("n_a").cast("double") * lit(100.0))).as("mean_a"),
+        when(col("n_b") > 0, col("sy_b").cast("double") /
+          (col("n_b").cast("double") * lit(100.0))).as("mean_b"),
         when(ok, bround(
           (col("sy_a").cast("double") / col("n_a").cast("double") -
             col("sy_b").cast("double") / col("n_b").cast("double")) /
-          sqrt(qa + qb), 9).cast("decimal(18,9)")).as("t"),
+          sqrt(qa + qb), 6)).as("t"),
         when(ok, bround(
           ((qa + qb) * (qa + qb)) /
           (qa * qa / (col("n_a").cast("double") - lit(1.0)) +
-            qb * qb / (col("n_b").cast("double") - lit(1.0))), 9)
-          .cast("decimal(18,9)")).as("df"))
+            qb * qb / (col("n_b").cast("double") - lit(1.0))), 6))
+          .as("df"))
   }
 
   /** Exact Mann–Whitney U (rank-sum) between two groups — the
@@ -591,7 +592,7 @@ object Profiling {
     * doubled rank-sum gives 2·U₁ = 2R₁ − 2·n₁(n₁+1)/2 exactly, and the
     * tie-corrected variance numerator n₁·n₂·(N³−N−Σ(t³−t)) and
     * denominator 12·N·(N−1) are exact DECIMAL(38,0). One division +
-    * one sqrt land in z through the DECIMAL(18,9) discipline;
+    * one sqrt land in z through the bround(…, 6) DOUBLE discipline;
     * all-values-tied degenerates to zero variance → NULL z.
     *
     * Scale shape: identical to ksTest — per-value count grid, one
@@ -636,27 +637,25 @@ object Profiling {
         (col("u2x").cast("double") / 2.0).as("u"),
         when(col("s") > 0, bround(
           (col("u2x") - col("n_a").cast(d38) * col("n_b").cast(d38))
-            .cast("double") / zDen, 9)
-          .cast("decimal(18,9)")).as("z"))
+            .cast("double") / zDen, 6)).as("z"))
   }
 
   /** Chi-square test of independence over an integer contingency table:
     * χ² = Σ_cells (O·N − rs·cs)² / (N·rs·cs) — the algebraic clearing of
-    * the usual (O−E)²/E, so numerator and denominator are EXACT
-    * DECIMAL(38,0) integers per cell; each cell contributes one double
-    * quotient rounded through DECIMAL(18,9) and the per-cell terms sum
-    * exactly (order-independent). The
+    * the usual (O−E)²/E, so the deviation O·N − rs·cs is ONE exact
+    * DECIMAL(38,0) integer per cell; it converts to double once, the
+    * square and the ((N·rs)·cs) denominator run in a fixed IEEE chain,
+    * and each term lands through bround(…, 6) + DECIMAL(28,6) so the
+    * per-cell terms still sum exactly (order-independent). Squaring in
+    * double (not decimal) avoids the silent DECIMAL(38,0)² overflow →
+    * NULL → sum-skips-the-term failure past N ≈ 10⁹. The
     * does-this-feature-depend-on-that-one gate, deterministic enough to
     * gate on.
     *
     * Scale shape: the corpus collapses to the contingency grid
     * (rows × cols cells) in one two-phase count agg; margins come from
     * grid-sized windows (the unpartitioned window runs on CELLS, never
-    * rows); everything after is cell-local arithmetic. Exactness bound:
-    * dev² needs 2·digits(N·O) ≤ 38, i.e. exact up to N ≈ 10⁹ rows —
-    * beyond that, square dev in double (the term is about to be a
-    * double quotient anyway, and the relative error is ~1e-16 against
-    * a χ² compared to O(1) critical values).
+    * rows); everything after is cell-local arithmetic.
     */
   def chiSquare(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
     val observed = df.select(rowCol.as("r"), colCol.as("c"))
@@ -672,7 +671,6 @@ object Profiling {
     val wr = Window.partitionBy(col("r"))
     val wc = Window.partitionBy(col("c"))
     val wAll = Window.partitionBy(lit(1))
-    val d38 = "decimal(38,0)"
     val withMargins = cells
       .withColumn("rs", sum(col("o")).over(wr))
       .withColumn("cs", sum(col("o")).over(wc))
@@ -681,14 +679,22 @@ object Profiling {
         size(collect_set(col("r")).over(wAll)).cast("long"))
       .withColumn("nc",
         size(collect_set(col("c")).over(wAll)).cast("long"))
-    val dev = withMargins("o").cast(d38) * withMargins("nn").cast(d38) -
-      withMargins("rs").cast(d38) * withMargins("cs").cast(d38)
-    val term = (dev * dev).cast("double") /
-      (withMargins("nn").cast(d38) * withMargins("rs").cast(d38) *
-        withMargins("cs").cast(d38)).cast("double")
+    val d19 = "decimal(19,0)"
+    val dev = withMargins("o").cast(d19) * withMargins("nn").cast(d19) -
+      withMargins("rs").cast(d19) * withMargins("cs").cast(d19)
+    // square in DOUBLE, not decimal: dev² as DECIMAL(38,0)×DECIMAL(38,0)
+    // silently overflows to NULL past N≈10⁹ under non-ANSI decimal
+    // rules and sum() would skip the term (ADVICE r11). dev itself is
+    // one exact DECIMAL(38,0); its →double conversion plus the fixed
+    // ((nn·rs)·cs) double product is the identical IEEE chain on both
+    // engines, and the per-term bround(…, 6) absorbs conversion ULPs.
+    val devD = dev.cast("double")
+    val term = (devD * devD) /
+      ((withMargins("nn").cast("double") * withMargins("rs").cast("double")) *
+        withMargins("cs").cast("double"))
     withMargins
       .select(col("nr"), col("nc"), col("nn"),
-        bround(term, 9).cast("decimal(18,9)").as("term"))
+        bround(term, 6).cast("decimal(28,6)").as("term"))
       .groupBy(col("nr"), col("nc"), col("nn"))
       .agg(sum(col("term")).cast("double").as("chi2"))
       .select(col("chi2"),

@@ -88,8 +88,7 @@ object TextAnalysis {
       // "no slope defined" on both
       .select(col("n_ranked"),
         when(col("den") === 0.0, lit(null).cast("double"))
-          .otherwise(bround(col("num") / col("den"), 9)
-            .cast("decimal(28,9)").cast("double"))
+          .otherwise(bround(col("num") / col("den"), 6))
           .as("zipf_slope"))
   }
 

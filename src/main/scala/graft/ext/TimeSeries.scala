@@ -297,10 +297,17 @@ object TimeSeries {
     val totals = daily.groupBy(col("grp"))
       .agg(sum(col("cents")).as("s_total"), sum(col("n_day")).as("n_total"),
         count(lit(1)).as("n_days"))
+    // DECIMAL(19,0) × DECIMAL(19,0) → DECIMAL(38,0) on BOTH engines
+    // (exact int128 products); the oracle mirrors these casts verbatim.
+    // The previous mixed decimal×BIGINT form let DuckDB route through
+    // HUGEINT, whose conversion chain proved engine-version-sensitive
+    // at the driver gate (r11).
+    val d19 = "decimal(19,0)"
     val scored = cum.join(broadcast(totals), Seq("grp"))
       .withColumn("score",
-        abs(col("n_total").cast("decimal(38,0)") * col("c_t") -
-          col("n_t").cast("decimal(38,0)") * col("s_total")))
+        abs(col("n_total").cast(d19) * col("c_t").cast(d19) -
+          col("n_t").cast(d19) * col("s_total").cast(d19))
+          .cast("decimal(38,0)"))
     val wBest = Window.partitionBy(col("grp"))
       .orderBy(col("score").desc, col("day").asc)
     scored
@@ -349,9 +356,10 @@ object TimeSeries {
   /** Linear (equal-split) multi-touch attribution — the fairness twin
     * of [[lastTouchAttribution]]: every touch inside the conversion's
     * lookback window shares credit 1/n equally. Credit per (conversion,
-    * touch) is ONE double division rounded through DECIMAL(18,9), so
-    * per-touch totals are exact decimal sums (order-independent) and
-    * cross-engine identical. Returns per-touch totals.
+    * touch) is the exact integer ⌊10⁶/n⌋ parts-per-million, so
+    * per-touch totals are exact BIGINT sums (order-independent) and
+    * cross-engine identical with zero float ops. Returns per-touch
+    * totals.
     *
     * Scale shape: the stream filters to the two event types FIRST,
     * then one user-keyed band join (touch ≤ conv ≤ touch + window —
@@ -378,12 +386,13 @@ object TimeSeries {
     val perConv = Window.partitionBy(col("conv_id"))
     pairs
       .withColumn("n_touches", count(lit(1)).over(perConv))
-      .withColumn("credit",
-        bround(lit(1.0) / col("n_touches").cast("double"), 9)
-          .cast("decimal(18,9)"))
+      // credit in exact parts-per-million: 10⁶ div n floors identically
+      // on every engine (positive integers), and the per-touch total is
+      // an exact BIGINT sum — no float, no rounding discipline at all
+      .withColumn("credit_ppm", expr("1000000L div n_touches"))
       .groupBy(col("touch_id"))
       .agg(count(lit(1)).as("n_convs"),
-        sum(col("credit")).cast("decimal(18,9)").as("credit_total"))
+        sum(col("credit_ppm")).as("credit_ppm"))
       .orderBy(col("touch_id"))
   }
 
@@ -398,8 +407,14 @@ object TimeSeries {
     *
     * All inputs integer (µs timestamps, cent values): the numerator is
     * exact BIGINT (< 2⁶³ for cents × 48h-µs), ONE double division per
-    * output row rounded through DECIMAL(18,9) — the standard one-libm-
-    * call discipline. Duplicate readings at the same (key, µs) collapse
+    * output row emitted RAW — int64→double conversion and IEEE division
+    * are exactly specified, so the raw quotient is bit-identical on any
+    * engine with no rounding step to disagree on. Hour bucketing uses
+    * truncating integer division, which equals floor division only for
+    * the POSITIVE-epoch timestamps this operator assumes (pre-1970
+    * readings would bucket one hour late vs a floor-div engine — guard
+    * upstream if that ever matters). Duplicate readings at the same
+    * (key, µs) collapse
     * deterministically to the MIN value first (an ill-defined vertical
     * segment otherwise). Each mark is owned by exactly one segment
     * (strictly-after t₀, up-to-and-including t₁), so resampling never
@@ -431,11 +446,10 @@ object TimeSeries {
     seg.select(col("k"), col("us"), col("cv"), col("nus"), col("ncv"),
         explode(sequence(col("first"), col("last"), lit(HourUs))).as("t"))
       .select(col("k"), timestamp_micros(col("t")).as("ts_hour"),
-        bround(
-          (col("cv") * (col("nus") - col("t")) +
+        ((col("cv") * (col("nus") - col("t")) +
             col("ncv") * (col("t") - col("us"))).cast("double") /
-          ((col("nus") - col("us")) * 100L).cast("double"), 9)
-          .cast("decimal(18,9)").as("v_interp"))
+          ((col("nus") - col("us")) * 100L).cast("double"))
+          .as("v_interp"))
       .orderBy(col("k"), col("ts_hour"))
   }
 }

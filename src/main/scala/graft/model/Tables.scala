@@ -145,4 +145,18 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Recursive local-FS delete for the streaming/evolution queries'
+    * per-run staging dirs: repeated gate/bench runs must not leak disk
+    * (ADVICE r11). Local `java.io.File` only — these staging dirs are
+    * always driver-local temp space, never the archive.
+    */
+  def rmrf(paths: String*): Unit = paths.foreach { p =>
+    def go(f: java.io.File): Unit = {
+      val cs = f.listFiles()
+      if (cs != null) cs.foreach(go)
+      f.delete(): Unit
+    }
+    go(new java.io.File(p))
+  }
 }

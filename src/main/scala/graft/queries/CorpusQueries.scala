@@ -302,7 +302,7 @@ object CorpusQueries {
         |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den FROM s)
         |SELECT n_ranked,
         |  CASE WHEN den = 0 THEN NULL
-        |    ELSE CAST(CAST(num / den AS DECIMAL(28,9)) AS DOUBLE)
+        |    ELSE round(num / den, 6)
         |  END AS zipf_slope
         |FROM nd""".stripMargin,
 

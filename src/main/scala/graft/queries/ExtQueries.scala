@@ -263,9 +263,11 @@ object ExtQueries {
         .filter(col("doc_id") < 10)
         .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("token"),
-          // round(9): Math.log vs libm log differ by 1 ulp across engines
+          // round(6): Math.log vs libm log differ by 1 ulp across
+          // engines, and round-9-of-a-double itself proved engine-
+          // version-sensitive at the r11 gate — 6 digits absorbs both
           round(col("tf").cast("double") *
-            log(col("n_docs").cast("double") / col("df")), 9).as("tfidf"))
+            log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
         .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
         .limit(30)
     }),
@@ -980,7 +982,7 @@ object ExtQueries {
         |  (SELECT DISTINCT doc_id, token FROM toks) t GROUP BY token),
         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
         |SELECT doc_id, token,
-        |round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+        |round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
         |FROM tf JOIN df USING (token) CROSS JOIN nd
         |WHERE doc_id < 10
         |ORDER BY tfidf DESC, doc_id, token LIMIT 30""".stripMargin,

@@ -107,21 +107,22 @@ object PipelineQueries {
       Tables.eventsNative(s, d).repartition(4)
         .write.mode("overwrite").parquet(tmp)
       val sink = "graft_ohlc_stream_sink"
-      s.catalog.dropTempView(sink): Unit
-      // same state-store economics as q_stream_join: pin the stream's
-      // shuffle partitions to 8 (fresh checkpoint per run), restore in
-      // finally; the gate reads the materialized sink afterwards
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.Streaming.ohlcBars(
-            graft.streaming.Streaming.readEventsStream(s, tmp,
-              maxFilesPerTrigger = 1))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(sink)
+      // fresh session (ADVICE r11): the 8-partition state-store pin
+      // lives and dies with this stream — the caller's session conf is
+      // never mutated, so concurrent queries can't observe it; the
+      // fresh catalog also makes the sink name clash-free by scope
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.Streaming.ohlcBars(
+          graft.streaming.Streaming.readEventsStream(s2, tmp,
+            maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      // the memory sink holds the rows; the staged input is dead
+      // weight — delete it so repeated runs don't leak disk
+      Tables.rmrf(tmp)
+      s2.table(sink)
         .select(col("event_type").as("grp"),
           to_date(col("bucket_start")).as("bucket"),
           col("open"), col("high"), col("low"), col("close"), col("n"))
@@ -161,26 +162,23 @@ object PipelineQueries {
           s"could not stage stream file ${f.getName}")
       }
       val sink = "graft_stream_join_sink"
-      s.catalog.dropTempView(sink): Unit
       // Stateful-op cost here is (state stores = shuffle partitions) ×
       // micro-batches, not data volume — 32 session partitions mean 64
       // store instances per 4-batch run for a ~10 MB join state. Pin
-      // the stream to 8 (fresh checkpoint each run, so the store count
-      // re-derives cleanly); restored in finally, and the returned
-      // frame reads the already-materialized memory sink, so the
-      // restore can't affect the gate's evaluation.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.Streaming.purchaseSignupJoin(
-            graft.streaming.Streaming.readEventsStream(s, tmp,
-              maxFilesPerTrigger = 1))
-          .select(col("p_id"), col("s_id"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(sink).orderBy(col("p_id"), col("s_id"))
+      // the stream to 8 on a FRESH session (ADVICE r11): the pin dies
+      // with the stream instead of mutate-and-restore on the shared
+      // session conf.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.Streaming.purchaseSignupJoin(
+          graft.streaming.Streaming.readEventsStream(s2, tmp,
+            maxFilesPerTrigger = 1))
+        .select(col("p_id"), col("s_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      Tables.rmrf(staging, tmp)
+      s2.table(sink).orderBy(col("p_id"), col("s_id"))
     }),
 
     // Stateful streaming dedup through the ACTUAL incremental path
@@ -216,18 +214,16 @@ object PipelineQueries {
           s"could not stage stream file ${f.getName}")
       }
       val sink = "graft_stream_dedup_sink"
-      s.catalog.dropTempView(sink): Unit
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.Streaming.dedupedStream(
-            graft.streaming.Streaming.readEventsStream(s, tmp,
-              maxFilesPerTrigger = 1))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(sink)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.Streaming.dedupedStream(
+          graft.streaming.Streaming.readEventsStream(s2, tmp,
+            maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      Tables.rmrf(staging, tmp)
+      s2.table(sink)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
@@ -257,13 +253,19 @@ object PipelineQueries {
         graft.streaming.Streaming.readEventsStream(s, tmp,
           maxFilesPerTrigger = 1), out, ckpt).start()
       q.awaitTermination()
-      s.read.parquet(out)
+      // materialize the per-partition rollup (a handful of rows) so the
+      // staged input, the archive dir, and the checkpoint can all be
+      // deleted before returning — repeated runs leak nothing
+      val res = s.read.parquet(out)
         .groupBy(col("year").cast("long").as("year"),
           col("month").cast("long").as("month"))
         .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
           min(unix_micros(col("timestamp"))).as("min_us"),
           max(unix_micros(col("timestamp"))).as("max_us"))
         .orderBy(col("year"), col("month"))
+        .localCheckpoint()
+      Tables.rmrf(tmp, out, ckpt)
+      res
     }),
 
     // last-touch attribution: purchases attributed to the same user's
@@ -364,8 +366,9 @@ object PipelineQueries {
     // exact rank-weight form G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over cents —
     // the source-concentration audit a mixing pipeline runs. Ties are
     // safe: equal values swap ranks without moving Σi·xᵢ. All integer
-    // sums (W in DECIMAL(38,0)); only the two final quotients are
-    // doubles, computed identically on any engine.
+    // sums (W in DECIMAL(38,0)); the two final quotients land through
+    // bround(…, 6) as DOUBLE — coarse enough to absorb int128→double
+    // cast ULPs and engine-round differences (the r11 gate lesson).
     "q_gini" -> ((s, d) => {
       val w = Window.partitionBy(col("grp")).orderBy(col("cents").asc)
       Tables.events(s, d)
@@ -379,8 +382,8 @@ object PipelineQueries {
         .select(col("grp"), col("n"),
           bround((lit(2).cast("decimal(38,0)") * col("wsum")).cast("double") /
               (col("n").cast("decimal(38,0)") * col("s")).cast("double") -
-            (col("n") + 1).cast("double") / col("n"), 9)
-            .cast("decimal(18,9)").as("gini"))
+            (col("n") + 1).cast("double") / col("n"), 6)
+            .as("gini"))
         .orderBy(col("grp"))
     }),
 
@@ -502,15 +505,16 @@ object PipelineQueries {
 
     // linear multi-touch attribution (round 11): clicks within 7 days
     // of a purchase split credit 1/n — the fairness twin of the
-    // last-touch q_attribution; decimal credit sums are exact
+    // last-touch q_attribution; credit in exact integer ppm
     "q_attribution_linear" -> ((s, d) =>
       TimeSeries.linearAttribution(Tables.events(s, d),
         "user_id", "ts", "event_id", "event_type",
         touchType = "click", convType = "purchase", windowDays = 7)),
 
     // day-of-week seasonality profile (round 11): per-dow event counts
-    // and the seasonality index (dow share × 7) — exact integer ratio,
-    // one division per output row
+    // and the seasonality index (dow share × 7) in exact parts-per-
+    // billion — pure integer arithmetic with one floor division, no
+    // float anywhere (the q_percentile_cont integer-scaling pattern)
     "q_seasonality_dow" -> ((s, d) => {
       val counts = Tables.events(s, d)
         .groupBy(dayofweek(col("ts")).as("dow"))
@@ -518,9 +522,10 @@ object PipelineQueries {
       val total = counts.agg(sum(col("n")).as("total"))
       counts.crossJoin(broadcast(total))
         .select(col("dow"), col("n"),
-          bround((col("n") * 7L).cast("double") /
-            col("total").cast("double"), 9)
-            .cast("decimal(18,9)").as("idx"))
+          // n·7·10⁹ stays in BIGINT up to ~1.3·10⁹ events per dow;
+          // past that, route the product through DECIMAL(38,0) —
+          // the quotient stays the same exact integer
+          expr("(n * 7000000000L) div total").as("idx_ppb"))
         .orderBy(col("dow"))
     }),
 
@@ -576,7 +581,7 @@ object PipelineQueries {
 
     // hourly linear-interpolation resample (round 11): irregular user
     // readings onto the exact hour grid — integer µs/cents arithmetic,
-    // one rounded division per emitted mark, no joins (window + the
+    // one raw IEEE division per emitted mark, no joins (window + the
     // bounded row-local generate)
     "q_interpolate" -> ((s, d) =>
       TimeSeries.interpolateHourly(
@@ -766,8 +771,7 @@ object PipelineQueries {
         |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
         |SELECT digit, n,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS obs_share,
-        |  CAST(round(log10(1 + 1.0 / digit), 9) AS DECIMAL(18,9))
-        |    AS exp_share
+        |  round(log10(1 + 1.0 / digit), 6) AS exp_share
         |FROM g ORDER BY digit""".stripMargin,
 
     "q_domain_stats" ->
@@ -969,11 +973,13 @@ object PipelineQueries {
         |r AS (SELECT grp, cents, ROW_NUMBER() OVER (PARTITION BY grp
         |    ORDER BY cents ASC) AS rn FROM b),
         |m AS (SELECT grp, COUNT(*) AS n, SUM(cents) AS s,
-        |  SUM(CAST(rn AS HUGEINT) * cents) AS wsum FROM r GROUP BY grp)
+        |  SUM(CAST(rn AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+        |    AS wsum FROM r GROUP BY grp)
         |SELECT grp, CAST(n AS BIGINT) AS n,
-        |  CAST(round(CAST(2 * wsum AS DOUBLE) /
-        |      CAST(CAST(n AS HUGEINT) * s AS DOUBLE) -
-        |    CAST(n + 1 AS DOUBLE) / n, 9) AS DECIMAL(18,9)) AS gini
+        |  round(CAST(2 * wsum AS DOUBLE) /
+        |      CAST(CAST(n AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+        |        AS DOUBLE) -
+        |    CAST(n + 1 AS DOUBLE) / n, 6) AS gini
         |FROM m WHERE s > 0 ORDER BY grp""".stripMargin,
 
     "q_weekly_growth" ->
@@ -1018,8 +1024,9 @@ object PipelineQueries {
         |FROM daily JOIN rolling USING (day) ORDER BY day""".stripMargin,
 
     // mirrors groupCorrelation: integer moments (hi/lo split for Σcy²),
-    // HUGEINT closed-form assembly, ONE sqrt per group through
-    // round + DECIMAL(18,9)
+    // DECIMAL(38,0) closed-form assembly (no HUGEINT — its conversion
+    // chain proved engine-version-sensitive at the r11 gate), ONE sqrt
+    // per group through round(…, 6) as DOUBLE
     "q_correlation" ->
       """WITH b AS (SELECT event_type AS grp,
         |    CAST(hour(make_timestamp(epoch_ns(ts) // 1000)) AS BIGINT) AS x,
@@ -1030,15 +1037,17 @@ object PipelineQueries {
         |  SUM((cy * cy) % 1000000) AS syy_lo,
         |  SUM(x * cy) AS sxy FROM b GROUP BY grp),
         |a AS (SELECT grp, n,
-        |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
-        |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
-        |  CAST(n AS HUGEINT) * (syy_hi * 1000000 + syy_lo) -
-        |    CAST(sy AS HUGEINT) * sy AS dy
+        |  CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+        |  CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0)) -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS dx,
+        |  CAST(n AS DECIMAL(19,0)) *
+        |      CAST(syy_hi * 1000000 + syy_lo AS DECIMAL(19,0)) -
+        |    CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS dy
         |  FROM m)
         |SELECT grp, CAST(n AS BIGINT) AS n,
-        |  CAST(round(CAST(num AS DOUBLE) /
-        |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
-        |    AS DECIMAL(18,9)) AS r
+        |  round(CAST(num AS DOUBLE) /
+        |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) AS r
         |FROM a WHERE dx > 0 AND dy > 0 ORDER BY grp""".stripMargin,
 
     // mirrors Profiling.welchT: identical moment CTE and the verbatim
@@ -1060,37 +1069,38 @@ object PipelineQueries {
         |    SUM(CASE WHEN NOT isa THEN hi ELSE 0 END) AS hi_b,
         |    SUM(CASE WHEN NOT isa THEN lo ELSE 0 END) AS lo_b FROM b2),
         |v AS (SELECT n_a, n_b, sy_a, sy_b,
-        |    CAST(n_a AS HUGEINT) * (hi_a * 1000000 + lo_a)
-        |      - CAST(sy_a AS HUGEINT) * sy_a AS va,
-        |    CAST(n_b AS HUGEINT) * (hi_b * 1000000 + lo_b)
-        |      - CAST(sy_b AS HUGEINT) * sy_b AS vb FROM m),
+        |    CAST(n_a AS DECIMAL(19,0)) *
+        |        CAST(hi_a * 1000000 + lo_a AS DECIMAL(19,0))
+        |      - CAST(sy_a AS DECIMAL(19,0)) * CAST(sy_a AS DECIMAL(19,0))
+        |      AS va,
+        |    CAST(n_b AS DECIMAL(19,0)) *
+        |        CAST(hi_b * 1000000 + lo_b AS DECIMAL(19,0))
+        |      - CAST(sy_b AS DECIMAL(19,0)) * CAST(sy_b AS DECIMAL(19,0))
+        |      AS vb FROM m),
         |q AS (SELECT n_a, n_b, sy_a, sy_b, va, vb,
         |    CAST(va AS DOUBLE) / ((CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
         |      * (CAST(n_a AS DOUBLE) - 1.0)) AS qa,
         |    CAST(vb AS DOUBLE) / ((CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
         |      * (CAST(n_b AS DOUBLE) - 1.0)) AS qb FROM v)
         |SELECT n_a, n_b,
-        |  CASE WHEN n_a > 0 THEN CAST(round(CAST(sy_a AS DOUBLE) /
-        |    (CAST(n_a AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) END
-        |    AS mean_a,
-        |  CASE WHEN n_b > 0 THEN CAST(round(CAST(sy_b AS DOUBLE) /
-        |    (CAST(n_b AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) END
-        |    AS mean_b,
+        |  CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) /
+        |    (CAST(n_a AS DOUBLE) * 100.0) END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) /
+        |    (CAST(n_b AS DOUBLE) * 100.0) END AS mean_b,
         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0 OR vb > 0) THEN
-        |    CAST(round(
+        |    round(
         |      (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
         |        CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
-        |      sqrt(qa + qb), 9) AS DECIMAL(18,9)) END AS t,
+        |      sqrt(qa + qb), 6) END AS t,
         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va > 0 OR vb > 0) THEN
-        |    CAST(round(
+        |    round(
         |      ((qa + qb) * (qa + qb)) /
         |      (qa * qa / (CAST(n_a AS DOUBLE) - 1.0) +
-        |        qb * qb / (CAST(n_b AS DOUBLE) - 1.0)), 9)
-        |      AS DECIMAL(18,9)) END AS df
+        |        qb * qb / (CAST(n_b AS DOUBLE) - 1.0)), 6) END AS df
         |FROM q""".stripMargin,
 
     // mirrors Profiling.mannWhitney: doubled midranks 2·cprev + t + 1,
-    // HUGEINT moments, identical z parenthesization
+    // DECIMAL(38,0) moments (no HUGEINT), identical z parenthesization
     "q_mann_whitney" ->
       """WITH base AS (SELECT event_type AS g,
         |    CAST(round(value * 100, 0) AS BIGINT) AS cv
@@ -1105,26 +1115,33 @@ object PipelineQueries {
         |      PRECEDING AND 1 PRECEDING), 0) AS cprev FROM c2),
         |agg AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
         |    CAST(SUM(b) AS BIGINT) AS n_b,
-        |    SUM(CAST(a AS HUGEINT) * (2 * cprev + t + 1)) AS r1d,
-        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS tcorr FROM cp),
+        |    SUM(CAST(a AS DECIMAL(19,0)) *
+        |      CAST(2 * cprev + t + 1 AS DECIMAL(19,0))) AS r1d,
+        |    SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0)) *
+        |        CAST(t AS DECIMAL(12,0))
+        |      - CAST(t AS DECIMAL(19,0))) AS tcorr FROM cp),
         |s1 AS (SELECT n_a, n_b,
-        |    r1d - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2x,
-        |    CAST(n_a + n_b AS HUGEINT) * (n_a + n_b) * (n_a + n_b)
-        |      - (n_a + n_b) - tcorr AS s,
+        |    r1d - CAST(n_a AS DECIMAL(19,0)) *
+        |      CAST(n_a + 1 AS DECIMAL(19,0)) AS u2x,
+        |    CAST(n_a + n_b AS DECIMAL(12,0)) *
+        |        CAST(n_a + n_b AS DECIMAL(12,0)) *
+        |        CAST(n_a + n_b AS DECIMAL(12,0))
+        |      - CAST(n_a + n_b AS DECIMAL(19,0)) - tcorr AS s,
         |    n_a + n_b AS nn FROM agg)
         |SELECT n_a, n_b, CAST(u2x AS DOUBLE) / 2.0 AS u,
-        |  CASE WHEN s > 0 THEN CAST(round(
-        |    CAST(u2x - CAST(n_a AS HUGEINT) * n_b AS DOUBLE) /
+        |  CASE WHEN s > 0 THEN round(
+        |    CAST(u2x - CAST(n_a AS DECIMAL(19,0)) *
+        |      CAST(n_b AS DECIMAL(19,0)) AS DOUBLE) /
         |    (2.0 * sqrt(
         |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
         |        CAST(s AS DOUBLE)) /
         |      (12.0 * CAST(nn AS DOUBLE) *
-        |        (CAST(nn AS DOUBLE) - 1.0)))), 9) AS DECIMAL(18,9))
+        |        (CAST(nn AS DOUBLE) - 1.0)))), 6)
         |  END AS z
         |FROM s1""".stripMargin,
 
-    // mirrors Profiling.ksTest: HUGEINT deviation numerators on the
-    // distinct-value grid; the sqrt·(dmax/nanb) parenthesization is
+    // mirrors Profiling.ksTest: DECIMAL(38,0) deviation numerators on
+    // the distinct-value grid; the sqrt·(dmax/nanb) parenthesization is
     // copied exactly so both engines run the identical IEEE ops
     "q_ks_test" ->
       """WITH base AS (SELECT event_type AS g,
@@ -1139,18 +1156,18 @@ object PipelineQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |t AS (SELECT MAX(ca) AS n_a, MAX(cb) AS n_b FROM cum),
         |m AS (SELECT n_a, n_b,
-        |    MAX(abs(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a))
+        |    MAX(abs(CAST(ca AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) -
+        |      CAST(cb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))))
         |      AS dmax
         |  FROM cum, t WHERE n_a > 0 AND n_b > 0 GROUP BY n_a, n_b)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(dmax AS DOUBLE) /
         |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
-        |  CAST(round(
+        |  round(
         |    sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
         |      CAST(n_a + n_b AS DOUBLE)) *
         |    (CAST(dmax AS DOUBLE) /
-        |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 9)
-        |    AS DECIMAL(18,9)) AS ks
+        |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS ks
         |FROM m""".stripMargin,
 
     // mirrors Profiling.groupRegression: the q_correlation moment CTE
@@ -1168,21 +1185,24 @@ object PipelineQueries {
         |  SUM((cy * cy) % 1000000) AS syy_lo,
         |  SUM(x * cy) AS sxy FROM b GROUP BY grp),
         |a AS (SELECT grp, n,
-        |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
-        |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
-        |  CAST(n AS HUGEINT) * (syy_hi * 1000000 + syy_lo) -
-        |    CAST(sy AS HUGEINT) * sy AS dy,
-        |  CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS ic
+        |  CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+        |  CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0)) -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS dx,
+        |  CAST(n AS DECIMAL(19,0)) *
+        |      CAST(syy_hi * 1000000 + syy_lo AS DECIMAL(19,0)) -
+        |    CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS dy,
+        |  CAST(sy AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0)) -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) AS ic
         |  FROM m)
         |SELECT grp, CAST(n AS BIGINT) AS n,
-        |  CAST(round(CAST(num AS DOUBLE) /
-        |    (CAST(dx AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) AS slope,
-        |  CAST(round(CAST(ic AS DOUBLE) /
-        |    (CAST(dx AS DOUBLE) * 100.0), 9) AS DECIMAL(18,9)) AS intercept,
-        |  CASE WHEN dy > 0 THEN CAST(round(
+        |  round(CAST(num AS DOUBLE) /
+        |    (CAST(dx AS DOUBLE) * 100.0), 6) AS slope,
+        |  round(CAST(ic AS DOUBLE) /
+        |    (CAST(dx AS DOUBLE) * 100.0), 6) AS intercept,
+        |  CASE WHEN dy > 0 THEN round(
         |    (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
-        |    (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
-        |    AS DECIMAL(18,9)) END AS r2
+        |    (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) END AS r2
         |FROM a WHERE dx > 0 ORDER BY grp""".stripMargin,
 
     "q_chi_square" ->
@@ -1199,11 +1219,14 @@ object PipelineQueries {
         |  SUM(o) OVER () AS nn FROM cells),
         |k AS (SELECT COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc
         |  FROM cells),
+        |dv AS (SELECT nn, rs, cs,
+        |  CAST(CAST(o AS DECIMAL(19,0)) * CAST(nn AS DECIMAL(19,0)) -
+        |    CAST(rs AS DECIMAL(19,0)) * CAST(cs AS DECIMAL(19,0))
+        |    AS DOUBLE) AS dev FROM m),
         |tm AS (SELECT nn, CAST(round(
-        |    CAST((CAST(o AS HUGEINT) * nn - rs * cs) *
-        |      (CAST(o AS HUGEINT) * nn - rs * cs) AS DOUBLE) /
-        |    CAST(CAST(nn AS HUGEINT) * rs * cs AS DOUBLE), 9)
-        |    AS DECIMAL(18,9)) AS term FROM m)
+        |    (dev * dev) /
+        |    ((CAST(nn AS DOUBLE) * CAST(rs AS DOUBLE)) * CAST(cs AS DOUBLE)),
+        |    6) AS DECIMAL(28,6)) AS term FROM dv)
         |SELECT CAST(SUM(term) AS DOUBLE) AS chi2,
         |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
         |  CAST(nn AS BIGINT) AS n
@@ -1222,8 +1245,10 @@ object PipelineQueries {
         |t AS (SELECT grp, SUM(cents) AS s_total, SUM(n_day) AS n_total,
         |  COUNT(*) AS n_days FROM d GROUP BY grp),
         |sc AS (SELECT c.grp, c.day,
-        |  CAST(abs(CAST(t.n_total AS HUGEINT) * c.c_t -
-        |    CAST(c.n_t AS HUGEINT) * t.s_total) AS DECIMAL(38,0)) AS score,
+        |  CAST(abs(CAST(t.n_total AS DECIMAL(19,0)) *
+        |      CAST(c.c_t AS DECIMAL(19,0)) -
+        |    CAST(c.n_t AS DECIMAL(19,0)) *
+        |      CAST(t.s_total AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS score,
         |  t.n_days FROM c JOIN t USING (grp)),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
         |    ORDER BY score DESC, day ASC) AS rk FROM sc)
@@ -1286,9 +1311,7 @@ object PipelineQueries {
         |n AS (SELECT conv_id, touch_id,
         |    COUNT(*) OVER (PARTITION BY conv_id) AS n_touches FROM p)
         |SELECT touch_id, COUNT(*) AS n_convs,
-        |  CAST(SUM(CAST(round(CAST(1.0 AS DOUBLE) /
-        |    CAST(n_touches AS DOUBLE), 9) AS DECIMAL(18,9)))
-        |    AS DECIMAL(18,9)) AS credit_total
+        |  CAST(SUM(1000000 // n_touches) AS BIGINT) AS credit_ppm
         |FROM n GROUP BY touch_id ORDER BY touch_id""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday = 0); Spark's is 1-based
@@ -1299,8 +1322,7 @@ object PipelineQueries {
         |c AS (SELECT dow, COUNT(*) AS n FROM b GROUP BY dow),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
         |SELECT dow, n,
-        |  CAST(round(CAST(n * 7 AS DOUBLE) / CAST(total AS DOUBLE), 9)
-        |    AS DECIMAL(18,9)) AS idx
+        |  CAST((n * 7000000000) // total AS BIGINT) AS idx_ppb
         |FROM c, t ORDER BY dow""".stripMargin,
 
     "q_user_growth" ->
@@ -1340,8 +1362,8 @@ object PipelineQueries {
         |FROM q ORDER BY user_id""".stripMargin,
 
     // mirrors interpolateHourly: min-collapsed points, lead segments,
-    // hour marks via generate_series on µs BIGINTs, one rounded
-    // division per mark
+    // hour marks via generate_series on µs BIGINTs, one raw IEEE
+    // division per mark (exact int64 inputs ⇒ engine-identical bits)
     "q_interpolate" ->
       """WITH base AS (SELECT user_id AS k,
         |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us,
@@ -1359,9 +1381,8 @@ object PipelineQueries {
         |  FROM valid
         |  WHERE (us // 3600000000 + 1) <= (nus // 3600000000))
         |SELECT k AS user_id, make_timestamp(t) AS ts_hour,
-        |  CAST(round(CAST(cv * (nus - t) + ncv * (t - us) AS DOUBLE) /
-        |    CAST((nus - us) * 100 AS DOUBLE), 9) AS DECIMAL(18,9))
-        |    AS v_interp
+        |  CAST(cv * (nus - t) + ncv * (t - us) AS DOUBLE) /
+        |    CAST((nus - us) * 100 AS DOUBLE) AS v_interp
         |FROM marks ORDER BY user_id, ts_hour""".stripMargin,
 
     "q_anomaly_robust" ->
@@ -1381,8 +1402,7 @@ object PipelineQueries {
         |    THEN ad END) AS mad FROM r2 GROUP BY grp),
         |f AS (SELECT d.id, d.grp, d.v, d.ad, md.mad
         |  FROM d JOIN md USING (grp) WHERE md.mad > 0)
-        |SELECT id, grp, v,
-        |  CAST(round(ad / mad, 9) AS DECIMAL(18,9)) AS robust_score
+        |SELECT id, grp, v, ad / mad AS robust_score
         |FROM f WHERE ad >= 3.5 * mad
         |ORDER BY id""".stripMargin,
 
@@ -1468,15 +1488,17 @@ object PipelineQueries {
         |  SUM((cy * cy) % 1000000) AS syy_lo,
         |  SUM(x * cy) AS sxy FROM b GROUP BY grp),
         |a AS (SELECT grp, n,
-        |  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
-        |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
-        |  CAST(n AS HUGEINT) * (syy_hi * 1000000 + syy_lo) -
-        |    CAST(sy AS HUGEINT) * sy AS dy
+        |  CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
+        |  CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0)) -
+        |    CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS dx,
+        |  CAST(n AS DECIMAL(19,0)) *
+        |      CAST(syy_hi * 1000000 + syy_lo AS DECIMAL(19,0)) -
+        |    CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS dy
         |  FROM m)
         |SELECT grp, CAST(n AS BIGINT) AS n,
-        |  CAST(round(CAST(num AS DOUBLE) /
-        |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)
-        |    AS DECIMAL(18,9)) AS r
+        |  round(CAST(num AS DOUBLE) /
+        |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) AS r
         |FROM a WHERE dx > 0 AND dy > 0 ORDER BY grp""".stripMargin,
 
     "q_group_percentiles" ->

@@ -167,7 +167,9 @@ object RefQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
         .write.mode("overwrite").parquet(dir + "/epoch2")
-      s.read.option("mergeSchema", "true")
+      // materialize the rollup (event-type cardinality rows), then
+      // delete the epoch dirs — repeated gate/bench runs leak nothing
+      val res = s.read.option("mergeSchema", "true")
         .parquet(dir + "/epoch1", dir + "/epoch2")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -175,6 +177,9 @@ object RefQueries {
           (sum(coalesce(round(col("value") * 100, 0).cast("long"),
             lit(0L))).cast("double") / 100.0).as("value_total"))
         .orderBy(col("event_type"))
+        .localCheckpoint()
+      graft.model.Tables.rmrf(dir)
+      res
     }),
 
     // P5+F6 (README.md:93-101): equality / IN / range predicates over

@@ -126,7 +126,10 @@ object StatsQueries {
       RefQueries.eventsAsIot(s, d)
         .withColumn("arr", arr)
         .select(col("id"), col("device_id"),
-          round(weighted / wsum, 9).as("ewma"))
+          // round-6: the pow(0.8, k) weights are libm calls whose last
+          // bit can differ per engine; 6 digits absorbs that AND the
+          // engine-round-at-9 divergence the r11 gate exposed
+          round(weighted / wsum, 6).as("ewma"))
         .orderBy(col("id"))
     }),
 
@@ -229,7 +232,7 @@ object StatsQueries {
          |    list_reduce(list_transform(generate_series(1, len(l)),
          |      i -> l[i] * pow(0.8, len(l) - i)), (a, b) -> a + b) /
          |    list_reduce(list_transform(generate_series(1, len(l)),
-         |      i -> pow(0.8, i - 1)), (a, b) -> a + b), 9) AS ewma
+         |      i -> pow(0.8, i - 1)), (a, b) -> a + b), 6) AS ewma
          |FROM t ORDER BY id""".stripMargin,
 
     "q_basket_pairs" ->

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Graph
 
@@ -116,5 +117,33 @@ class GraphSpec extends AnyFunSuite {
     // {1,2,3} and {2,3,4}: nodes 2,3 in 2 triangles; 1,4 in 1
     val t = tris(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
     assert(t(1L)._1 == 1L && t(4L)._1 == 1L && t(2L)._1 == 2L && t(3L)._1 == 2L)
+  }
+
+  test("fixture pin (ADVICE r11): the q_kcore oracle unrolls exactly 10 " +
+      "peeling rounds — the sf0.01 co-purchase graph at k=12 must " +
+      "converge within them, or the gate fails as a cryptic data " +
+      "mismatch instead of this named depth limit") {
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory, s"fixture dir $sf absent")
+    // the exact q_kcore derivation (CorpusQueries): pre-1998 distinct
+    // (order, part) items → co-purchase pairs → k = 12 peel
+    val items = graft.model.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint()
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
+    var depth = -1
+    Graph.kCore(pairs, "a_id", "b_id", k = 12,
+      onConverged = d => depth = d).count(): Unit
+    // a converged round is the identity, so depth < 10 is fine slack;
+    // depth > 10 means the oracle's unroll no longer covers the fixture
+    // — regenerate the oracle's round count, don't chase value diffs
+    assert(depth >= 1 && depth <= 10,
+      s"q_kcore peeling depth $depth exceeds the oracle's 10 unrolled " +
+        "rounds (or the graph is empty) — fixture drifted")
   }
 }

@@ -296,13 +296,13 @@ class ProfilingSpec extends AnyFunSuite {
     val df = Seq(1.23, 9.50, 0.12, 0.05, 0.0, -3.0).toDF("v")
     val out = graft.ext.Profiling.benfordDigits(df, "v")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
-        r.getDecimal(3).doubleValue)).toSeq
+        r.getDouble(3))).toSeq
     assert(out.map(t => (t._1, t._2)) == Seq((1, 2L), (5, 1L), (9, 1L)))
     assert(out.map(_._3) == Seq(0.5, 0.25, 0.25))
-    // Benford constants: log10(2) ≈ 0.301029996, log10(1.2), log10(10/9)
-    assert(math.abs(out(0)._4 - 0.301029996) < 1e-9)
-    assert(math.abs(out(1)._4 - math.log10(1.2)) < 1e-9)
-    assert(math.abs(out(2)._4 - math.log10(10.0 / 9.0)) < 1e-9)
+    // Benford constants at the bround(…, 6) output precision
+    assert(math.abs(out(0)._4 - 0.301029996) < 1e-6)
+    assert(math.abs(out(1)._4 - math.log10(1.2)) < 1e-6)
+    assert(math.abs(out(2)._4 - math.log10(10.0 / 9.0)) < 1e-6)
   }
 
   // ---- correlation / chi-square ---------------------------------------
@@ -315,8 +315,7 @@ class ProfilingSpec extends AnyFunSuite {
       (7L, "fl", 0, 3.0), (8L, "fl", 1, 3.0))
       .toDF("id", "g", "x", "v")
     val out = graft.ext.Profiling.groupCorrelation(df, "g", col("x"), "v")
-      .collect().map(r => (r.getString(0),
-        r.getDecimal(2).doubleValue())).toMap
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
     assert(out == Map("up" -> 1.0, "dn" -> -1.0)) // "fl" dropped: dy = 0
   }
 
@@ -350,7 +349,7 @@ class ProfilingSpec extends AnyFunSuite {
       (10L, "a", 100.0)).toDF("id", "g", "v")
     val out = graft.ext.Profiling.robustOutliers(df, "g", "v", "id", 3.5)
       .collect().map(r => (r.getLong(0), r.getDouble(2),
-        r.getDecimal(3).doubleValue())).toSeq
+        r.getDouble(3))).toSeq
     assert(out == Seq((10L, 100.0, 47.5)))
     // the same value under the MOMENT z-score at cut 3.0: stddev ≈ 29.8
     // is inflated by the outlier itself → z ≈ 2.85 < 3 and it escapes —
@@ -448,14 +447,14 @@ class ProfilingSpec extends AnyFunSuite {
     assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
     // deviations ×(n1·n2): x=1→2, x=2→1, x=3→3, x=4→0 ⇒ D = 3/6
     assert(r.getDouble(2) == 0.5, r.toString)
-    assert(math.abs(r.getDecimal(3).doubleValue -
-      math.sqrt(6.0 / 5.0) * 0.5) < 1e-9, r.toString)
+    assert(math.abs(r.getDouble(3) -
+      math.sqrt(6.0 / 5.0) * 0.5) < 1e-6, r.toString)
   }
 
   test("ksTest: identical samples give D = 0 exactly") {
     val df = Seq(("A", 5.0), ("A", 7.0), ("B", 5.0), ("B", 7.0)).toDF("g", "v")
     val r = Profiling.ksTest(df, "g", "v", "A", "B").collect().head
-    assert(r.getDouble(2) == 0.0 && r.getDecimal(3).doubleValue == 0.0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
   }
 
   test("mannWhitney: hand-computed midranks — A={1,2} vs B={2,3} gives " +
@@ -468,11 +467,11 @@ class ProfilingSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.5, r.toString)
     // σ² = n₁n₂(N³−N−Σ(t³−t))/(12N(N−1)) = 4·54/144 = 1.5;
     // z = (0.5−2)/√1.5 = −√1.5
-    assert(math.abs(r.getDecimal(3).doubleValue + math.sqrt(1.5)) < 1e-9,
+    assert(math.abs(r.getDouble(3) + math.sqrt(1.5)) < 1e-6,
       r.toString)
     val tied = Seq(("A", 3.0), ("A", 3.0), ("B", 3.0)).toDF("g", "v")
     val t = Profiling.mannWhitney(tied, "g", "v", "A", "B").collect().head
-    assert(t.getDecimal(3) == null, t.toString)
+    assert(t.isNullAt(3), t.toString)
   }
 
   test("welchT: hand-computed — A={1,3} vs B={2,4,6} gives t = " +
@@ -481,16 +480,15 @@ class ProfilingSpec extends AnyFunSuite {
       .toDF("g", "v")
     val r = Profiling.welchT(df, "g", "v", "A", "B").collect().head
     assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
-    assert(r.getDecimal(2).doubleValue == 2.0 &&
-      r.getDecimal(3).doubleValue == 4.0)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 4.0)
     // s_a² = 2, s_b² = 4 ⇒ q_a = 1, q_b = 4/3; t = −2/√(7/3)
-    assert(math.abs(r.getDecimal(4).doubleValue -
-      (-2.0 / math.sqrt(7.0 / 3.0))) < 1e-9, r.toString)
-    assert(math.abs(r.getDecimal(5).doubleValue - 49.0 / 17.0) < 1e-9,
+    assert(math.abs(r.getDouble(4) -
+      (-2.0 / math.sqrt(7.0 / 3.0))) < 1e-6, r.toString)
+    assert(math.abs(r.getDouble(5) - 49.0 / 17.0) < 1e-6,
       r.toString)
     val tiny = Seq(("A", 5.0), ("B", 1.0), ("B", 2.0)).toDF("g", "v")
     val t = Profiling.welchT(tiny, "g", "v", "A", "B").collect().head
-    assert(t.getDecimal(4) == null && t.getDecimal(5) == null, t.toString)
+    assert(t.isNullAt(4) && t.isNullAt(5), t.toString)
   }
 
   // ---- groupRegression -------------------------------------------------
@@ -503,14 +501,15 @@ class ProfilingSpec extends AnyFunSuite {
     ).toDF("grp", "x", "value")
     val out = Profiling.groupRegression(df, "grp", col("x"), "value")
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4)))
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4)))
       .toMap
     val (na, sa, ia, ra) = out("a")
-    assert(na == 4L && sa.doubleValue == 2.0 && ia.doubleValue == 1.0
-      && ra.doubleValue == 1.0, out.toString)
+    assert(na == 4L && sa == 2.0 && ia == 1.0
+      && ra == 1.0, out.toString)
     // constant y: num = 0 ⇒ slope 0; intercept = ȳ; dy = 0 ⇒ r² NULL
     val (nb, sb, ib, rb) = out("b")
-    assert(nb == 3L && sb.doubleValue == 0.0 && ib.doubleValue == 4.25
+    assert(nb == 3L && sb == 0.0 && ib == 4.25
       && rb == null, out.toString)
   }
 
@@ -528,11 +527,10 @@ class ProfilingSpec extends AnyFunSuite {
     ).toDF("grp", "x", "value")
     val out = Profiling.groupRegression(df, "grp", col("x"), "value")
       .collect().map(r => r.getString(0) ->
-        (r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue,
-          r.getDecimal(4).doubleValue)).toMap
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(out.keySet == Set("g"), out.toString)
     val (slope, icept, r2) = out("g")
     assert(slope == 0.9 && icept == 0.9, out.toString)
-    assert(r2 == 0.852631579, out.toString)
+    assert(r2 == 0.852632, out.toString)
   }
 }

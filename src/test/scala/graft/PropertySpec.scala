@@ -541,7 +541,7 @@ class PropertySpec extends AnyFunSuite {
       val got = TimeSeries.interpolateHourly(df, "k", "ts", "value",
           maxGapHours = 48)
         .collect().map(r => (r.getTimestamp(1).getTime,
-          r.getDecimal(2))).toMap
+          r.getDouble(2))).toMap
       // reference
       val collapsed = pts.groupBy(_._1.getTime).map { case (tms, vs) =>
         (tms, vs.map(v => math.round(v._2 * 100)).min) }
@@ -555,18 +555,17 @@ class PropertySpec extends AnyFunSuite {
             val last = (t1 / HourUs) * HourUs
             (first to last by HourUs).map { t =>
               val num = v0 * (t1 - t) + v1 * (t - t0)
-              val exp = BigDecimal(num.toDouble / ((t1 - t0) * 100.0))
-                .setScale(9, BigDecimal.RoundingMode.HALF_EVEN)
-              t -> exp
+              // the operator emits the RAW double quotient now — the
+              // reference is the identical IEEE chain, compared exactly
+              t -> (num.toDouble / ((t1 - t0) * 100.0))
             }
           }
       }.toMap
       assert(got.keySet == want.keySet.map(_ / 1000L),
         s"marks differ: got=${got.keySet} want=${want.keySet}")
       want.foreach { case (tus, exp) =>
-        val g = BigDecimal(got(tus / 1000L))
-        assert((g - exp).abs <= BigDecimal("0.000000001"),
-          s"t=$tus got=$g want=$exp")
+        val g = got(tus / 1000L)
+        assert(g == exp, s"t=$tus got=$g want=$exp")
       }
     }
   }

@@ -368,7 +368,7 @@ class TimeSeriesSpec extends AnyFunSuite {
     val out = TimeSeries.interpolateHourly(df, "k", "ts", "value")
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).toString,
-        r.getDecimal(2).doubleValue)).toSeq
+        r.getDouble(2))).toSeq
     // key 1: 01:00 is 30/120 of the way → 10 + 4·0.25 = 11; 02:00 →
     // 10 + 4·(90/120) = 13
     assert(out == Seq(
@@ -392,9 +392,11 @@ class TimeSeriesSpec extends AnyFunSuite {
     val out = TimeSeries.linearAttribution(df, "user_id", "ts",
         "event_id", "event_type", "click", "purchase", windowDays = 7)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq
-    assert(out == Seq((10L, 2L, 1.0), (11L, 2L, 1.0)), out.toString)
+    // credit is exact integer ppm now: 2 × ⌊10⁶/2⌋ = 1 000 000
+    assert(out == Seq((10L, 2L, 1000000L), (11L, 2L, 1000000L)),
+      out.toString)
   }
 
   test("rfm quartiles (q_rfm_segments semantics): NTILE under the " +
@@ -423,7 +425,7 @@ class TimeSeriesSpec extends AnyFunSuite {
     ).toDF("k", "s", "value").withColumn("ts", to_timestamp(col("s")))
     val out = TimeSeries.interpolateHourly(df, "k", "ts", "value")
       .collect()
-      .map(r => (r.getTimestamp(1).toString, r.getDecimal(2).doubleValue))
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2)))
       .toSeq
     // 00:00 itself is NOT re-emitted (marks are strictly after t0);
     // 01:00 and 02:00 each appear once, as the right-endpoint copies
