@@ -285,6 +285,15 @@ object PipelineQueries {
       Bpe.pairMerges(Tables.documents(s, d), "doc_id", "text",
         steps = 3, materialize = _.localCheckpoint())),
 
+    // Batched BPE (round 12, the documented 100 TB shape): 2 rewrite
+    // passes × up to 4 symbol-disjoint merges each — 8 merges for 2
+    // corpus passes instead of 8; pool-then-greedy selection is part
+    // of the contract and unrolled identically in the oracle
+    "q_bpe_merges_batch" -> ((s, d) =>
+      Bpe.pairMergesBatched(Tables.documents(s, d), "doc_id", "text",
+        rounds = 2, pairsPerRound = 4, candidatePool = 64,
+        materialize = _.localCheckpoint())),
+
     // per-doc OOV rate vs the corpus top-1000 vocabulary (tokenizer
     // coverage); vocab top-k is deterministic via (count desc, token)
     "q_vocab_oov" -> ((s, d) =>
@@ -673,7 +682,83 @@ object PipelineQueries {
        |    CASE WHEN tk = 1 THEN lft || '+' || rgt ELSE tok END AS tok
        |  FROM n$s WHERE ptk = 0)""".stripMargin
 
+  /** One batched-BPE round in the oracle —
+    * [[graft.ext.Bpe.pairMergesBatched]] mirrored exactly: the top-
+    * `pool` candidate list, `k` greedy symbol-disjoint picks unrolled
+    * as chained anti-conditioned LIMIT-1 CTEs (each pick excludes
+    * every symbol the previous selection used), then the
+    * [[bpeStepSql]] run algebra with the match generalized from one
+    * literal pair to a LEFT JOIN against the round's selection (pairs
+    * are symbol-disjoint, so consecutive matches are same-self-pair
+    * runs — the algebra is unchanged). MATERIALIZED on the state,
+    * pool, and selection CTEs (the k-core lesson: inlined chains
+    * re-expand exponentially). Emits `bsel$r` (picks) and `bt$r`
+    * (rewritten state).
+    */
+  private def bpeBatchRoundSql(r: Int, prev: String, k: Int,
+      pool: Int): String = {
+    val picks = (1 to k).map { i =>
+      if (i == 1)
+        s"""bpk${r}_1 AS (SELECT lft, rgt, n, 1 AS ord FROM bpool$r
+           |  ORDER BY n DESC, lft, rgt LIMIT 1),
+           |bsel${r}_1 AS MATERIALIZED (SELECT * FROM bpk${r}_1)""".stripMargin
+      else
+        s"""bpk${r}_$i AS (SELECT lft, rgt, n, $i AS ord FROM bpool$r p
+           |  WHERE NOT EXISTS (SELECT 1 FROM bsel${r}_${i - 1} s
+           |    WHERE p.lft IN (s.lft, s.rgt) OR p.rgt IN (s.lft, s.rgt))
+           |  ORDER BY n DESC, lft, rgt LIMIT 1),
+           |bsel${r}_$i AS MATERIALIZED (SELECT * FROM bsel${r}_${i - 1}
+           |  UNION ALL SELECT * FROM bpk${r}_$i)""".stripMargin
+    }.mkString(",\n")
+    s"""bp$r AS MATERIALIZED (SELECT doc, pos, tok,
+       |    LEAD(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt
+       |  FROM $prev),
+       |bc$r AS (SELECT tok AS lft, nxt AS rgt, COUNT(*) AS n FROM bp$r
+       |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |bpool$r AS MATERIALIZED (SELECT lft, rgt, n FROM bc$r
+       |  ORDER BY n DESC, lft, rgt LIMIT $pool),
+       |$picks,
+       |bsel$r AS MATERIALIZED (SELECT * FROM bsel${r}_$k),
+       |bmm$r AS (SELECT t.doc, t.pos, t.tok, s.lft, s.rgt,
+       |    CASE WHEN s.lft IS NOT NULL THEN 1 ELSE 0 END AS m
+       |  FROM bp$r t LEFT JOIN bsel$r s
+       |    ON t.tok = s.lft AND t.nxt = s.rgt),
+       |br$r AS (SELECT *, SUM(m) OVER (PARTITION BY doc ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rnm
+       |  FROM bmm$r),
+       |bk$r AS (SELECT *, CASE WHEN m = 1 THEN pos - rnm END AS runkey
+       |  FROM br$r),
+       |bs$r AS (SELECT *, MIN(CASE WHEN m = 1 THEN pos END)
+       |    OVER (PARTITION BY doc, runkey) AS runstart FROM bk$r),
+       |btk$r AS (SELECT doc, pos, tok, lft, rgt,
+       |    CASE WHEN m = 1 AND (pos - runstart) % 2 = 0 THEN 1 ELSE 0 END
+       |      AS tk
+       |  FROM bs$r),
+       |bn$r AS (SELECT doc, pos, tok, tk, lft, rgt,
+       |    COALESCE(LAG(tk) OVER (PARTITION BY doc ORDER BY pos), 0) AS ptk
+       |  FROM btk$r),
+       |bt$r AS MATERIALIZED (SELECT doc,
+       |    ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS pos,
+       |    CASE WHEN tk = 1 THEN lft || '+' || rgt ELSE tok END AS tok
+       |  FROM bn$r WHERE ptk = 0)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+
+    "q_bpe_merges_batch" ->
+      (s"""WITH bt0 AS (SELECT doc_id AS doc,
+          |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+          |    unnest(string_split(text, ' ')) AS tok FROM documents),
+          |""".stripMargin +
+        bpeBatchRoundSql(1, "bt0", k = 4, pool = 64) + ",\n" +
+        bpeBatchRoundSql(2, "bt1", k = 4, pool = 64) + "\n" +
+        """SELECT * FROM (
+          |  SELECT CAST(1 AS INTEGER) AS merge_round,
+          |    CAST(ord AS INTEGER) AS ord, lft, rgt,
+          |    CAST(n AS BIGINT) AS n_pairs FROM bsel1
+          |  UNION ALL SELECT 2, CAST(ord AS INTEGER), lft, rgt,
+          |    CAST(n AS BIGINT) FROM bsel2)
+          |ORDER BY merge_round, ord""".stripMargin),
 
     "q_bpe_merges" ->
       (s"""WITH t0 AS (SELECT doc_id AS doc,

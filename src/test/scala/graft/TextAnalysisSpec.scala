@@ -298,4 +298,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       graft.ext.Bpe.pairMerges(docs, "doc_id", "text", steps = 0)
     }
   }
+
+  test("bpe pairMergesBatched: greedy symbol-disjoint selection per " +
+      "round (blocked candidates are skipped, not queued), one rewrite " +
+      "pass applies the whole set, self-pair runs stay greedy") {
+    val docs = Seq((0L, "a b a b c d c d"), (1L, "a b c d e e e"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Bpe.pairMergesBatched(docs, "doc_id", "text",
+        rounds = 2, pairsPerRound = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // round 1 counts: (a,b)=3, (c,d)=3, (b,c)=2, (e,e)=2, rest 1.
+    // greedy: (a,b); (c,d); (b,c) BLOCKED (both symbols used); (e,e).
+    // rewrite: doc0 → [a+b, a+b, c+d, c+d];
+    //          doc1 → [a+b, c+d, e+e, e] (e-run keeps the even offset).
+    // round 2 counts: (a+b,c+d)=2, rest 1. greedy: (a+b,c+d); then
+    // every n=1 candidate shares a symbol except (e+e,e) → 2 picks.
+    assert(out == Seq(
+      (1, 1, "a", "b", 3L), (1, 2, "c", "d", 3L), (1, 3, "e", "e", 2L),
+      (2, 1, "a+b", "c+d", 2L), (2, 2, "e+e", "e", 1L)), out.toString)
+    intercept[IllegalArgumentException] {
+      graft.ext.Bpe.pairMergesBatched(docs, "doc_id", "text",
+        rounds = 1, pairsPerRound = 4, candidatePool = 2)
+    }
+  }
 }
