@@ -30,6 +30,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * This spec makes the rules structural: it would have caught all 14
   * r11 reds (each contained `round(…, 9)` or a bare HUGEINT cast) and
   * fails any future oracle that regrows the family.
+  *
+  * Sanctioned NON-offender (why the rules scan oracles, not Spark
+  * code): quantize-INTO-DECIMAL-for-order-independent-sums — e.g.
+  * pageRank's `bround(r/deg, 15) → DECIMAL(28,15)` per contribution,
+  * the KL/bigram-NLL per-term DECIMAL(18,9) casts. There the oracle
+  * uses a plain CAST (no `round()` call) and r11's gate itself is the
+  * evidence the driver's double→DECIMAL cast agrees across builds
+  * (every cast-based query stayed green while every round()-based
+  * output went red). Spark-side `bround` is Spark's own BigDecimal
+  * rounding — engine-stable by construction.
   */
 class OracleDisciplineSpec extends AnyFunSuite {
 
