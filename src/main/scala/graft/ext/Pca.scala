@@ -69,8 +69,14 @@ object Pca {
       x
     }
     override def finish(r: Moments): Moments = r
-    override def bufferEncoder: Encoder[Moments] = Encoders.kryo[Moments]
-    override def outputEncoder: Encoder[Moments] = Encoders.kryo[Moments]
+    // product encoders, NOT Encoders.kryo: Moments is a plain case
+    // class, and the Kryo path breaks in minimal-classpath launchers
+    // (FieldSerializer cannot handle the HeapByteBuffer Kryo wraps
+    // rows in — observed under bare `java -cp` Verify runs); the
+    // product encoder serializes to InternalRow, works everywhere,
+    // and skips Kryo's object-graph walk on every exchange
+    override def bufferEncoder: Encoder[Moments] = Encoders.product[Moments]
+    override def outputEncoder: Encoder[Moments] = Encoders.product[Moments]
   }
 
   /** Mean, top-k components (rows, orthonormal, eigenvalue-descending,
