@@ -321,5 +321,11 @@ class TextAnalysisSpec extends AnyFunSuite {
       graft.ext.Bpe.pairMergesBatched(docs, "doc_id", "text",
         rounds = 1, pairsPerRound = 4, candidatePool = 2)
     }
+    // exhaustion: 'a b' merges once, round 2 finds no pairs and stops
+    val tiny = graft.ext.Bpe.pairMergesBatched(
+      Seq((0L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+      rounds = 3, pairsPerRound = 2)
+      .collect().map(r => (r.getInt(0), r.getString(2), r.getString(3)))
+    assert(tiny.toSeq == Seq((1, "a", "b")), tiny.toSeq.toString)
   }
 }
