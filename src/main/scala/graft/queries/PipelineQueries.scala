@@ -107,12 +107,12 @@ object PipelineQueries {
       Tables.eventsNative(s, d).repartition(4)
         .write.mode("overwrite").parquet(tmp)
       val sink = "graft_ohlc_stream_sink"
-      // fresh session (ADVICE r11): the 8-partition state-store pin
+      // fresh session (ADVICE r11): the 4-partition state-store pin
       // lives and dies with this stream — the caller's session conf is
       // never mutated, so concurrent queries can't observe it; the
       // fresh catalog also makes the sink name clash-free by scope
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.Streaming.ohlcBars(
           graft.streaming.Streaming.readEventsStream(s2, tmp,
             maxFilesPerTrigger = 1))
@@ -165,11 +165,12 @@ object PipelineQueries {
       // Stateful-op cost here is (state stores = shuffle partitions) ×
       // micro-batches, not data volume — 32 session partitions mean 64
       // store instances per 4-batch run for a ~10 MB join state. Pin
-      // the stream to 8 on a FRESH session (ADVICE r11): the pin dies
+      // the stream to 4 on a FRESH session (ADVICE r11): the pin dies
       // with the stream instead of mutate-and-restore on the shared
-      // session conf.
+      // session conf; 4 halves the per-batch state-store commit count
+      // vs the previous 8 with identical output (r12).
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.Streaming.purchaseSignupJoin(
           graft.streaming.Streaming.readEventsStream(s2, tmp,
             maxFilesPerTrigger = 1))
@@ -215,7 +216,7 @@ object PipelineQueries {
       }
       val sink = "graft_stream_dedup_sink"
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.Streaming.dedupedStream(
           graft.streaming.Streaming.readEventsStream(s2, tmp,
             maxFilesPerTrigger = 1))
