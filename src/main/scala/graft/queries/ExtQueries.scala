@@ -199,7 +199,14 @@ object ExtQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // A4: HLL++ approximate distinct (rows-only: HLL impls differ).
+    // A4: HLL++ approximate distinct. Promoted from rows-only to a
+    // pinned-constant oracle (round 12, the q_similarity_ann pattern):
+    // DuckDB's HLL differs from Spark's so it cannot RE-DERIVE the
+    // estimate, but Spark's HLL++ sketch is a deterministic,
+    // order-independent function of the value SET — the estimates are
+    // fixture constants, pinned per scale in the oracle (keyed on a
+    // lineitem content fingerprint) and double-pinned in QueriesSpec
+    // so fixture drift breaks spec and oracle together.
     "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
@@ -596,6 +603,33 @@ object ExtQueries {
     // SimilaritySpec pins the same digests at two scales, so fixture
     // regeneration or semantic drift breaks spec and oracle together;
     // an unrecognized fixture yields NULLs → loud mismatch.
+    // Pinned-constant oracle (q_similarity_ann pattern): Spark's HLL++
+    // estimate is a deterministic function of the distinct value set;
+    // the constants (1379/195 at sf0.001, 14206/1947 at sf0.01,
+    // 144569/19522 at sf0.1) are keyed on a lineitem content
+    // fingerprint so a regenerated fixture yields NULLs (loud row
+    // mismatch), never a silently-wrong pass.
+    "q_approx_distinct" ->
+      """WITH f AS (SELECT COUNT(*) AS n,
+        |  BIT_XOR(xor(l_orderkey * 1000003, l_partkey * 31 + l_suppkey))
+        |    AS fp FROM lineitem)
+        |SELECT
+        |  CASE WHEN n = 6000 AND fp = 93509727
+        |      THEN CAST(1379 AS BIGINT)
+        |    WHEN n = 60000 AND fp = 8608407856
+        |      THEN CAST(14206 AS BIGINT)
+        |    WHEN n = 600000 AND fp = 108191374286
+        |      THEN CAST(144569 AS BIGINT)
+        |    END AS approx_orders,
+        |  CASE WHEN n = 6000 AND fp = 93509727
+        |      THEN CAST(195 AS BIGINT)
+        |    WHEN n = 60000 AND fp = 8608407856
+        |      THEN CAST(1947 AS BIGINT)
+        |    WHEN n = 600000 AND fp = 108191374286
+        |      THEN CAST(19522 AS BIGINT)
+        |    END AS approx_parts
+        |FROM f""".stripMargin,
+
     "q_similarity_ann" ->
       """WITH f AS (SELECT COUNT(*) AS n,
         |  BIT_XOR(xor(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)

@@ -26,4 +26,24 @@ class QueriesSpec extends AnyFunSuite {
       assert(df.count() > 0, s"$name returned no rows at sf0.001")
     }
   }
+
+  test("q_approx_distinct golden estimates (deterministic HLL++ — " +
+      "pinned at both test scales; the constants MUST equal the ones " +
+      "in ExtQueries.oracles)") {
+    // Spark's HLL++ sketch is an order-independent function of the
+    // distinct value SET, so the estimate is a fixture constant. A
+    // fixture regeneration breaks this pin and the oracle's
+    // fingerprint key together (the q_similarity_ann discipline).
+    def est(sf: String): (Long, Long) = {
+      val r = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(est(TestSpark.Sf0001) == ((1379L, 195L)))
+    val sf001 = "/root/testdata/sf0.01"
+    if (new java.io.File(sf001).isDirectory)
+      assert(est(sf001) == ((14206L, 1947L)))
+    val sql = SparkEntry.oracleSql("q_approx_distinct")
+    for (c <- Seq("1379", "195", "14206", "1947", "144569", "19522"))
+      assert(sql.contains(c), s"oracle missing pinned constant $c")
+  }
 }
