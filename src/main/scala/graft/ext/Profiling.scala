@@ -82,7 +82,7 @@ object Profiling {
     * every engine, unlike float formatting or a log10-based exponent
     * (which can land one-off at powers of ten). The observed share is
     * an exact-integer quotient; the expected share is ONE libm log10
-    * per OUTPUT row (≤ 9 rows) through bround(…, 6) as DOUBLE — the
+    * per OUTPUT row (≤ 9 rows) through round(…, 6) as DOUBLE — the
     * portable determinism policy for transcendental outputs (round-9
     * decimals proved engine-version-sensitive at the driver gate).
     *
@@ -106,7 +106,7 @@ object Profiling {
       .select(col("digit"), col("n"),
         (col("n").cast("double") / col("total").cast("double"))
           .as("obs_share"),
-        bround(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
           .as("exp_share"))
       .orderBy(col("digit"))
   }
@@ -325,7 +325,7 @@ object Profiling {
     * form r = (N·Σxy − Σx·Σy) / √((N·Σx² − Σx²ᵗᵒᵗ)(N·Σy² − Σy²ᵗᵒᵗ))
     * assembles in DECIMAL(38,0) (exact at petabyte counts), and ONLY
     * the final quotient touches floating point — one √ per group,
-    * emitted through bround(…, 6) as DOUBLE (coarse enough to absorb
+    * emitted through round(…, 6) as DOUBLE (coarse enough to absorb
     * both engine-round differences and int128→double cast ULPs). The
     * feature-correlation profile a training pipeline checks before
     * trusting a signal (`corr` built-in runs float partials whose merge
@@ -360,7 +360,7 @@ object Profiling {
     m.select(col("grp"), col("n"), num.as("num"), dx.as("dx"), dy.as("dy"))
       .filter(col("dx") > 0 && col("dy") > 0)
       .select(col("grp"), col("n"),
-        bround(col("num").cast("double") /
+        round(col("num").cast("double") /
           sqrt(col("dx").cast("double") * col("dy").cast("double")), 6)
           .as("r"))
       .orderBy(col("grp"))
@@ -372,7 +372,7 @@ object Profiling {
     * integer-moment machinery as [[groupCorrelation]]: y is cents
     * (exact), x is a small integer, all five sums are exact BIGINT →
     * DECIMAL(38,0) closed forms, then ONE double division per output
-    * column emitted through bround(…, 6) as DOUBLE:
+    * column emitted through round(…, 6) as DOUBLE:
     *
     *   slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)        [value/x-unit]
     *   intercept = (Σy·Σxx − Σx·Σxy) / (n·Σxx − Σx²)      [value at x=0]
@@ -419,13 +419,13 @@ object Profiling {
       .select(col("grp"), col("n"),
         // cents → value units: one division per column, denominator
         // pre-scaled by 100 so the quotient is a single IEEE op
-        bround(col("num").cast("double") /
+        round(col("num").cast("double") /
           (col("dx").cast("double") * 100.0), 6).as("slope"),
-        bround(col("ic").cast("double") /
+        round(col("ic").cast("double") /
           (col("dx").cast("double") * 100.0), 6).as("intercept"),
         // dy = 0 (constant y) ⇒ num = 0 too: define r² as NULL rather
         // than evaluate 0/0 (NaN in Spark, engine-dependent elsewhere)
-        when(col("dy") > 0, bround(
+        when(col("dy") > 0, round(
           (col("num").cast("double") * col("num").cast("double")) /
             (col("dx").cast("double") * col("dy").cast("double")), 6))
           .as("r2"))
@@ -465,7 +465,7 @@ object Profiling {
     * DISTINCT value the CDF difference is |c_a·n_b − c_b·n_a| /
     * (n_a·n_b), so the supremum is a max over exact DECIMAL(38,0)
     * numerators with ONE division at the end, plus one sqrt for the
-    * scaled statistic √(n_a·n_b/(n_a+n_b))·D through the bround(…, 6)
+    * scaled statistic √(n_a·n_b/(n_a+n_b))·D through the round(…, 6)
     * DOUBLE discipline. Ties inside and across samples are handled
     * by construction — the CDF is evaluated after collapsing to
     * per-value counts, exactly as the definition demands.
@@ -505,7 +505,7 @@ object Profiling {
       .select(col("n_a"), col("n_b"),
         (col("dmax").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"),
-        bround(
+        round(
           sqrt((col("n_a").cast("double") * col("n_b").cast("double")) /
             (col("n_a") + col("n_b")).cast("double")) *
           (col("dmax").cast("double") /
@@ -521,7 +521,7 @@ object Profiling {
     * twice via conditional aggregation in ONE scan); the variance
     * numerators v = n·Σy²−(Σy)² are exact DECIMAL(38,0); everything
     * after is a FIXED chain of IEEE ops mirrored verbatim in the
-    * oracle — means as raw doubles, t/df through bround(…, 6) as
+    * oracle — means as raw doubles, t/df through round(…, 6) as
     * DOUBLE. Degenerate inputs (a side with
     * n < 2, or both variances zero) emit NULL t/df rather than a NaN
     * that hashes differently per engine.
@@ -573,11 +573,11 @@ object Profiling {
           (col("n_a").cast("double") * lit(100.0))).as("mean_a"),
         when(col("n_b") > 0, col("sy_b").cast("double") /
           (col("n_b").cast("double") * lit(100.0))).as("mean_b"),
-        when(ok, bround(
+        when(ok, round(
           (col("sy_a").cast("double") / col("n_a").cast("double") -
             col("sy_b").cast("double") / col("n_b").cast("double")) /
           sqrt(qa + qb), 6)).as("t"),
-        when(ok, bround(
+        when(ok, round(
           ((qa + qb) * (qa + qb)) /
           (qa * qa / (col("n_a").cast("double") - lit(1.0)) +
             qb * qb / (col("n_b").cast("double") - lit(1.0))), 6))
@@ -592,7 +592,7 @@ object Profiling {
     * doubled rank-sum gives 2·U₁ = 2R₁ − 2·n₁(n₁+1)/2 exactly, and the
     * tie-corrected variance numerator n₁·n₂·(N³−N−Σ(t³−t)) and
     * denominator 12·N·(N−1) are exact DECIMAL(38,0). One division +
-    * one sqrt land in z through the bround(…, 6) DOUBLE discipline;
+    * one sqrt land in z through the round(…, 6) DOUBLE discipline;
     * all-values-tied degenerates to zero variance → NULL z.
     *
     * Scale shape: identical to ksTest — per-value count grid, one
@@ -635,7 +635,7 @@ object Profiling {
         // U₁ itself can be a half-integer under cross-sample ties;
         // halving the exact doubled form is the one exact-dyadic op
         (col("u2x").cast("double") / 2.0).as("u"),
-        when(col("s") > 0, bround(
+        when(col("s") > 0, round(
           (col("u2x") - col("n_a").cast(d38) * col("n_b").cast(d38))
             .cast("double") / zDen, 6)).as("z"))
   }
@@ -645,7 +645,7 @@ object Profiling {
     * the usual (O−E)²/E, so the deviation O·N − rs·cs is ONE exact
     * DECIMAL(38,0) integer per cell; it converts to double once, the
     * square and the ((N·rs)·cs) denominator run in a fixed IEEE chain,
-    * and each term lands through bround(…, 6) + DECIMAL(28,6) so the
+    * and each term lands through round(…, 6) + DECIMAL(28,6) so the
     * per-cell terms still sum exactly (order-independent). Squaring in
     * double (not decimal) avoids the silent DECIMAL(38,0)² overflow →
     * NULL → sum-skips-the-term failure past N ≈ 10⁹. The
@@ -687,14 +687,14 @@ object Profiling {
     // rules and sum() would skip the term (ADVICE r11). dev itself is
     // one exact DECIMAL(38,0); its →double conversion plus the fixed
     // ((nn·rs)·cs) double product is the identical IEEE chain on both
-    // engines, and the per-term bround(…, 6) absorbs conversion ULPs.
+    // engines, and the per-term round(…, 6) absorbs conversion ULPs.
     val devD = dev.cast("double")
     val term = (devD * devD) /
       ((withMargins("nn").cast("double") * withMargins("rs").cast("double")) *
         withMargins("cs").cast("double"))
     withMargins
       .select(col("nr"), col("nc"), col("nn"),
-        bround(term, 6).cast("decimal(28,6)").as("term"))
+        round(term, 6).cast("decimal(28,6)").as("term"))
       .groupBy(col("nr"), col("nc"), col("nn"))
       .agg(sum(col("term")).cast("double").as("chi2"))
       .select(col("chi2"),
@@ -748,7 +748,7 @@ object Profiling {
     * moments come from integer-cents sums (the `q_variance_stats`
     * hi/lo-split pattern — any partitioning, any engine, same bits),
     * so mean/stddev are bit-identical doubles and the |z| ≥ `zCut`
-    * membership is deterministic. Output carries z as bround(…, 6)
+    * membership is deterministic. Output carries z as round(…, 6)
     * DOUBLE (display stability; the FILTER uses the raw double).
     *
     * Scale shape: one two-phase (group) agg over cents partials, the
@@ -787,14 +787,17 @@ object Profiling {
     val z = (col("v") - col("mean")) / col("sd")
     withCents.join(broadcast(moments), Seq("grp"))
       .filter(abs(z) >= lit(zCut))
-      // z emits as bround(…, 6) DOUBLE — the q_source_kl discipline.
+      // z emits as round(…, 6) DOUBLE (Spark round = HALF_UP = ties
+      // away from zero, matching DuckDB's round — bround's HALF_EVEN
+      // diverges on exactly-representable dyadic midpoints like
+      // 0.0078125, reachable by rational quotients of exact integers).
       // round(double, 9) → DECIMAL(18,9) proved NON-portable across
       // DuckDB builds (two driver-gate rounds red on bit-level round
       // disagreements at the 9th digit); at 6 digits the multiply-based
       // vs exact-string rounding boundary shrinks by ~10³ per value and
       // no decimal cast (a second engine-flavored rounding) is needed.
       .select(col("id"), col("grp"), col("v"),
-        bround(z, 6).as("z"))
+        round(z, 6).as("z"))
       .orderBy(col("id"))
   }
 }

@@ -52,15 +52,15 @@ object TextAnalysis {
     * language (Zipf's law) and far off for synthetic/templated corpora —
     * a corpus-level quality gate. The top-k runs through a distributed
     * TakeOrderedAndProject (never a global sort); the k-row window and
-    * regression sums are driver-scale. ln values round into
-    * DECIMAL(18,9) (exact summation) and the FINAL slope rounds
-    * through DECIMAL(28,9) too: a libm ln() that differs by one ulp
-    * between engines can land a term on a per-term 1e-9 rounding
-    * boundary (observed at sf0.1 — one of 400 terms flipped, moving
-    * the slope by ~1e-13), and the final coarser rounding absorbs
-    * exactly that class of drift. `bround` first so Spark's half-up
-    * decimal cast can't diverge from DuckDB's half-even on a tie (the
-    * labelCentroids lesson).
+    * regression sums are driver-scale. ln values quantize into
+    * DECIMAL(18,9) (exact summation); the FINAL slope emits through
+    * round(…, 6) as plain DOUBLE (r12 policy): a libm ln() that
+    * differs by one ulp between engines can land a term on a per-term
+    * 1e-9 rounding boundary (observed at sf0.1 — one of 400 terms
+    * flipped, moving the slope by ~1e-13), and the coarse final
+    * rounding absorbs exactly that class of drift; Spark `round`
+    * (ties away from zero) matches DuckDB's round tie mode, unlike
+    * bround's half-even.
     */
   def zipfSlope(docs: DataFrame, textCol: String, k: Int = 200): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -88,7 +88,7 @@ object TextAnalysis {
       // "no slope defined" on both
       .select(col("n_ranked"),
         when(col("den") === 0.0, lit(null).cast("double"))
-          .otherwise(bround(col("num") / col("den"), 6))
+          .otherwise(round(col("num") / col("den"), 6))
           .as("zipf_slope"))
   }
 

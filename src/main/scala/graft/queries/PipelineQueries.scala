@@ -110,18 +110,26 @@ object PipelineQueries {
       // fresh session (ADVICE r11): the 4-partition state-store pin
       // lives and dies with this stream — the caller's session conf is
       // never mutated, so concurrent queries can't observe it; the
-      // fresh catalog also makes the sink name clash-free by scope
+      // fresh catalog also makes the sink name clash-free by scope.
+      // newSession inherits only BUILDER-time options, so runtime-set
+      // confs the result depends on (the session time zone bucketing
+      // to_date) are copied across explicitly.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.Streaming.ohlcBars(
-          graft.streaming.Streaming.readEventsStream(s2, tmp,
-            maxFilesPerTrigger = 1))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-      // the memory sink holds the rows; the staged input is dead
-      // weight — delete it so repeated runs don't leak disk
-      Tables.rmrf(tmp)
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone"))
+      try {
+        val q = graft.streaming.Streaming.ohlcBars(
+            graft.streaming.Streaming.readEventsStream(s2, tmp,
+              maxFilesPerTrigger = 1))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally
+        // the memory sink holds the rows; the staged input is dead
+        // weight — delete it (in finally: failed runs must not leak
+        // disk either) so repeated runs accumulate nothing
+        Tables.rmrf(tmp)
       s2.table(sink)
         .select(col("event_type").as("grp"),
           to_date(col("bucket_start")).as("bucket"),
@@ -168,17 +176,22 @@ object PipelineQueries {
       // the stream to 4 on a FRESH session (ADVICE r11): the pin dies
       // with the stream instead of mutate-and-restore on the shared
       // session conf; 4 halves the per-batch state-store commit count
-      // vs the previous 8 with identical output (r12).
+      // vs the previous 8 with identical output (r12). Runtime-set
+      // session confs are not inherited by newSession — copy the time
+      // zone the watermark timestamps parse under.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.Streaming.purchaseSignupJoin(
-          graft.streaming.Streaming.readEventsStream(s2, tmp,
-            maxFilesPerTrigger = 1))
-        .select(col("p_id"), col("s_id"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      Tables.rmrf(staging, tmp)
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone"))
+      try {
+        val q = graft.streaming.Streaming.purchaseSignupJoin(
+            graft.streaming.Streaming.readEventsStream(s2, tmp,
+              maxFilesPerTrigger = 1))
+          .select(col("p_id"), col("s_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally Tables.rmrf(staging, tmp)
       s2.table(sink).orderBy(col("p_id"), col("s_id"))
     }),
 
@@ -217,13 +230,16 @@ object PipelineQueries {
       val sink = "graft_stream_dedup_sink"
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.Streaming.dedupedStream(
-          graft.streaming.Streaming.readEventsStream(s2, tmp,
-            maxFilesPerTrigger = 1))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      Tables.rmrf(staging, tmp)
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone"))
+      try {
+        val q = graft.streaming.Streaming.dedupedStream(
+            graft.streaming.Streaming.readEventsStream(s2, tmp,
+              maxFilesPerTrigger = 1))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally Tables.rmrf(staging, tmp)
       s2.table(sink)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -250,23 +266,24 @@ object PipelineQueries {
         .createTempDirectory("graft_stream_archive_ckpt").toString
       Tables.eventsNative(s, d).repartition(4)
         .write.mode("overwrite").parquet(tmp)
-      val q = graft.streaming.Streaming.archiveSink(
-        graft.streaming.Streaming.readEventsStream(s, tmp,
-          maxFilesPerTrigger = 1), out, ckpt).start()
-      q.awaitTermination()
-      // materialize the per-partition rollup (a handful of rows) so the
-      // staged input, the archive dir, and the checkpoint can all be
-      // deleted before returning — repeated runs leak nothing
-      val res = s.read.parquet(out)
-        .groupBy(col("year").cast("long").as("year"),
-          col("month").cast("long").as("month"))
-        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
-          min(unix_micros(col("timestamp"))).as("min_us"),
-          max(unix_micros(col("timestamp"))).as("max_us"))
-        .orderBy(col("year"), col("month"))
-        .localCheckpoint()
-      Tables.rmrf(tmp, out, ckpt)
-      res
+      try {
+        val q = graft.streaming.Streaming.archiveSink(
+          graft.streaming.Streaming.readEventsStream(s, tmp,
+            maxFilesPerTrigger = 1), out, ckpt).start()
+        q.awaitTermination()
+        // materialize the per-partition rollup (a handful of rows) so
+        // the staged input, the archive dir, and the checkpoint can all
+        // be deleted before returning — repeated runs (including FAILED
+        // ones, hence the finally) leak nothing
+        s.read.parquet(out)
+          .groupBy(col("year").cast("long").as("year"),
+            col("month").cast("long").as("month"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+            min(unix_micros(col("timestamp"))).as("min_us"),
+            max(unix_micros(col("timestamp"))).as("max_us"))
+          .orderBy(col("year"), col("month"))
+          .localCheckpoint()
+      } finally Tables.rmrf(tmp, out, ckpt)
     }),
 
     // last-touch attribution: purchases attributed to the same user's
@@ -377,7 +394,7 @@ object PipelineQueries {
     // the source-concentration audit a mixing pipeline runs. Ties are
     // safe: equal values swap ranks without moving Σi·xᵢ. All integer
     // sums (W in DECIMAL(38,0)); the two final quotients land through
-    // bround(…, 6) as DOUBLE — coarse enough to absorb int128→double
+    // round(…, 6) as DOUBLE — coarse enough to absorb int128→double
     // cast ULPs and engine-round differences (the r11 gate lesson).
     "q_gini" -> ((s, d) => {
       val w = Window.partitionBy(col("grp")).orderBy(col("cents").asc)
@@ -390,7 +407,7 @@ object PipelineQueries {
           sum(col("rn").cast("decimal(38,0)") * col("cents")).as("wsum"))
         .filter(col("s") > 0)
         .select(col("grp"), col("n"),
-          bround((lit(2).cast("decimal(38,0)") * col("wsum")).cast("double") /
+          round((lit(2).cast("decimal(38,0)") * col("wsum")).cast("double") /
               (col("n").cast("decimal(38,0)") * col("s")).cast("double") -
             (col("n") + 1).cast("double") / col("n"), 6)
             .as("gini"))

@@ -168,18 +168,19 @@ object RefQueries {
           col("value"))
         .write.mode("overwrite").parquet(dir + "/epoch2")
       // materialize the rollup (event-type cardinality rows), then
-      // delete the epoch dirs — repeated gate/bench runs leak nothing
-      val res = s.read.option("mergeSchema", "true")
-        .parquet(dir + "/epoch1", dir + "/epoch2")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_missing"),
-          (sum(coalesce(round(col("value") * 100, 0).cast("long"),
-            lit(0L))).cast("double") / 100.0).as("value_total"))
-        .orderBy(col("event_type"))
-        .localCheckpoint()
-      graft.model.Tables.rmrf(dir)
-      res
+      // delete the epoch dirs (in finally: failed runs must not leak
+      // disk either) — repeated gate/bench runs accumulate nothing
+      try {
+        s.read.option("mergeSchema", "true")
+          .parquet(dir + "/epoch1", dir + "/epoch2")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_missing"),
+            (sum(coalesce(round(col("value") * 100, 0).cast("long"),
+              lit(0L))).cast("double") / 100.0).as("value_total"))
+          .orderBy(col("event_type"))
+          .localCheckpoint()
+      } finally graft.model.Tables.rmrf(dir)
     }),
 
     // P5+F6 (README.md:93-101): equality / IN / range predicates over

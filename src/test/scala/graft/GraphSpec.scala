@@ -139,11 +139,16 @@ class GraphSpec extends AnyFunSuite {
     var depth = -1
     Graph.kCore(pairs, "a_id", "b_id", k = 12,
       onConverged = d => depth = d).count(): Unit
-    // a converged round is the identity, so depth < 10 is fine slack;
-    // depth > 10 means the oracle's unroll no longer covers the fixture
-    // — regenerate the oracle's round count, don't chase value diffs
-    assert(depth >= 1 && depth <= 10,
-      s"q_kcore peeling depth $depth exceeds the oracle's 10 unrolled " +
-        "rounds (or the graph is empty) — fixture drifted")
+    // onConverged reports ALL iterations including the final identity
+    // (convergence-check) round, so the edge-REMOVING rounds number
+    // depth − 1 — that is what the oracle's 10 unrolled rounds must
+    // cover (a converged round is the identity, so extra unrolls are
+    // harmless slack). depth − 1 > 10 means the unroll no longer covers
+    // the fixture — regenerate the oracle's round count, don't chase
+    // value diffs.
+    assert(depth >= 1 && depth - 1 <= 10,
+      s"q_kcore needs ${depth - 1} edge-removing peel rounds, more than " +
+        "the oracle's 10 unrolled rounds (or the graph is empty) — " +
+        "fixture drifted")
   }
 }

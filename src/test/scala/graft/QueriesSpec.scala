@@ -43,7 +43,10 @@ class QueriesSpec extends AnyFunSuite {
     if (new java.io.File(sf001).isDirectory)
       assert(est(sf001) == ((14206L, 1947L)))
     val sql = SparkEntry.oracleSql("q_approx_distinct")
-    for (c <- Seq("1379", "195", "14206", "1947", "144569", "19522"))
-      assert(sql.contains(c), s"oracle missing pinned constant $c")
+    // full CAST tokens, not bare digits: "19522" contains "195" as a
+    // substring, so a bare-digit check could pass with a branch edited
+    for (c <- Seq(1379, 195, 14206, 1947, 144569, 19522))
+      assert(sql.contains(s"CAST($c AS BIGINT)"),
+        s"oracle missing pinned constant $c")
   }
 }
