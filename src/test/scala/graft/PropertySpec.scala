@@ -570,6 +570,76 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: pairMergesBatched matches a driver-side sequential " +
+      "reference on random corpora — pool truncation, greedy symbol-" +
+      "disjoint selection, and left-to-right non-overlapping rewrite") {
+    // Reference: the natural sequential BPE-batch spec. Selection =
+    // top-`pool` pairs under (n desc, lft, rgt), then a greedy scan
+    // keeping pairs whose symbols are unused; rewrite = per-doc
+    // left-to-right scan consuming matched pairs non-overlappingly
+    // (equivalent to the window algebra ONLY under symbol-disjointness
+    // — which is exactly the invariant the operator must enforce).
+    def refRound(docs: Map[Long, Vector[String]], k: Int, pool: Int)
+        : (Seq[(String, String, Long)], Map[Long, Vector[String]]) = {
+      val counts = docs.values.toSeq
+        .flatMap(ts => ts.zip(ts.drop(1)))
+        .groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+        .toSeq.sortBy { case (l, r, n) => (-n, l, r) }.take(pool)
+      var used = Set.empty[String]
+      val sel = Seq.newBuilder[(String, String, Long)]
+      var taken = 0
+      counts.foreach { case (l, r, n) =>
+        if (taken < k && !used(l) && !used(r)) {
+          sel += ((l, r, n)); used = used + l + r; taken += 1
+        }
+      }
+      val s = sel.result()
+      val selSet = s.map { case (l, r, _) => (l, r) }.toSet
+      val rewritten = docs.map { case (id, ts) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && selSet((ts(i), ts(i + 1)))) {
+            out += ts(i) + "+" + ts(i + 1); i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        id -> out.result()
+      }
+      (s, rewritten)
+    }
+    // small alphabet forces ties, self-pair runs, and pool pressure
+    val docGen = Gen.listOfN(4,
+      Gen.chooseNum(5, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))))
+    forAllSampled(docGen, 8) { docLists =>
+      val docs = docLists.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val got = graft.ext.Bpe.pairMergesBatched(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          rounds = 2, pairsPerRound = 3, candidatePool = 6)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      var state = docs.map { case (id, t) =>
+        id -> t.split(" ").toVector }.toMap
+      val want = Seq.newBuilder[(Int, Int, String, String, Long)]
+      var round = 1
+      var exhausted = false
+      while (round <= 2 && !exhausted) {
+        val (sel, next) = refRound(state, k = 3, pool = 6)
+        if (sel.isEmpty) exhausted = true
+        else {
+          sel.zipWithIndex.foreach { case ((l, r, n), i) =>
+            want += ((round, i + 1, l, r, n)) }
+          state = next
+        }
+        round += 1
+      }
+      assert(got == want.result(),
+        s"docs=$docs\ngot=$got\nwant=${want.result()}")
+    }
+  }
+
   test("property: groupPercentilesCont matches a driver-side reference " +
       "interpolation on random value sets") {
     import graft.ext.Profiling
