@@ -679,9 +679,11 @@ object Profiling {
         size(collect_set(col("r")).over(wAll)).cast("long"))
       .withColumn("nc",
         size(collect_set(col("c")).over(wAll)).cast("long"))
-    val d19 = "decimal(19,0)"
-    val dev = withMargins("o").cast(d19) * withMargins("nn").cast(d19) -
-      withMargins("rs").cast(d19) * withMargins("cs").cast(d19)
+    // 18,0 (not 19,0): keeps the product at width 36 and the
+    // subtraction at 37, strictly under the 38 cap on both engines
+    val d18 = "decimal(18,0)"
+    val dev = withMargins("o").cast(d18) * withMargins("nn").cast(d18) -
+      withMargins("rs").cast(d18) * withMargins("cs").cast(d18)
     // square in DOUBLE, not decimal: dev² as DECIMAL(38,0)×DECIMAL(38,0)
     // silently overflows to NULL past N≈10⁹ under non-ANSI decimal
     // rules and sum() would skip the term (ADVICE r11). dev itself is

@@ -297,16 +297,20 @@ object TimeSeries {
     val totals = daily.groupBy(col("grp"))
       .agg(sum(col("cents")).as("s_total"), sum(col("n_day")).as("n_total"),
         count(lit(1)).as("n_days"))
-    // DECIMAL(19,0) × DECIMAL(19,0) → DECIMAL(38,0) on BOTH engines
-    // (exact int128 products); the oracle mirrors these casts verbatim.
-    // The previous mixed decimal×BIGINT form let DuckDB route through
-    // HUGEINT, whose conversion chain proved engine-version-sensitive
-    // at the driver gate (r11).
-    val d19 = "decimal(19,0)"
+    // DECIMAL(18,0) × DECIMAL(18,0) → width-36 exact products and a
+    // width-37 subtraction on BOTH engines — strictly UNDER the 38
+    // cap, so no engine's overflow/cap rule is ever consulted (at 19,0
+    // the subtraction needs width 39 and behavior at the cap could
+    // vary across builds — the r11 lesson generalized). The oracle
+    // mirrors these casts verbatim; the previous mixed decimal×BIGINT
+    // form let DuckDB route through HUGEINT, whose conversion chain
+    // proved engine-version-sensitive at the gate. Exactness bound:
+    // |N·C| < 10^36 — petabyte-safe.
+    val d18 = "decimal(18,0)"
     val scored = cum.join(broadcast(totals), Seq("grp"))
       .withColumn("score",
-        abs(col("n_total").cast(d19) * col("c_t").cast(d19) -
-          col("n_t").cast(d19) * col("s_total").cast(d19))
+        abs(col("n_total").cast(d18) * col("c_t").cast(d18) -
+          col("n_t").cast(d18) * col("s_total").cast(d18))
           .cast("decimal(38,0)"))
     val wBest = Window.partitionBy(col("grp"))
       .orderBy(col("score").desc, col("day").asc)

@@ -1076,11 +1076,11 @@ object PipelineQueries {
         |r AS (SELECT grp, cents, ROW_NUMBER() OVER (PARTITION BY grp
         |    ORDER BY cents ASC) AS rn FROM b),
         |m AS (SELECT grp, COUNT(*) AS n, SUM(cents) AS s,
-        |  SUM(CAST(rn AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+        |  SUM(CAST(rn AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
         |    AS wsum FROM r GROUP BY grp)
         |SELECT grp, CAST(n AS BIGINT) AS n,
         |  round(CAST(2 * wsum AS DOUBLE) /
-        |      CAST(CAST(n AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+        |      CAST(CAST(n AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))
         |        AS DOUBLE) -
         |    CAST(n + 1 AS DOUBLE) / n, 6) AS gini
         |FROM m WHERE s > 0 ORDER BY grp""".stripMargin,
@@ -1140,13 +1140,13 @@ object PipelineQueries {
         |  SUM((cy * cy) % 1000000) AS syy_lo,
         |  SUM(x * cy) AS sxy FROM b GROUP BY grp),
         |a AS (SELECT grp, n,
-        |  CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) -
-        |    CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
-        |  CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0)) -
-        |    CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS dx,
-        |  CAST(n AS DECIMAL(19,0)) *
-        |      CAST(syy_hi * 1000000 + syy_lo AS DECIMAL(19,0)) -
-        |    CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS dy
+        |  CAST(n AS DECIMAL(18,0)) * CAST(sxy AS DECIMAL(18,0)) -
+        |    CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS num,
+        |  CAST(n AS DECIMAL(18,0)) * CAST(sxx AS DECIMAL(18,0)) -
+        |    CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS dx,
+        |  CAST(n AS DECIMAL(18,0)) *
+        |      CAST(syy_hi * 1000000 + syy_lo AS DECIMAL(18,0)) -
+        |    CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS dy
         |  FROM m)
         |SELECT grp, CAST(n AS BIGINT) AS n,
         |  round(CAST(num AS DOUBLE) /
@@ -1172,13 +1172,13 @@ object PipelineQueries {
         |    SUM(CASE WHEN NOT isa THEN hi ELSE 0 END) AS hi_b,
         |    SUM(CASE WHEN NOT isa THEN lo ELSE 0 END) AS lo_b FROM b2),
         |v AS (SELECT n_a, n_b, sy_a, sy_b,
-        |    CAST(n_a AS DECIMAL(19,0)) *
-        |        CAST(hi_a * 1000000 + lo_a AS DECIMAL(19,0))
-        |      - CAST(sy_a AS DECIMAL(19,0)) * CAST(sy_a AS DECIMAL(19,0))
+        |    CAST(n_a AS DECIMAL(18,0)) *
+        |        CAST(hi_a * 1000000 + lo_a AS DECIMAL(18,0))
+        |      - CAST(sy_a AS DECIMAL(18,0)) * CAST(sy_a AS DECIMAL(18,0))
         |      AS va,
-        |    CAST(n_b AS DECIMAL(19,0)) *
-        |        CAST(hi_b * 1000000 + lo_b AS DECIMAL(19,0))
-        |      - CAST(sy_b AS DECIMAL(19,0)) * CAST(sy_b AS DECIMAL(19,0))
+        |    CAST(n_b AS DECIMAL(18,0)) *
+        |        CAST(hi_b * 1000000 + lo_b AS DECIMAL(18,0))
+        |      - CAST(sy_b AS DECIMAL(18,0)) * CAST(sy_b AS DECIMAL(18,0))
         |      AS vb FROM m),
         |q AS (SELECT n_a, n_b, sy_a, sy_b, va, vb,
         |    CAST(va AS DOUBLE) / ((CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
@@ -1218,23 +1218,23 @@ object PipelineQueries {
         |      PRECEDING AND 1 PRECEDING), 0) AS cprev FROM c2),
         |agg AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
         |    CAST(SUM(b) AS BIGINT) AS n_b,
-        |    SUM(CAST(a AS DECIMAL(19,0)) *
-        |      CAST(2 * cprev + t + 1 AS DECIMAL(19,0))) AS r1d,
+        |    SUM(CAST(a AS DECIMAL(18,0)) *
+        |      CAST(2 * cprev + t + 1 AS DECIMAL(18,0))) AS r1d,
         |    SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0)) *
         |        CAST(t AS DECIMAL(12,0))
-        |      - CAST(t AS DECIMAL(19,0))) AS tcorr FROM cp),
+        |      - CAST(t AS DECIMAL(18,0))) AS tcorr FROM cp),
         |s1 AS (SELECT n_a, n_b,
-        |    r1d - CAST(n_a AS DECIMAL(19,0)) *
-        |      CAST(n_a + 1 AS DECIMAL(19,0)) AS u2x,
+        |    r1d - CAST(n_a AS DECIMAL(18,0)) *
+        |      CAST(n_a + 1 AS DECIMAL(18,0)) AS u2x,
         |    CAST(n_a + n_b AS DECIMAL(12,0)) *
         |        CAST(n_a + n_b AS DECIMAL(12,0)) *
         |        CAST(n_a + n_b AS DECIMAL(12,0))
-        |      - CAST(n_a + n_b AS DECIMAL(19,0)) - tcorr AS s,
+        |      - CAST(n_a + n_b AS DECIMAL(18,0)) - tcorr AS s,
         |    n_a + n_b AS nn FROM agg)
         |SELECT n_a, n_b, CAST(u2x AS DOUBLE) / 2.0 AS u,
         |  CASE WHEN s > 0 THEN round(
-        |    CAST(u2x - CAST(n_a AS DECIMAL(19,0)) *
-        |      CAST(n_b AS DECIMAL(19,0)) AS DOUBLE) /
+        |    CAST(u2x - CAST(n_a AS DECIMAL(18,0)) *
+        |      CAST(n_b AS DECIMAL(18,0)) AS DOUBLE) /
         |    (2.0 * sqrt(
         |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
         |        CAST(s AS DOUBLE)) /
@@ -1259,8 +1259,8 @@ object PipelineQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |t AS (SELECT MAX(ca) AS n_a, MAX(cb) AS n_b FROM cum),
         |m AS (SELECT n_a, n_b,
-        |    MAX(abs(CAST(ca AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) -
-        |      CAST(cb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))))
+        |    MAX(abs(CAST(ca AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0)) -
+        |      CAST(cb AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))))
         |      AS dmax
         |  FROM cum, t WHERE n_a > 0 AND n_b > 0 GROUP BY n_a, n_b)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
@@ -1288,15 +1288,15 @@ object PipelineQueries {
         |  SUM((cy * cy) % 1000000) AS syy_lo,
         |  SUM(x * cy) AS sxy FROM b GROUP BY grp),
         |a AS (SELECT grp, n,
-        |  CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) -
-        |    CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
-        |  CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0)) -
-        |    CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS dx,
-        |  CAST(n AS DECIMAL(19,0)) *
-        |      CAST(syy_hi * 1000000 + syy_lo AS DECIMAL(19,0)) -
-        |    CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS dy,
-        |  CAST(sy AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0)) -
-        |    CAST(sx AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) AS ic
+        |  CAST(n AS DECIMAL(18,0)) * CAST(sxy AS DECIMAL(18,0)) -
+        |    CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS num,
+        |  CAST(n AS DECIMAL(18,0)) * CAST(sxx AS DECIMAL(18,0)) -
+        |    CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS dx,
+        |  CAST(n AS DECIMAL(18,0)) *
+        |      CAST(syy_hi * 1000000 + syy_lo AS DECIMAL(18,0)) -
+        |    CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS dy,
+        |  CAST(sy AS DECIMAL(18,0)) * CAST(sxx AS DECIMAL(18,0)) -
+        |    CAST(sx AS DECIMAL(18,0)) * CAST(sxy AS DECIMAL(18,0)) AS ic
         |  FROM m)
         |SELECT grp, CAST(n AS BIGINT) AS n,
         |  round(CAST(num AS DOUBLE) /
@@ -1323,8 +1323,8 @@ object PipelineQueries {
         |k AS (SELECT COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc
         |  FROM cells),
         |dv AS (SELECT nn, rs, cs,
-        |  CAST(CAST(o AS DECIMAL(19,0)) * CAST(nn AS DECIMAL(19,0)) -
-        |    CAST(rs AS DECIMAL(19,0)) * CAST(cs AS DECIMAL(19,0))
+        |  CAST(CAST(o AS DECIMAL(18,0)) * CAST(nn AS DECIMAL(18,0)) -
+        |    CAST(rs AS DECIMAL(18,0)) * CAST(cs AS DECIMAL(18,0))
         |    AS DOUBLE) AS dev FROM m),
         |tm AS (SELECT nn, CAST(round(
         |    (dev * dev) /
@@ -1348,10 +1348,10 @@ object PipelineQueries {
         |t AS (SELECT grp, SUM(cents) AS s_total, SUM(n_day) AS n_total,
         |  COUNT(*) AS n_days FROM d GROUP BY grp),
         |sc AS (SELECT c.grp, c.day,
-        |  CAST(abs(CAST(t.n_total AS DECIMAL(19,0)) *
-        |      CAST(c.c_t AS DECIMAL(19,0)) -
-        |    CAST(c.n_t AS DECIMAL(19,0)) *
-        |      CAST(t.s_total AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS score,
+        |  CAST(abs(CAST(t.n_total AS DECIMAL(18,0)) *
+        |      CAST(c.c_t AS DECIMAL(18,0)) -
+        |    CAST(c.n_t AS DECIMAL(18,0)) *
+        |      CAST(t.s_total AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS score,
         |  t.n_days FROM c JOIN t USING (grp)),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
         |    ORDER BY score DESC, day ASC) AS rk FROM sc)
@@ -1591,13 +1591,13 @@ object PipelineQueries {
         |  SUM((cy * cy) % 1000000) AS syy_lo,
         |  SUM(x * cy) AS sxy FROM b GROUP BY grp),
         |a AS (SELECT grp, n,
-        |  CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0)) -
-        |    CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS num,
-        |  CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0)) -
-        |    CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS dx,
-        |  CAST(n AS DECIMAL(19,0)) *
-        |      CAST(syy_hi * 1000000 + syy_lo AS DECIMAL(19,0)) -
-        |    CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS dy
+        |  CAST(n AS DECIMAL(18,0)) * CAST(sxy AS DECIMAL(18,0)) -
+        |    CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS num,
+        |  CAST(n AS DECIMAL(18,0)) * CAST(sxx AS DECIMAL(18,0)) -
+        |    CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS dx,
+        |  CAST(n AS DECIMAL(18,0)) *
+        |      CAST(syy_hi * 1000000 + syy_lo AS DECIMAL(18,0)) -
+        |    CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS dy
         |  FROM m)
         |SELECT grp, CAST(n AS BIGINT) AS n,
         |  round(CAST(num AS DOUBLE) /
