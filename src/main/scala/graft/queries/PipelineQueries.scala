@@ -1076,10 +1076,10 @@ object PipelineQueries {
         |r AS (SELECT grp, cents, ROW_NUMBER() OVER (PARTITION BY grp
         |    ORDER BY cents ASC) AS rn FROM b),
         |m AS (SELECT grp, COUNT(*) AS n, SUM(cents) AS s,
-        |  SUM(CAST(rn AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
-        |    AS wsum FROM r GROUP BY grp)
+        |  CAST(SUM(CAST(rn AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+        |    AS DECIMAL(18,0)) AS wsum FROM r GROUP BY grp)
         |SELECT grp, CAST(n AS BIGINT) AS n,
-        |  round(CAST(2 * wsum AS DOUBLE) /
+        |  round(CAST(CAST(2 AS DECIMAL(18,0)) * wsum AS DOUBLE) /
         |      CAST(CAST(n AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))
         |        AS DOUBLE) -
         |    CAST(n + 1 AS DOUBLE) / n, 6) AS gini
@@ -1218,11 +1218,13 @@ object PipelineQueries {
         |      PRECEDING AND 1 PRECEDING), 0) AS cprev FROM c2),
         |agg AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
         |    CAST(SUM(b) AS BIGINT) AS n_b,
-        |    SUM(CAST(a AS DECIMAL(18,0)) *
-        |      CAST(2 * cprev + t + 1 AS DECIMAL(18,0))) AS r1d,
-        |    SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0)) *
+        |    CAST(SUM(CAST(a AS DECIMAL(18,0)) *
+        |      CAST(2 * cprev + t + 1 AS DECIMAL(18,0)))
+        |      AS DECIMAL(18,0)) AS r1d,
+        |    CAST(SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0)) *
         |        CAST(t AS DECIMAL(12,0))
-        |      - CAST(t AS DECIMAL(18,0))) AS tcorr FROM cp),
+        |      - CAST(t AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS tcorr
+        |  FROM cp),
         |s1 AS (SELECT n_a, n_b,
         |    r1d - CAST(n_a AS DECIMAL(18,0)) *
         |      CAST(n_a + 1 AS DECIMAL(18,0)) AS u2x,
