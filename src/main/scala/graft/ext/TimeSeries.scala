@@ -301,23 +301,30 @@ object TimeSeries {
     // width-37 subtraction on BOTH engines — strictly UNDER the 38
     // cap, so no engine's overflow/cap rule is ever consulted (at 19,0
     // the subtraction needs width 39 and behavior at the cap could
-    // vary across builds — the r11 lesson generalized). The oracle
-    // mirrors these casts verbatim; the previous mixed decimal×BIGINT
-    // form let DuckDB route through HUGEINT, whose conversion chain
-    // proved engine-version-sensitive at the gate. Exactness bound:
-    // |N·C| < 10^36 — petabyte-safe.
+    // vary across builds — the r11 lesson generalized). The wide score
+    // stays ENGINE-INTERNAL: it only feeds the argmax ordering, where
+    // exact-integer comparison is representation-independent. Three
+    // rounds of gate evidence (r10–r12) showed a decimal128(38,0)
+    // OUTPUT column is itself not portable across DuckDB builds at the
+    // value/hash-serialization layer, so the emitted score is the
+    // exact digit string instead — integer-to-decimal-digits is fully
+    // specified on every engine. Domain bound: each FACTOR (cumulative
+    // cents, total cents, counts) must fit DECIMAL(18,0), i.e. group
+    // totals under 10^18 cents = 10^16 currency units — exceeded, the
+    // cast fails LOUDLY (decimal precision error), never wraps. The
+    // score product is then exact up to |N·C| < 10^36 — petabyte-safe.
     val d18 = "decimal(18,0)"
     val scored = cum.join(broadcast(totals), Seq("grp"))
       .withColumn("score",
         abs(col("n_total").cast(d18) * col("c_t").cast(d18) -
-          col("n_t").cast(d18) * col("s_total").cast(d18))
-          .cast("decimal(38,0)"))
+          col("n_t").cast(d18) * col("s_total").cast(d18)))
     val wBest = Window.partitionBy(col("grp"))
       .orderBy(col("score").desc, col("day").asc)
     scored
       .withColumn("rk", row_number().over(wBest))
       .filter(col("rk") === 1)
-      .select(col("grp"), col("day").as("change_day"), col("score"),
+      .select(col("grp"), col("day").as("change_day"),
+        col("score").cast("string").as("score_str"),
         col("n_days"))
       .orderBy(col("grp"))
   }
@@ -360,10 +367,14 @@ object TimeSeries {
   /** Linear (equal-split) multi-touch attribution — the fairness twin
     * of [[lastTouchAttribution]]: every touch inside the conversion's
     * lookback window shares credit 1/n equally. Credit per (conversion,
-    * touch) is the exact integer ⌊10⁶/n⌋ parts-per-million, so
-    * per-touch totals are exact BIGINT sums (order-independent) and
-    * cross-engine identical with zero float ops. Returns per-touch
-    * totals.
+    * touch) is the exact integer ⌊10⁶/n⌋ parts-per-million, with the
+    * floor-division remainder (10⁶ mod n, up to n−1 ppm) assigned to
+    * the conversion's LOWEST touch_id — so every conversion's credits
+    * sum to EXACTLY 10⁶ ppm (conservation: per-touch totals sum to
+    * 10⁶ × conversions, the invariant downstream budget splits rely
+    * on — ADVICE r12), per-touch totals are exact BIGINT sums
+    * (order-independent), and everything is cross-engine identical
+    * with zero float ops. Returns per-touch totals.
     *
     * Scale shape: the stream filters to the two event types FIRST,
     * then one user-keyed band join (touch ≤ conv ≤ touch + window —
@@ -388,12 +399,20 @@ object TimeSeries {
       .filter(col("t_us") <= col("c_us") &&
         col("t_us") >= col("c_us") - lit(winUs))
     val perConv = Window.partitionBy(col("conv_id"))
+    val perConvOrd = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_id").asc)
     pairs
       .withColumn("n_touches", count(lit(1)).over(perConv))
+      .withColumn("rk", row_number().over(perConvOrd))
       // credit in exact parts-per-million: 10⁶ div n floors identically
-      // on every engine (positive integers), and the per-touch total is
-      // an exact BIGINT sum — no float, no rounding discipline at all
-      .withColumn("credit_ppm", expr("1000000L div n_touches"))
+      // on every engine (positive integers), the mod-n remainder rides
+      // the lowest touch_id (deterministic: ids are unique, unlike
+      // timestamps) so each conversion pays out exactly 10⁶, and the
+      // per-touch total is an exact BIGINT sum — no float anywhere
+      .withColumn("credit_ppm",
+        expr("1000000L div n_touches") +
+          when(col("rk") === 1, expr("1000000L % n_touches"))
+            .otherwise(lit(0L)))
       .groupBy(col("touch_id"))
       .agg(count(lit(1)).as("n_convs"),
         sum(col("credit_ppm")).as("credit_ppm"))

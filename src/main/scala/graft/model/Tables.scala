@@ -149,12 +149,31 @@ object Tables {
   /** Recursive local-FS delete for the streaming/evolution queries'
     * per-run staging dirs: repeated gate/bench runs must not leak disk
     * (ADVICE r11). Local `java.io.File` only — these staging dirs are
-    * always driver-local temp space, never the archive.
+    * always driver-local temp space, never the archive. Two blast-
+    * radius guards (ADVICE r12): a symlinked directory is deleted as
+    * the LINK, never traversed (File.listFiles follows symlinks, so
+    * recursing would delete content OUTSIDE the staging tree), and
+    * only paths under java.io.tmpdir are accepted — every call site
+    * passes a fresh createTempDirectory path, and the require turns a
+    * future wrong-path caller bug into a loud error instead of a
+    * recursive delete of live data.
     */
   def rmrf(paths: String*): Unit = paths.foreach { p =>
+    // accept both the literal tmpdir prefix and its symlink-resolved
+    // form (macOS /tmp → /private/tmp); the TARGET is normalized but
+    // never leaf-resolved, so a symlink inside staging stays a link
+    val tmpProp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir")).toAbsolutePath.normalize
+    val tmpReal =
+      try tmpProp.toRealPath() catch { case _: java.io.IOException => tmpProp }
+    val t = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+    require(t.startsWith(tmpProp) || t.startsWith(tmpReal),
+      s"rmrf refuses non-tmp path: $p (tmpdir = $tmpProp)")
     def go(f: java.io.File): Unit = {
-      val cs = f.listFiles()
-      if (cs != null) cs.foreach(go)
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(go)
+      }
       f.delete(): Unit
     }
     go(new java.io.File(p))

@@ -608,7 +608,13 @@ object ExtQueries {
     // the constants (1379/195 at sf0.001, 14206/1947 at sf0.01,
     // 144569/19522 at sf0.1) are keyed on a lineitem content
     // fingerprint so a regenerated fixture yields NULLs (loud row
-    // mismatch), never a silently-wrong pass.
+    // mismatch), never a silently-wrong pass. SPARK-VERSION-PINNED:
+    // these are Spark 4.1's HLL++ outputs (default rsd 0.05) — an
+    // upgrade that changes sketch internals or the default rsd turns
+    // the gate red. QueriesSpec bounds each constant against the
+    // exact distinct count (±15% = 3·rsd), so constant-drift (replay
+    // red, accuracy green → re-pin) is distinguishable from a broken
+    // sketch (both red).
     "q_approx_distinct" ->
       """WITH f AS (SELECT COUNT(*) AS n,
         |  BIT_XOR(xor(l_orderkey * 1000003, l_partkey * 31 + l_suppkey))

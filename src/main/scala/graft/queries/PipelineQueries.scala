@@ -139,9 +139,11 @@ object PipelineQueries {
 
     // Stream-stream watermarked join through the ACTUAL incremental
     // path (round 11, the q_ohlc_stream pattern): events re-sharded
-    // into 4 TIME-RANGE files (repartitionByRange on ts — arrival
+    // into 3 TIME-RANGE files (repartitionByRange on ts — arrival
     // order mirrors event order, so the watermark advances
-    // monotonically and no row is late), file-streamed one file per
+    // monotonically and no row is late; 4→3 slices in r13 cuts one
+    // micro-batch of fixed state-store/commit overhead — the result
+    // set is slice-count-independent), file-streamed one file per
     // micro-batch through purchaseSignupJoin (watermarks both sides,
     // time-bounded condition ⇒ provably bounded state), append-mode
     // memory sink. Inner-join append output after processAllAvailable
@@ -151,7 +153,7 @@ object PipelineQueries {
         .createTempDirectory("graft_stream_join_stage").toString
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_stream_join").toString
-      Tables.eventsNative(s, d).repartitionByRange(4, col("ts"))
+      Tables.eventsNative(s, d).repartitionByRange(3, col("ts"))
         .write.mode("overwrite").parquet(staging)
       // FileStreamSource picks files oldest-mtime-first under
       // maxFilesPerTrigger, and a single parquet write stamps ties —
@@ -171,9 +173,9 @@ object PipelineQueries {
       }
       val sink = "graft_stream_join_sink"
       // Stateful-op cost here is (state stores = shuffle partitions) ×
-      // micro-batches, not data volume — 32 session partitions mean 64
-      // store instances per 4-batch run for a ~10 MB join state. Pin
-      // the stream to 4 on a FRESH session (ADVICE r11): the pin dies
+      // micro-batches, not data volume — 32 session partitions would
+      // mean 2×32 store instances per batch for a ~10 MB join state.
+      // Pin the stream to 4 on a FRESH session (ADVICE r11): the pin dies
       // with the stream instead of mutate-and-restore on the shared
       // session conf; 4 halves the per-batch state-store commit count
       // vs the previous 8 with identical output (r12). Runtime-set
@@ -294,19 +296,16 @@ object PipelineQueries {
         "ts", "event_id", "event_type", "click", "purchase",
         windowDays = 7)),
 
-    // BPE-style tokenizer training (round 11): the first 3
-    // most-frequent-adjacent-pair merges with greedy left-to-right
-    // non-overlapping rewrites — pure window algebra, identical in the
-    // oracle, so the merge table is hash-exact; state frames feed both
-    // the count and the rewrite, hence the localCheckpoint hook
-    "q_bpe_merges" -> ((s, d) =>
-      Bpe.pairMerges(Tables.documents(s, d), "doc_id", "text",
-        steps = 3, materialize = _.localCheckpoint())),
-
     // Batched BPE (round 12, the documented 100 TB shape): 2 rewrite
     // passes × up to 4 symbol-disjoint merges each — 8 merges for 2
     // corpus passes instead of 8; pool-then-greedy selection is part
-    // of the contract and unrolled identically in the oracle
+    // of the contract and unrolled identically in the oracle.
+    // The sequential 3-step variant (q_bpe_merges, r11) was retired
+    // from the registry in r13 as a bench-budget call (VERDICT r12):
+    // the batched query subsumes the capability at the gate, and
+    // Bpe.pairMerges stays property-tested against the batched path
+    // in BpeSpec (the batch contract is DEFINED by agreement with the
+    // sequential reference, so the sequential semantics remain pinned)
     "q_bpe_merges_batch" -> ((s, d) =>
       Bpe.pairMergesBatched(Tables.documents(s, d), "doc_id", "text",
         rounds = 2, pairsPerRound = 4, candidatePool = 64,
@@ -488,7 +487,11 @@ object PipelineQueries {
 
     // exact integer CUSUM changepoint (round 11): the mean-shift day
     // per event_type, score = |N·C_t − n_t·S| in pure integer cents —
-    // bit-reproducible drift alerts that can't flap across recomputes
+    // bit-reproducible drift alerts that can't flap across recomputes.
+    // The wide score is engine-internal (argmax only) and emits as its
+    // exact digit STRING: decimal128(38,0) output columns proved
+    // non-portable across DuckDB builds at the serialization layer
+    // (r10–r12 gate), while integer→digits is specified everywhere
     "q_changepoint" -> ((s, d) =>
       TimeSeries.changepoints(Tables.events(s, d),
         "event_type", "ts", "value")),
@@ -549,10 +552,23 @@ object PipelineQueries {
       val total = counts.agg(sum(col("n")).as("total"))
       counts.crossJoin(broadcast(total))
         .select(col("dow"), col("n"),
-          // n·7·10⁹ stays in BIGINT up to ~1.3·10⁹ events per dow;
-          // past that, route the product through DECIMAL(38,0) —
-          // the quotient stays the same exact integer
-          expr("(n * 7000000000L) div total").as("idx_ppb"))
+          // n·7·10⁹ stays in BIGINT up to n ≈ 1.317·10⁹ events per
+          // dow. Past that BOTH engines fail loudly (Spark ANSI
+          // overflow, DuckDB BIGINT overflow) — never silently wrap —
+          // and the named guard below turns Spark's generic overflow
+          // into a diagnosable error (and keeps a non-ANSI session
+          // from wrapping). A DECIMAL reroute is NOT the portable fix
+          // here: DuckDB 1.0 routes decimal division through DOUBLE
+          // (measured — `//` on DECIMAL(38,0) loses low digits), so
+          // exact ppb past the bound needs the hi/lo split pattern
+          // instead; at 10⁹ events per day-of-week, the guard is the
+          // honest contract (ADVICE r12).
+          when(col("n") <= lit(1317624576L),
+              expr("(n * 7000000000L) div total"))
+            .otherwise(raise_error(lit("q_seasonality_dow: per-dow " +
+              "count exceeds the exact BIGINT ppb-scaling domain " +
+              "(n > 1317624576)")))
+            .as("idx_ppb"))
         .orderBy(col("dow"))
     }),
 
@@ -667,45 +683,14 @@ object PipelineQueries {
           "o_orderdate", "o_orderpriority")))
   )
 
-  /** One BPE step in the oracle: identical window algebra to
-    * [[graft.ext.Bpe.pairMerges]] — match marking, cumulative-count
-    * run keys, even-offset greedy selection, right-half drop,
-    * renumber. `prev` is the incoming state CTE (doc, pos, tok);
-    * emits CTEs suffixed `s`, with `b$s` holding the chosen pair.
-    */
-  private def bpeStepSql(s: Int, prev: String): String =
-    s"""p$s AS (SELECT tok, lead(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt
-       |  FROM $prev),
-       |c$s AS (SELECT tok, nxt, COUNT(*) AS n FROM p$s
-       |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
-       |b$s AS (SELECT tok AS lft, nxt AS rgt, n FROM c$s
-       |  ORDER BY n DESC, tok, nxt LIMIT 1),
-       |m$s AS (SELECT t.doc, t.pos, t.tok,
-       |    lead(t.tok) OVER (PARTITION BY t.doc ORDER BY t.pos) AS nxt,
-       |    b.lft, b.rgt FROM $prev t, b$s b),
-       |mm$s AS (SELECT doc, pos, tok, lft, rgt,
-       |    CASE WHEN tok = lft AND nxt = rgt THEN 1 ELSE 0 END AS m FROM m$s),
-       |r$s AS (SELECT *, SUM(m) OVER (PARTITION BY doc ORDER BY pos
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rnm FROM mm$s),
-       |k$s AS (SELECT *, CASE WHEN m = 1 THEN pos - rnm END AS runkey FROM r$s),
-       |s$s AS (SELECT *, MIN(CASE WHEN m = 1 THEN pos END)
-       |    OVER (PARTITION BY doc, runkey) AS runstart FROM k$s),
-       |tk$s AS (SELECT doc, pos, tok, lft, rgt,
-       |    CASE WHEN m = 1 AND (pos - runstart) % 2 = 0 THEN 1 ELSE 0 END AS tk
-       |  FROM s$s),
-       |n$s AS (SELECT doc, pos, tok, tk, lft, rgt,
-       |    COALESCE(LAG(tk) OVER (PARTITION BY doc ORDER BY pos), 0) AS ptk
-       |  FROM tk$s),
-       |t$s AS (SELECT doc, ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS pos,
-       |    CASE WHEN tk = 1 THEN lft || '+' || rgt ELSE tok END AS tok
-       |  FROM n$s WHERE ptk = 0)""".stripMargin
-
   /** One batched-BPE round in the oracle —
     * [[graft.ext.Bpe.pairMergesBatched]] mirrored exactly: the top-
     * `pool` candidate list, `k` greedy symbol-disjoint picks unrolled
     * as chained anti-conditioned LIMIT-1 CTEs (each pick excludes
-    * every symbol the previous selection used), then the
-    * [[bpeStepSql]] run algebra with the match generalized from one
+    * every symbol the previous selection used), then the sequential
+    * run algebra of [[graft.ext.Bpe.pairMerges]] (match marking,
+    * cumulative-count run keys, even-offset greedy selection,
+    * right-half drop, renumber) with the match generalized from one
     * literal pair to a LEFT JOIN against the round's selection (pairs
     * are symbol-disjoint, so consecutive matches are same-self-pair
     * runs — the algebra is unchanged). MATERIALIZED on the state,
@@ -777,20 +762,6 @@ object PipelineQueries {
           |  UNION ALL SELECT 2, CAST(ord AS INTEGER), lft, rgt,
           |    CAST(n AS BIGINT) FROM bsel2)
           |ORDER BY merge_round, ord""".stripMargin),
-
-    "q_bpe_merges" ->
-      (s"""WITH t0 AS (SELECT doc_id AS doc,
-          |    generate_subscripts(string_split(text, ' '), 1) AS pos,
-          |    unnest(string_split(text, ' ')) AS tok FROM documents),
-          |""".stripMargin +
-        bpeStepSql(1, "t0") + ",\n" + bpeStepSql(2, "t1") + ",\n" +
-        bpeStepSql(3, "t2") + "\n" +
-        """SELECT * FROM (
-          |  SELECT CAST(1 AS INTEGER) AS step, lft, rgt,
-          |    CAST(n AS BIGINT) AS n_pairs FROM b1
-          |  UNION ALL SELECT 2, lft, rgt, CAST(n AS BIGINT) FROM b2
-          |  UNION ALL SELECT 3, lft, rgt, CAST(n AS BIGINT) FROM b3)
-          |ORDER BY step""".stripMargin),
 
     "q_dedup_fuzzy" ->
       s"""${ExtQueries.ShingleCte},
@@ -1350,14 +1321,15 @@ object PipelineQueries {
         |t AS (SELECT grp, SUM(cents) AS s_total, SUM(n_day) AS n_total,
         |  COUNT(*) AS n_days FROM d GROUP BY grp),
         |sc AS (SELECT c.grp, c.day,
-        |  CAST(abs(CAST(t.n_total AS DECIMAL(18,0)) *
+        |  abs(CAST(t.n_total AS DECIMAL(18,0)) *
         |      CAST(c.c_t AS DECIMAL(18,0)) -
         |    CAST(c.n_t AS DECIMAL(18,0)) *
-        |      CAST(t.s_total AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS score,
+        |      CAST(t.s_total AS DECIMAL(18,0))) AS score,
         |  t.n_days FROM c JOIN t USING (grp)),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
         |    ORDER BY score DESC, day ASC) AS rk FROM sc)
-        |SELECT grp, day AS change_day, score,
+        |SELECT grp, day AS change_day,
+        |  CAST(score AS VARCHAR) AS score_str,
         |  CAST(n_days AS BIGINT) AS n_days
         |FROM r WHERE rk = 1 ORDER BY grp""".stripMargin,
 
@@ -1401,8 +1373,9 @@ object PipelineQueries {
         |SELECT rule, n_checked, n_violations FROM rr
         |ORDER BY rule""".stripMargin,
 
-    // mirrors linearAttribution: per-(conv, touch) credit = one
-    // rounded division; per-touch totals sum exactly in decimal
+    // mirrors linearAttribution: per-(conv, touch) credit = exact
+    // ⌊10⁶/n⌋ ppm with the mod-n remainder on the lowest touch_id
+    // (each conversion pays out exactly 10⁶); BIGINT sums throughout
     "q_attribution_linear" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |    epoch_ns(ts) // 1000 AS us FROM events),
@@ -1414,9 +1387,13 @@ object PipelineQueries {
         |  WHERE t_us <= c_us
         |  AND t_us >= c_us - 7 * 86400 * CAST(1000000 AS BIGINT)),
         |n AS (SELECT conv_id, touch_id,
-        |    COUNT(*) OVER (PARTITION BY conv_id) AS n_touches FROM p)
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS n_touches,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY touch_id)
+        |      AS rk FROM p)
         |SELECT touch_id, COUNT(*) AS n_convs,
-        |  CAST(SUM(1000000 // n_touches) AS BIGINT) AS credit_ppm
+        |  CAST(SUM(1000000 // n_touches + CASE WHEN rk = 1
+        |    THEN 1000000 % n_touches ELSE 0 END) AS BIGINT)
+        |    AS credit_ppm
         |FROM n GROUP BY touch_id ORDER BY touch_id""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday = 0); Spark's is 1-based

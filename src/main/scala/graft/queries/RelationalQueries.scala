@@ -307,12 +307,14 @@ object RelationalQueries {
     // skew-salted equi-join (round 11): the explicit-salting machinery
     // ScaleSpec measures, now under the oracle gate — semantics must
     // equal the plain inner join exactly (the salt key spreads a hot
-    // orderkey over 8 reducer tasks; the build side explodes ×8)
+    // orderkey over 4 reducer tasks; the build side explodes ×4 — salt
+    // 8→4 in r13 halves the exploded build at identical semantics, a
+    // bench-budget call; ScaleSpec still proves the 8-bucket shape)
     "q_join_salted" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"))
-      graft.ops.Scale.saltedJoin(l, o, "l_orderkey", "o_orderkey", 8)
+      graft.ops.Scale.saltedJoin(l, o, "l_orderkey", "o_orderkey", 4)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_quantity"), 2).as("total_qty"))

@@ -323,4 +323,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Ranking.skyline(same, col("cost"), col("gain"),
       Seq(col("id"))).count() == 2)
   }
+
+  test("rmrf blast-radius guards (ADVICE r12): refuses paths outside " +
+      "java.io.tmpdir, and deletes a symlinked directory as the LINK " +
+      "without traversing into the target") {
+    import java.nio.file.Files
+    // non-tmp refusal — loud, nothing touched
+    intercept[IllegalArgumentException] {
+      graft.model.Tables.rmrf("/root/repo/target/definitely-not-tmp")
+    }
+    intercept[IllegalArgumentException] {
+      graft.model.Tables.rmrf("relative/path")
+    }
+    // symlink inside a staging dir: the linked-to content must survive
+    val outside = Files.createTempDirectory("graft_rmrf_outside")
+    val precious = outside.resolve("precious.txt")
+    Files.writeString(precious, "keep me")
+    val staging = Files.createTempDirectory("graft_rmrf_staging")
+    Files.writeString(staging.resolve("scratch.txt"), "scratch")
+    val link = staging.resolve("link_out")
+    try Files.createSymbolicLink(link, outside)
+    catch { case _: UnsupportedOperationException =>
+      cancel("filesystem does not support symlinks")
+    }
+    graft.model.Tables.rmrf(staging.toString)
+    assert(!Files.exists(staging), "staging dir itself must be gone")
+    assert(Files.exists(precious),
+      "content behind a symlink must NOT be deleted")
+    assert(Files.readString(precious) == "keep me")
+    graft.model.Tables.rmrf(outside.toString) // cleanup (legit tmp path)
+    assert(!Files.exists(outside))
+  }
 }

@@ -23,9 +23,19 @@ import org.scalatest.funsuite.AnyFunSuite
   *       integers or value copies (q_interpolate, q_anomaly_robust,
   *       means, obs shares) — conversions and +,−,×,÷,√ are exactly
   *       specified, so no rounding step exists to disagree on;
-  *   (d) exact integers ride DECIMAL(19/38,0) casts, never HUGEINT —
-  *       HUGEINT is DuckDB-internal and its conversion chain is what
-  *       broke q_changepoint with zero floating point in the query.
+  *   (d) exact wide-integer ARITHMETIC rides DECIMAL casts, never
+  *       HUGEINT — HUGEINT is DuckDB-internal and its conversion
+  *       chain is what first broke q_changepoint with zero floating
+  *       point in the query. But r12 sharpened the rule: a decimal
+  *       wider than 18 is only portable as an INTERMEDIATE (exact
+  *       comparisons, sums, argmax ordering are representation-
+  *       independent); an EMITTED decimal128 column diverges across
+  *       DuckDB builds at the value/hash-serialization layer —
+  *       q_changepoint stayed red for three rounds (r10–r12) with
+  *       all-integer math precisely because its output `score` was
+  *       DECIMAL(38,0). Wide exact integers leave a query as their
+  *       digit STRING (integer→digits is fully specified everywhere)
+  *       or split/reduced into int64-backed columns.
   *
   * This spec makes the rules structural: it would have caught all 14
   * r11 reds (each contained `round(…, 9)` or a bare HUGEINT cast) and
@@ -94,6 +104,116 @@ class OracleDisciplineSpec extends AnyFunSuite {
       "HUGEINT in oracle SQL: " + offenders.mkString(", "))
   }
 
+  // ---- rule (d) as structure: no EMITTED decimal wider than 18 ----
+
+  /** Positions of `SELECT` keywords at paren depth 0. */
+  private def topLevelSelects(sql: String): Seq[Int] = {
+    val lower = sql.toLowerCase
+    val out = Seq.newBuilder[Int]
+    var depth = 0
+    var i = 0
+    while (i < lower.length) {
+      lower(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 's' if depth == 0 && lower.startsWith("select", i) &&
+            (i == 0 || !lower(i - 1).isLetterOrDigit) &&
+            (i + 6 >= lower.length || !lower(i + 6).isLetterOrDigit) =>
+          out += i
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** The output items of the LAST top-level SELECT: its select list
+    * split on depth-0 commas, each with a trailing `AS name` alias
+    * stripped (the emitted expression is what the rule inspects).
+    * UNION branches share a schema, so inspecting the last branch is
+    * representative for the emission-type rule. */
+  private def finalSelectItems(sql: String): Seq[String] = {
+    val starts = topLevelSelects(sql)
+    if (starts.isEmpty) return Seq.empty
+    val from = starts.last + "select".length
+    val lower = sql.toLowerCase
+    // end of the select list: the first depth-0 FROM after it (or EOF
+    // for FROM-less selects)
+    var depth = 0
+    var i = from
+    var end = sql.length
+    var found = false
+    while (i < lower.length && !found) {
+      lower(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'f' if depth == 0 && lower.startsWith("from", i) &&
+            !lower(i - 1).isLetterOrDigit &&
+            (i + 4 >= lower.length || !lower(i + 4).isLetterOrDigit) =>
+          end = i; found = true
+        case _ =>
+      }
+      i += 1
+    }
+    val list = sql.substring(from, end)
+    // split on depth-0 commas
+    val items = Seq.newBuilder[String]
+    depth = 0
+    var start = 0
+    var j = 0
+    while (j < list.length) {
+      list(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          items += list.substring(start, j); start = j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    items += list.substring(start)
+    items.result().map(_.trim)
+      .map(it => "(?is)\\s+as\\s+[a-z_][a-z0-9_]*\\s*$".r
+        .replaceAllIn(it, ""))
+      .filter(_.nonEmpty)
+  }
+
+  private val WideDecimal = raw"(?is)decimal\s*\(\s*(\d+)".r
+
+  /** Aliases bound to a cast whose target decimal is wider than 18 —
+    * `... AS DECIMAL(p>18[,s]))+ AS alias` anywhere in the query. */
+  private def wideCastAliases(sql: String): Seq[String] =
+    raw"(?is)decimal\s*\(\s*(\d+)(?:\s*,\s*\d+)?\s*\)\s*\)+\s*as\s+([a-z_][a-z0-9_]*)".r
+      .findAllMatchIn(sql)
+      .collect { case m if m.group(1).toInt > 18 => m.group(2).toLowerCase }
+      .toSeq
+
+  test("no oracle EMITS a decimal wider than 18 — decimal128 output " +
+      "columns are not portable across DuckDB builds at the value/" +
+      "hash-serialization layer (r10–r12: q_changepoint red three " +
+      "rounds on exact-integer math); wide intermediates are fine, " +
+      "wide OUTPUT leaves as a digit string or int64-backed columns") {
+    val offenders = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      val items = finalSelectItems(sql)
+      val direct = items.collect {
+        case it if WideDecimal.findAllMatchIn(it)
+            .exists(_.group(1).toInt > 18) =>
+          s"$name: wide decimal cast emitted [${it.take(70)}]"
+      }
+      // a wide-cast alias flowing through bare (possibly via SELECT *
+      // in intermediate CTEs) as an output item
+      val aliases = wideCastAliases(sql)
+      val bare = items.collect {
+        case it if aliases.exists(a =>
+            it.toLowerCase.matches(raw"(?s)([a-z_][a-z0-9_]*\.)?$a")) =>
+          s"$name: wide-cast alias emitted bare [${it.take(70)}]"
+      }
+      direct ++ bare
+    }
+    assert(offenders.isEmpty,
+      "decimal(>18) emitted by oracle SQL:\n" + offenders.mkString("\n"))
+  }
+
   test("regression canary: the r11 red constructs ARE what these rules " +
       "catch (spec self-check on synthetic offenders)") {
     // the q_anomaly_zscore r11 shape
@@ -105,5 +225,42 @@ class OracleDisciplineSpec extends AnyFunSuite {
       "SELECT round(sqrt(a / (b + c)), 6) AS x").map(_._1) == Seq(6))
     // round with no precision argument (round(x)) is ignored
     assert(roundPrecisions("SELECT round(v) FROM t").isEmpty)
+  }
+
+  test("regression canary: the r12 red construct — a DECIMAL(38,0) cast " +
+      "in a CTE whose alias flows bare to the output — is caught; the " +
+      "green reformulations (digit string, double reduction) pass") {
+    // the exact q_changepoint r10–r12 shape: wide cast in `sc`, alias
+    // passed through `r` (SELECT *) into the final list bare
+    val r12Red =
+      """WITH sc AS (SELECT grp, day,
+        |  CAST(abs(a * b - c * d) AS DECIMAL(38,0)) AS score, n FROM t),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+        |    ORDER BY score DESC) AS rk FROM sc)
+        |SELECT grp, day AS change_day, score, CAST(n AS BIGINT) AS n_days
+        |FROM r WHERE rk = 1""".stripMargin
+    assert(wideCastAliases(r12Red) == Seq("score"))
+    assert(finalSelectItems(r12Red).exists(_.equalsIgnoreCase("score")))
+    // direct emission in the final list is caught too
+    val direct = "SELECT CAST(x AS DECIMAL(28,6)) AS y FROM t"
+    assert(finalSelectItems(direct).exists(it =>
+      WideDecimal.findAllMatchIn(it).exists(_.group(1).toInt > 18)))
+    // green shapes: digit-string emission; wide intermediate REDUCED
+    // to double in the final list (q_chi2); qualified bare alias
+    val green =
+      """WITH sc AS (SELECT CAST(round(e, 6) AS DECIMAL(28,6)) AS term,
+        |  CAST(w AS DECIMAL(37,0)) AS score FROM t)
+        |SELECT CAST(SUM(term) AS DOUBLE) AS chi2,
+        |  CAST(score AS VARCHAR) AS score_str FROM sc GROUP BY score"""
+        .stripMargin
+    val items = finalSelectItems(green)
+    assert(!items.exists(it =>
+      WideDecimal.findAllMatchIn(it).exists(_.group(1).toInt > 18)))
+    assert(!items.exists(it => wideCastAliases(green).exists(a =>
+      it.toLowerCase.matches(raw"(?s)([a-z_][a-z0-9_]*\.)?$a"))))
+    // qualified bare pass-through (r.score) is still an offender
+    assert(finalSelectItems("WITH sc AS (SELECT CAST(x AS DECIMAL(38,0))" +
+        " AS score FROM t) SELECT r.score FROM sc r")
+      .exists(_.toLowerCase.matches(raw"(?s)([a-z_][a-z0-9_]*\.)?score")))
   }
 }

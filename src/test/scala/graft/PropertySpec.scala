@@ -661,4 +661,56 @@ class PropertySpec extends AnyFunSuite {
           s"want=(${ref(50)}, ${ref(90)})")
     }
   }
+
+  test("property: the round(x,6) portability policy's residual risk " +
+      "class is CHARACTERIZED — Spark's string-based HALF_UP and a " +
+      "DuckDB-style multiply-based rounding agree everywhere except " +
+      "(possibly) within a few ULP of a .5e-6 midpoint, and any " +
+      "disagreement is exactly one last-digit step (ADVICE r12)") {
+    // DuckDB rounds DOUBLE via multiply/round-half-away/divide; Spark
+    // via BigDecimal(Double.toString).setScale(6, HALF_UP). The 6-digit
+    // policy (OracleDisciplineSpec rule b) accepts that these can
+    // disagree when x*1e6 lands within a hair of a .5 midpoint. This
+    // test pins the class: sweep ULP-neighborhoods of midpoints (the
+    // worst case) plus off-midpoint controls, in both signs.
+    def duckRound(x: Double): Double = {
+      val s = x * 1e6
+      (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / 1e6
+    }
+    val kGen = Gen.choose(0L, 2000000L)
+    val vals = Seq.newBuilder[Double]
+    forAllSampled(kGen, 200) { k =>
+      val mid = (k + 0.5) / 1e6 // nearest double to the midpoint
+      var v = math.nextDown(math.nextDown(mid))
+      (0 until 5).foreach { _ => // mid ± 2 ULP sweep
+        vals += v; vals += -v; v = math.nextUp(v)
+      }
+      vals += (k + 0.3) / 1e6 // off-midpoint controls
+      vals += -((k + 0.7) / 1e6)
+    }
+    val vs = vals.result().distinct
+    val got = vs.toDF("v")
+      .select(col("v"), round(col("v"), 6).as("r"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    var disagreements = 0
+    got.foreach { case (v, sparkR) =>
+      val duck = duckRound(v)
+      if (sparkR != duck) {
+        disagreements += 1
+        val s = math.abs(v) * 1e6
+        val distUlps = math.abs(s - (math.floor(s) + 0.5)) / Math.ulp(s)
+        assert(distUlps <= 4.0,
+          s"disagreement OUTSIDE the midpoint class: v=$v spark=$sparkR " +
+            s"duck=$duck distUlps=$distUlps")
+        assert(math.abs(sparkR - duck) <= 1.000001e-6,
+          s"disagreement larger than one last-digit step: v=$v " +
+            s"spark=$sparkR duck=$duck")
+      }
+    }
+    // the class exists but is rare even under an adversarial sweep —
+    // log the measured rate so the residual risk is quantified, not
+    // just asserted about
+    info(s"round-6 midpoint sweep: ${got.length} values, " +
+      s"$disagreements disagreements (all within 4 ULP of a midpoint)")
+  }
 }

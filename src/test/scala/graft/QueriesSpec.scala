@@ -49,4 +49,33 @@ class QueriesSpec extends AnyFunSuite {
       assert(sql.contains(s"CAST($c AS BIGINT)"),
         s"oracle missing pinned constant $c")
   }
+
+  test("q_approx_distinct pinned estimates are ACCURATE, not just " +
+      "replayed: each is within 3x the default HLL++ rsd (0.05) of " +
+      "the exact distinct count (ADVICE r12 — the replay pin alone " +
+      "verifies determinism, not correctness)") {
+    // The pinned constants are Spark-version-dependent (they are
+    // Spark's own HLL++ output on these fixtures; an upgrade changing
+    // sketch internals or the default rsd moves them — loudly, at the
+    // replay pin). THIS test is version-portable: it bounds the
+    // estimates against ground truth, so it tells a constant-drift
+    // failure (replay pin red, this green) apart from a genuinely
+    // broken sketch (both red).
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    def bound(sf: String, pinnedOrders: Long, pinnedParts: Long): Unit = {
+      val r = graft.model.Tables.lineitem(spark, sf)
+        .agg(countDistinct(col("l_orderkey")),
+          countDistinct(col("l_partkey"))).collect()(0)
+      val (exactO, exactP) = (r.getLong(0), r.getLong(1))
+      assert(math.abs(pinnedOrders - exactO).toDouble / exactO <= 0.15,
+        s"approx_orders $pinnedOrders vs exact $exactO at $sf")
+      assert(math.abs(pinnedParts - exactP).toDouble / exactP <= 0.15,
+        s"approx_parts $pinnedParts vs exact $exactP at $sf")
+    }
+    bound(TestSpark.Sf0001, 1379L, 195L)
+    val sf001 = "/root/testdata/sf0.01"
+    if (new java.io.File(sf001).isDirectory) bound(sf001, 14206L, 1947L)
+    val sf01 = "/root/testdata/sf0.1"
+    if (new java.io.File(sf01).isDirectory) bound(sf01, 144569L, 19522L)
+  }
 }

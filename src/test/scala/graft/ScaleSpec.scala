@@ -503,6 +503,50 @@ class ScaleSpec extends AnyFunSuite {
     assert(zSkip > xSkip, s"z-order ($zSkip) must beat x-sort ($xSkip)")
   }
 
+  test("batched-BPE pool is a bounded collect and selection is corpus-" +
+      "scale-invariant: doubling the corpus (disjoint ids, same text) " +
+      "doubles every n_pairs and changes NO picked pair — the driver-" +
+      "side pool never grows past candidatePool rows at any scale") {
+    import graft.ext.Bpe
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(docs.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bpe.pairMergesBatched(df, "doc_id", "text", rounds = 2,
+          pairsPerRound = 4, candidatePool = 64,
+          materialize = _.localCheckpoint())
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    val m1 = run(docs)
+    val m2 = run(doubled)
+    assert(m1.nonEmpty)
+    // identical picks in identical order — the pool is a deterministic
+    // function of RELATIVE pair frequencies, which doubling preserves
+    assert(m1.map(t => (t._1, t._2, t._3, t._4)) ==
+      m2.map(t => (t._1, t._2, t._3, t._4)),
+      s"picked pairs changed under corpus doubling:\n$m1\nvs\n$m2")
+    assert(m1.zip(m2).forall { case (a, b) => b._5 == 2 * a._5 },
+      "every selection-time count must exactly double")
+    // the LIMIT is binding, not vacuous: the distinct adjacent-pair
+    // space dwarfs the 64-row pool at both scales, so an unbounded
+    // collect here would be corpus-sized — the thing this bound forbids
+    def pairSpace(df: org.apache.spark.sql.DataFrame): Long = {
+      val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      df.select(col("doc_id").as("doc"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("tok"), col("nxt")).distinct().count()
+    }
+    val space = pairSpace(docs)
+    assert(space > 64 * 10,
+      s"pair space $space too small for the bound to mean anything")
+    info(s"distinct pair space $space (1x) vs pool 64; " +
+      s"picks invariant under doubling, counts exactly 2x")
+  }
+
   test("GraftExtensions injects dot_f32 into a session function registry") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

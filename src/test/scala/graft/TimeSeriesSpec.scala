@@ -313,17 +313,43 @@ class TimeSeriesSpec extends AnyFunSuite {
         ev.toDF("event_id", "ts", "event_type", "value"),
         "event_type", "ts", "value")
       .collect().map(r => (r.getString(0), r.getDate(1).toString,
-        r.getDecimal(2).longValueExact(), r.getLong(3)))
+        r.getString(2), r.getLong(3)))
     // daily cents 100×3 then 500×3: S=1800, N=6, scores
-    // 1200,2400,3600,2400,1200,0 → argmax day 3 with 3600
-    assert(out.toSeq == Seq(("A", "2024-03-03", 3600L, 6L)))
+    // 1200,2400,3600,2400,1200,0 → argmax day 3 with 3600. The score
+    // emits as its exact digit string (decimal128 output columns are
+    // not portable across oracle builds — r12 gate; the wide decimal
+    // stays internal to the argmax ordering).
+    assert(out.toSeq == Seq(("A", "2024-03-03", "3600", 6L)))
     // constant series: every score is 0 → earliest day wins the tie
     val flat = (1 to 4).map(d => (d.toLong, t(d), "B", 2.0))
     val f = TimeSeries.changepoints(
         flat.toDF("event_id", "ts", "event_type", "value"),
         "event_type", "ts", "value").collect()(0)
     assert(f.getDate(1).toString == "2024-03-01" &&
-      f.getDecimal(2).longValueExact() == 0L)
+      f.getString(2) == "0")
+  }
+
+  test("changepoints: the emitted score string is the exact wide " +
+      "integer |N*C_t - n_t*S| — verified PAST int64 range, so the " +
+      "width-36 decimal product path (not a silently-wrapping long) " +
+      "provably produces the digits") {
+    // 20 single-event days: ten at 9.9e14 (9.9e16 cents each — exactly
+    // double-representable; cumulative C stays under the 10^18
+    // DECIMAL(18,0) factor bound) then ten at 0.01 (1 cent).
+    // S = 990_000_000_000_000_010, N = 20. Day-k score for k <= 10 is
+    // k * |20*9.9e16 - S| = k * 989_999_999_999_999_990 — argmax at
+    // the boundary day 10 with 9_899_999_999_999_999_900, which
+    // EXCEEDS Long.MaxValue (~9.22e18): only the decimal product
+    // chain can emit these digits.
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-${d}%02d 12:00:00")
+    val ev = (1 to 10).map(d => (d.toLong, t(d), "A", 9.9e14)) ++
+      (11 to 20).map(d => (d.toLong, t(d), "A", 0.01))
+    val out = TimeSeries.changepoints(
+        ev.toDF("event_id", "ts", "event_type", "value"),
+        "event_type", "ts", "value").collect()(0)
+    assert(out.getDate(1).toString == "2024-03-10")
+    assert(out.getString(2) == "9899999999999999900")
+    assert(out.getLong(3) == 20L)
   }
 
   test("trailing RANGE frame (q_trailing_window semantics): the 1-hour " +
@@ -397,6 +423,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     // credit is exact integer ppm now: 2 × ⌊10⁶/2⌋ = 1 000 000
     assert(out == Seq((10L, 2L, 1000000L), (11L, 2L, 1000000L)),
       out.toString)
+  }
+
+  test("linearAttribution conserves credit: with n=3 touches the " +
+      "floor-division remainder (10^6 mod 3 = 1 ppm) rides the lowest " +
+      "touch_id, so the conversion pays out exactly 10^6") {
+    import graft.ext.TimeSeries
+    val df = Seq(
+      (10L, 1L, "click", "2024-01-01 01:00:00"),
+      (11L, 1L, "click", "2024-01-01 02:00:00"),
+      (12L, 1L, "click", "2024-01-01 02:30:00"),
+      (20L, 1L, "purchase", "2024-01-01 03:00:00")
+    ).toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = TimeSeries.linearAttribution(df, "user_id", "ts",
+        "event_id", "event_type", "click", "purchase", windowDays = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // ⌊10⁶/3⌋ = 333 333; touch 10 (lowest id) gets the +1 remainder
+    assert(out == Seq((10L, 1L, 333334L), (11L, 1L, 333333L),
+      (12L, 1L, 333333L)), out.toString)
+    assert(out.map(_._3).sum == 1000000L, "credit must be conserved")
   }
 
   test("rfm quartiles (q_rfm_segments semantics): NTILE under the " +
