@@ -93,18 +93,20 @@ object PipelineQueries {
         "event_type", "ts", "event_id", "value")),
 
     // The SAME downsample through the ACTUAL incremental path
-    // (VERDICT r10 #8): events re-sharded into 4 files, file-streamed
-    // one file per micro-batch through the watermarked struct-encoded
-    // streaming twin, complete-mode memory sink — the registered,
-    // driver-gated proof that the micro-batch execution produces the
-    // batch answer (StreamingSpec pins the equivalence; this row pins
-    // it against the DuckDB oracle). Complete mode + processAllAvailable
-    // makes the final table independent of file arrival order, so the
+    // (VERDICT r10 #8): events re-sharded into 3 files (4→3 in r13:
+    // one less micro-batch of fixed per-trigger cost; the result is
+    // file-count-independent), file-streamed one file per micro-batch
+    // through the watermarked struct-encoded streaming twin,
+    // complete-mode memory sink — the registered, driver-gated proof
+    // that the micro-batch execution produces the batch answer
+    // (StreamingSpec pins the equivalence; this row pins it against
+    // the DuckDB oracle). Complete mode + processAllAvailable makes
+    // the final table independent of file arrival order, so the
     // q_ohlc_bars oracle applies verbatim.
     "q_ohlc_stream" -> ((s, d) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ohlc_stream").toString
-      Tables.eventsNative(s, d).repartition(4)
+      Tables.eventsNative(s, d).repartition(3)
         .write.mode("overwrite").parquet(tmp)
       val sink = "graft_ohlc_stream_sink"
       // fresh session (ADVICE r11): the 4-partition state-store pin
@@ -258,7 +260,8 @@ object PipelineQueries {
     // gate aggregates the READ-BACK archive per partition — proving the
     // incremental write path lands byte-equivalent data where the
     // reference's batch rerun would. Stateless sink ⇒ no watermark, so
-    // arrival order is free (plain re-shard).
+    // arrival order is free (plain re-shard; 4→3 files in r13 — one
+    // less micro-batch of fixed trigger cost, result identical).
     "q_stream_archive" -> ((s, d) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_stream_archive_in").toString
@@ -266,7 +269,7 @@ object PipelineQueries {
         .createTempDirectory("graft_stream_archive_out").toString
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_stream_archive_ckpt").toString
-      Tables.eventsNative(s, d).repartition(4)
+      Tables.eventsNative(s, d).repartition(3)
         .write.mode("overwrite").parquet(tmp)
       try {
         val q = graft.streaming.Streaming.archiveSink(
