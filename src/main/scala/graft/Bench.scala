@@ -22,9 +22,11 @@ object Bench {
     * is directly comparable to the baseline (r12: subset 29.7 s vs
     * 59.6 s baseline = 0.50× while the naive total read 2.44×).
     * Registry-drift guard: retired names are dropped at use site, so
-    * the subset sum never silently double-counts or throws.
+    * the subset sum never silently double-counts or throws — and
+    * QueriesSpec pins BaselineSubset ⊆ registry, so a retirement that
+    * would silently shrink the denominator fails the build instead.
     */
-  private val BaselineSubset: Set[String] = Set(
+  private[graft] val BaselineSubset: Set[String] = Set(
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q_above_avg_orders", "q_approx_distinct", "q_archive_pipeline",
     "q_archive_shape", "q_argmax", "q_asof_join", "q_collect_ordered",

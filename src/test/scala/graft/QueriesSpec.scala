@@ -15,6 +15,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(orphan.isEmpty, s"oracle entries without queries: $orphan")
   }
 
+  test("the bench baseline subset is fully registered — retiring one " +
+      "of the 60 round-1 survivors would silently shrink the window-" +
+      "invariant denominator, so it must fail here instead") {
+    val missing = Bench.BaselineSubset -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"baseline-subset queries not in the " +
+      s"registry: $missing — update Bench.BaselineSubset deliberately " +
+      "(and note it in COVERAGE.md) if a retirement is intended")
+    assert(Bench.BaselineSubset.size == 60)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
