@@ -662,6 +662,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: changepoints equals a driver-side BigInteger argmax " +
+      "on random event sets — the emitted digit string is the exact " +
+      "score under arbitrary-precision arithmetic, ties break to the " +
+      "earliest day") {
+    import graft.ext.TimeSeries
+    val evGen = for {
+      n <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(n, for {
+        day <- Gen.choose(1, 9)
+        grp <- Gen.oneOf("A", "B")
+        // money-like 2-dp values, occasionally large
+        cents <- Gen.oneOf(Gen.choose(0L, 100000L),
+          Gen.choose(0L, 900000000000L))
+      } yield (day, grp, cents))
+    } yield rows
+    forAllSampled(evGen, 8) { rows =>
+      val df = rows.zipWithIndex.map { case ((day, grp, cents), i) =>
+        (i.toLong,
+          java.sql.Timestamp.valueOf(f"2024-03-0$day%d 12:00:00"),
+          grp, cents / 100.0)
+      }.toDF("event_id", "ts", "event_type", "value")
+      val got = TimeSeries.changepoints(df, "event_type", "ts", "value")
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getString(2),
+          r.getLong(3))).toSeq
+      // driver-side reference in BigInteger (no width ceiling at all)
+      val want = rows.groupBy(_._2).toSeq.map { case (grp, rs) =>
+        val daily = rs.groupBy(_._1).map { case (d, xs) =>
+          (d, xs.map(_._3).sum, xs.size.toLong) }.toSeq.sortBy(_._1)
+        val sTot = BigInt(daily.map(_._2).sum)
+        val nTot = BigInt(daily.map(_._3).sum)
+        var c = BigInt(0); var nt = BigInt(0)
+        val scored = daily.map { case (d, cents, nDay) =>
+          c += cents; nt += nDay
+          (d, (nTot * c - nt * sTot).abs)
+        }
+        val best = scored.maxBy { case (d, s) => (s, BigInt(-d)) }
+        (grp, f"2024-03-0${best._1}%d", best._2.toString,
+          daily.size.toLong)
+      }.sortBy(_._1)
+      assert(got == want, s"rows=$rows\ngot=$got\nwant=$want")
+    }
+  }
+
   test("property: the round(x,6) portability policy's residual risk " +
       "class is CHARACTERIZED — Spark's string-based HALF_UP and a " +
       "DuckDB-style multiply-based rounding agree everywhere except " +
