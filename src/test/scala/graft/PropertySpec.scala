@@ -662,6 +662,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: linearAttribution equals a driver-side reference on " +
+      "random event streams — window filtering, equal split, remainder " +
+      "to the lowest touch_id, and exact 10^6-ppm conservation per " +
+      "conversion") {
+    import graft.ext.TimeSeries
+    val evGen = for {
+      n <- Gen.choose(6, 50)
+      rows <- Gen.listOfN(n, for {
+        user <- Gen.choose(1L, 4L)
+        kind <- Gen.oneOf("click", "purchase", "view")
+        // seconds across ~20 days so the 7-day window genuinely cuts
+        sec <- Gen.choose(0L, 20L * 86400L)
+      } yield (user, kind, sec))
+    } yield rows
+    forAllSampled(evGen, 8) { rows =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val df = rows.zipWithIndex.map { case ((u, k, sec), i) =>
+        (i.toLong, u, k, new java.sql.Timestamp(base + sec * 1000L))
+      }.toDF("event_id", "user_id", "event_type", "ts")
+      val got = TimeSeries.linearAttribution(df, "user_id", "ts",
+          "event_id", "event_type", "click", "purchase", windowDays = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      // driver-side reference
+      val ev = rows.zipWithIndex.map { case ((u, k, sec), i) =>
+        (i.toLong, u, k, sec) }
+      val winSec = 7L * 86400L
+      val convs = ev.filter(_._3 == "purchase")
+      val touches = ev.filter(_._3 == "click")
+      val perConv = convs.map { case (cid, cu, _, cs) =>
+        cid -> touches.filter { case (_, tu, _, ts) =>
+          tu == cu && ts <= cs && ts >= cs - winSec }.map(_._1).sorted
+      }.filter(_._2.nonEmpty)
+      val credits = perConv.flatMap { case (_, tids) =>
+        val n = tids.size
+        val baseC = 1000000L / n
+        val rem = 1000000L % n
+        tids.zipWithIndex.map { case (tid, i) =>
+          tid -> (baseC + (if (i == 0) rem else 0L)) }
+      }
+      val want = credits.groupBy(_._1).toSeq.map { case (tid, cs) =>
+        (tid, cs.size.toLong, cs.map(_._2).sum) }.sortBy(_._1)
+      assert(got == want, s"rows=$rows\ngot=$got\nwant=$want")
+      // conservation: totals sum to exactly 10^6 per attributed conv
+      assert(got.map(_._3).sum == 1000000L * perConv.size)
+    }
+  }
+
   test("property: changepoints equals a driver-side BigInteger argmax " +
       "on random event sets — the emitted digit string is the exact " +
       "score under arbitrary-precision arithmetic, ties break to the " +
