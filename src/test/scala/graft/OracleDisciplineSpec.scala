@@ -127,55 +127,66 @@ class OracleDisciplineSpec extends AnyFunSuite {
     out.result()
   }
 
-  /** The output items of the LAST top-level SELECT: its select list
-    * split on depth-0 commas, each with a trailing `AS name` alias
-    * stripped (the emitted expression is what the rule inspects).
-    * UNION branches share a schema, so inspecting the last branch is
-    * representative for the emission-type rule. */
+  /** The output items of EVERY top-level SELECT (the final query and
+    * each of its UNION branches — every depth-0 SELECT is an output
+    * branch, since CTE bodies sit inside parens): each branch's select
+    * list split on depth-0 commas, with trailing `AS name` aliases
+    * stripped (the emitted expression is what the rule inspects). */
   private def finalSelectItems(sql: String): Seq[String] = {
-    val starts = topLevelSelects(sql)
-    if (starts.isEmpty) return Seq.empty
-    val from = starts.last + "select".length
     val lower = sql.toLowerCase
-    // end of the select list: the first depth-0 FROM after it (or EOF
-    // for FROM-less selects)
-    var depth = 0
-    var i = from
-    var end = sql.length
-    var found = false
-    while (i < lower.length && !found) {
-      lower(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case 'f' if depth == 0 && lower.startsWith("from", i) &&
-            !lower(i - 1).isLetterOrDigit &&
-            (i + 4 >= lower.length || !lower(i + 4).isLetterOrDigit) =>
-          end = i; found = true
-        case _ =>
+    topLevelSelects(sql).flatMap { start =>
+      val from = start + "select".length
+      // end of this branch's select list: the first depth-0 FROM after
+      // it (or EOF for FROM-less selects)
+      var depth = 0
+      var i = from
+      var end = sql.length
+      var found = false
+      while (i < lower.length && !found) {
+        lower(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case 'f' if depth == 0 && lower.startsWith("from", i) &&
+              !lower(i - 1).isLetterOrDigit &&
+              (i + 4 >= lower.length || !lower(i + 4).isLetterOrDigit) =>
+            end = i; found = true
+          case 's' if depth == 0 && i > from &&
+              lower.startsWith("select", i) &&
+              !lower(i - 1).isLetterOrDigit &&
+              (i + 6 >= lower.length || !lower(i + 6).isLetterOrDigit) =>
+            // FROM-less branch (e.g. `SELECT 1 UNION ALL SELECT 2`)
+            end = i; found = true
+          case _ =>
+        }
+        i += 1
       }
-      i += 1
-    }
-    val list = sql.substring(from, end)
-    // split on depth-0 commas
-    val items = Seq.newBuilder[String]
-    depth = 0
-    var start = 0
-    var j = 0
-    while (j < list.length) {
-      list(j) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ',' if depth == 0 =>
-          items += list.substring(start, j); start = j + 1
-        case _ =>
+      val list = sql.substring(from, end)
+      // split on depth-0 commas
+      val items = Seq.newBuilder[String]
+      depth = 0
+      var s0 = 0
+      var j = 0
+      while (j < list.length) {
+        list(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 =>
+            items += list.substring(s0, j); s0 = j + 1
+          case _ =>
+        }
+        j += 1
       }
-      j += 1
+      items += list.substring(s0)
+      items.result().map(_.trim)
+        // a FROM-less branch's last item may drag UNION keywords along;
+        // cut at the first UNION/INTERSECT/EXCEPT keyword
+        .map(it => "(?is)\\b(union|intersect|except)\\b.*$".r
+          .replaceAllIn(it, ""))
+        .map(_.trim)
+        .map(it => "(?is)\\s+as\\s+[a-z_][a-z0-9_]*\\s*$".r
+          .replaceAllIn(it, ""))
+        .filter(_.nonEmpty)
     }
-    items += list.substring(start)
-    items.result().map(_.trim)
-      .map(it => "(?is)\\s+as\\s+[a-z_][a-z0-9_]*\\s*$".r
-        .replaceAllIn(it, ""))
-      .filter(_.nonEmpty)
   }
 
   private val WideDecimal = raw"(?is)decimal\s*\(\s*(\d+)".r
@@ -245,6 +256,13 @@ class OracleDisciplineSpec extends AnyFunSuite {
     val direct = "SELECT CAST(x AS DECIMAL(28,6)) AS y FROM t"
     assert(finalSelectItems(direct).exists(it =>
       WideDecimal.findAllMatchIn(it).exists(_.group(1).toInt > 18)))
+    // ... including in an EARLIER top-level UNION branch (every
+    // depth-0 SELECT is an output branch and all are scanned)
+    val unionBranch = "SELECT CAST(x AS DECIMAL(28,6)) AS y FROM t " +
+      "UNION ALL SELECT CAST(z AS BIGINT) FROM u ORDER BY 1"
+    assert(finalSelectItems(unionBranch).exists(it =>
+      WideDecimal.findAllMatchIn(it).exists(_.group(1).toInt > 18)))
+    assert(finalSelectItems(unionBranch).size == 2)
     // green shapes: digit-string emission; wide intermediate REDUCED
     // to double in the final list (q_chi2); qualified bare alias
     val green =
