@@ -620,4 +620,25 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), q + ":\n" + p)
     }
   }
+
+  test("changepoint: the corpus collapses to the daily grid in a " +
+      "two-phase agg BELOW the cumulative window, group totals come " +
+      "back as a BROADCAST hash join, and the wide score never rides " +
+      "a shuffle — the emitted column is the digit string") {
+    val p = plan("q_changepoint")
+    // two-phase grid collapse (partial + final) below the window
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, p)
+    assert(p.indexOf("HashAggregate", wIdx) > wIdx, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p) // grid + totals
+    // totals (group cardinality) broadcast back, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // emission: the output carries score_str (string), not a decimal
+    val schema = SparkEntry.queries("q_changepoint")(spark, d).schema
+    assert(schema("score_str").dataType ==
+      org.apache.spark.sql.types.StringType, schema.treeString)
+    assert(!schema.fields.exists(_.dataType.typeName.startsWith("decimal")),
+      schema.treeString)
+  }
 }
