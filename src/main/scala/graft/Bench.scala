@@ -12,17 +12,21 @@ import java.util.concurrent.atomic.AtomicLong
   */
 object Bench {
 
-  /** The 60 queries that existed in the round-1 registry and survive
-    * today (CORRECTNESS_r01 ∩ current registry) — the window-proof
-    * denominator (VERDICT r12 #4). The driver's 2× bound compares this
-    * suite's ever-growing total against a 62-query round-1 BASELINE
-    * measured in a DIFFERENT host window, on a machine with documented
-    * 1.5–4× same-code swings; summing this fixed subset INSIDE the
-    * same JVM session as the full run gives a same-window number that
-    * is directly comparable to the baseline (r12: subset 29.7 s vs
-    * 59.6 s baseline = 0.50× while the naive total read 2.44×).
-    * Registry-drift guard: retired names are dropped at use site, so
-    * the subset sum never silently double-counts or throws — and
+  /** The 60 queries of the round-1 bench (BENCH_r01), ALL of which
+    * survive in today's registry — so `baseline_subset_s` compares the
+    * EXACT query set of the 59.58 s baseline, like for like. This is
+    * the window-proof denominator (VERDICT r12 #4): the driver's 2×
+    * bound compares this suite's ever-growing total against the
+    * round-1 record measured in a DIFFERENT host window, on a machine
+    * with documented 1.5–4× same-code swings; summing this fixed
+    * subset INSIDE the same JVM session as the full run gives a
+    * same-window number directly comparable to the baseline (r12:
+    * subset 29.7 s vs 59.6 s baseline = 0.50× while the naive total
+    * read 2.44×). Integrity: only err-free queries contribute to the
+    * sum, and `baseline_subset_n` rides BOTH output channels — n < 60
+    * means the subset was partial (failures or SPARK_GRAFT_BENCH_ONLY)
+    * and the seconds must not be read against the baseline.
+    * Registry-drift guard: retired names are dropped at use site, and
     * QueriesSpec pins BaselineSubset ⊆ registry, so a retirement that
     * would silently shrink the denominator fails the build instead.
     */
@@ -224,11 +228,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.map(_.sec).sum
     // same-window baseline denominator (see BaselineSubset): the sum
-    // of the round-1 surviving queries' seconds from THIS session
+    // of the round-1 queries' seconds from THIS session. Failed
+    // queries are EXCLUDED from both n and the sum — a fast-fail
+    // (~0.07 s, the r8 lesson above) would otherwise deflate the
+    // subset exactly when it is broken; n < 60 marks the number
+    // unusable rather than flattering it.
     val baselineSubsetSec = results.collect {
-      case (k, r) if BaselineSubset(k) => r.sec
+      case (k, r) if BaselineSubset(k) && r.err.isEmpty => r.sec
     }.sum
-    val baselineSubsetN = results.keys.count(BaselineSubset)
+    val baselineSubsetN = results.count {
+      case (k, r) => BaselineSubset(k) && r.err.isEmpty
+    }
     // Full-resolution record (timings + the shuffle/spill/gc/job maps
     // that predict 100 TB behavior and attribute contention) goes to a
     // FILE: the driver's stdout capture keeps only the last ~2000
@@ -306,6 +316,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",""" +
       s""""baseline_subset_s":${num(baselineSubsetSec, 2)},""" +
+      s""""baseline_subset_n":$baselineSubsetN,""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""failed":$failedJson,"queries":$topJson,"sf":"$sfDir"}"""
     // Stop the session BEFORE printing: shutdown logging then cannot

@@ -296,7 +296,11 @@ object TimeSeries {
       .withColumn("n_t", sum(col("n_day")).over(wCum))
     val totals = daily.groupBy(col("grp"))
       .agg(sum(col("cents")).as("s_total"), sum(col("n_day")).as("n_total"),
-        count(lit(1)).as("n_days"))
+        count(lit(1)).as("n_days"),
+        // Σ|cents| bounds EVERY factor below (|c_t| and |s_total| by
+        // the triangle inequality, n_t and n_total trivially), so one
+        // broadcast-side guard covers all four casts
+        sum(abs(col("cents"))).as("abs_total"))
     // DECIMAL(18,0) × DECIMAL(18,0) → width-36 exact products and a
     // width-37 subtraction on BOTH engines — strictly UNDER the 38
     // cap, so no engine's overflow/cap rule is ever consulted (at 19,0
@@ -310,14 +314,23 @@ object TimeSeries {
     // exact digit string instead — integer-to-decimal-digits is fully
     // specified on every engine. Domain bound: each FACTOR (cumulative
     // cents, total cents, counts) must fit DECIMAL(18,0), i.e. group
-    // totals under 10^18 cents = 10^16 currency units — exceeded, the
-    // cast fails LOUDLY (decimal precision error), never wraps. The
+    // |cents| totals under 10^18 = 10^16 currency units. The explicit
+    // guard below raises a NAMED error when a group exceeds the bound
+    // — in ANY ANSI mode. (Under ANSI the overflowing cast would throw
+    // anyway, but cryptically; under non-ANSI it would return NULL,
+    // and a NULL score sorts last, silently electing a wrong
+    // change_day — the one failure a drift alert must not have.) The
     // score product is then exact up to |N·C| < 10^36 — petabyte-safe.
     val d18 = "decimal(18,0)"
+    val d18Max = lit(999999999999999999L)
     val scored = cum.join(broadcast(totals), Seq("grp"))
       .withColumn("score",
-        abs(col("n_total").cast(d18) * col("c_t").cast(d18) -
-          col("n_t").cast(d18) * col("s_total").cast(d18)))
+        when(col("abs_total") <= d18Max && col("n_total") <= d18Max,
+          abs(col("n_total").cast(d18) * col("c_t").cast(d18) -
+            col("n_t").cast(d18) * col("s_total").cast(d18)))
+          .otherwise(raise_error(lit("changepoints: group cents " +
+            "magnitude exceeds the exact DECIMAL(18,0) factor domain " +
+            "(sum(|cents|) or count >= 10^18)"))))
     val wBest = Window.partitionBy(col("grp"))
       .orderBy(col("score").desc, col("day").asc)
     scored

@@ -167,8 +167,13 @@ object Tables {
     val tmpReal =
       try tmpProp.toRealPath() catch { case _: java.io.IOException => tmpProp }
     val t = java.nio.file.Paths.get(p).toAbsolutePath.normalize
-    require(t.startsWith(tmpProp) || t.startsWith(tmpReal),
-      s"rmrf refuses non-tmp path: $p (tmpdir = $tmpProp)")
+    // STRICTLY below the tmp root: startsWith accepts equal paths, so
+    // without the != checks a caller bug passing tmpdir itself would
+    // recursively delete all of /tmp (Spark scratch, warehouse dirs,
+    // other processes' temp files)
+    require((t.startsWith(tmpProp) || t.startsWith(tmpReal)) &&
+        t != tmpProp && t != tmpReal,
+      s"rmrf refuses non-tmp or tmp-root path: $p (tmpdir = $tmpProp)")
     def go(f: java.io.File): Unit = {
       if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
         val cs = f.listFiles()

@@ -306,9 +306,10 @@ object PipelineQueries {
     // The sequential 3-step variant (q_bpe_merges, r11) was retired
     // from the registry in r13 as a bench-budget call (VERDICT r12):
     // the batched query subsumes the capability at the gate, and
-    // Bpe.pairMerges stays property-tested against the batched path
-    // in BpeSpec (the batch contract is DEFINED by agreement with the
-    // sequential reference, so the sequential semantics remain pinned)
+    // Bpe.pairMerges stays pinned — hand-computed merges in
+    // TextAnalysisSpec, and the batched-vs-sequential agreement
+    // property in PropertySpec (the batch contract is DEFINED by
+    // agreement with the sequential reference)
     "q_bpe_merges_batch" -> ((s, d) =>
       Bpe.pairMergesBatched(Tables.documents(s, d), "doc_id", "text",
         rounds = 2, pairsPerRound = 4, candidatePool = 64,

@@ -335,6 +335,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.model.Tables.rmrf("relative/path")
     }
+    // the tmp ROOT itself is refused — containment is strict
+    intercept[IllegalArgumentException] {
+      graft.model.Tables.rmrf(System.getProperty("java.io.tmpdir"))
+    }
     // symlink inside a staging dir: the linked-to content must survive
     val outside = Files.createTempDirectory("graft_rmrf_outside")
     val precious = outside.resolve("precious.txt")

@@ -106,6 +106,35 @@ class OracleDisciplineSpec extends AnyFunSuite {
 
   // ---- rule (d) as structure: no EMITTED decimal wider than 18 ----
 
+  /** SQL with the CONTENT of single-quoted literals blanked to spaces
+    * (quotes and length preserved): a paren or comma inside a string
+    * literal must not shift the structural depth scan. `''` escapes
+    * stay inside the literal.
+    */
+  private def stripLiterals(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql(i)
+      if (!inStr) {
+        if (c == '\'') inStr = true
+        sb += c
+      } else if (c == '\'') {
+        if (i + 1 < sql.length && sql(i + 1) == '\'') {
+          sb += ' '; sb += ' '; i += 1
+        } else { inStr = false; sb += c }
+      } else sb += (if (c == '\n') '\n' else ' ')
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def kwAt(lower: String, i: Int, w: String): Boolean =
+    lower.startsWith(w, i) &&
+      (i == 0 || !lower(i - 1).isLetterOrDigit) &&
+      (i + w.length >= lower.length || !lower(i + w.length).isLetterOrDigit)
+
   /** Positions of `SELECT` keywords at paren depth 0. */
   private def topLevelSelects(sql: String): Seq[Int] = {
     val lower = sql.toLowerCase
@@ -191,20 +220,74 @@ class OracleDisciplineSpec extends AnyFunSuite {
 
   private val WideDecimal = raw"(?is)decimal\s*\(\s*(\d+)".r
 
-  /** Aliases bound to a cast whose target decimal is wider than 18 —
-    * `... AS DECIMAL(p>18[,s]))+ AS alias` anywhere in the query. */
+  /** The select-list items of EVERY `SELECT` in the query (any depth:
+    * CTE bodies, subqueries, top level) — each list scanned from its
+    * keyword to the first same-depth FROM/UNION/INTERSECT/EXCEPT/
+    * SELECT or the enclosing close paren, split on same-depth commas.
+    */
+  private def allSelectItems(sql: String): Seq[String] = {
+    val lower = sql.toLowerCase
+    val starts = (0 until sql.length).filter(kwAt(lower, _, "select"))
+    starts.flatMap { start =>
+      val from = start + "select".length
+      var depth = 0
+      var i = from
+      var end = -1
+      while (i < lower.length && end < 0) {
+        lower(i) match {
+          case '(' => depth += 1
+          case ')' => if (depth == 0) end = i else depth -= 1
+          case _ if depth == 0 &&
+              (kwAt(lower, i, "from") || kwAt(lower, i, "union") ||
+                kwAt(lower, i, "intersect") || kwAt(lower, i, "except") ||
+                kwAt(lower, i, "order") || kwAt(lower, i, "select")) =>
+            end = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) end = sql.length
+      val list = sql.substring(from, end)
+      val items = Seq.newBuilder[String]
+      depth = 0
+      var s0 = 0
+      var j = 0
+      while (j < list.length) {
+        list(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 =>
+            items += list.substring(s0, j); s0 = j + 1
+          case _ =>
+        }
+        j += 1
+      }
+      items += list.substring(s0)
+      items.result().map(_.trim).filter(_.nonEmpty)
+    }
+  }
+
+  /** Aliases of ANY select item (any depth) whose expression contains
+    * a decimal cast wider than 18 — covers the trailing-cast shape
+    * (`CAST(x AS DECIMAL(38,0)) AS score`) AND arithmetic over wide
+    * casts (`CAST(a AS DECIMAL(38,0)) - CAST(b AS ...) AS score`). */
   private def wideCastAliases(sql: String): Seq[String] =
-    raw"(?is)decimal\s*\(\s*(\d+)(?:\s*,\s*\d+)?\s*\)\s*\)+\s*as\s+([a-z_][a-z0-9_]*)".r
-      .findAllMatchIn(sql)
-      .collect { case m if m.group(1).toInt > 18 => m.group(2).toLowerCase }
-      .toSeq
+    allSelectItems(sql).flatMap { it =>
+      if (WideDecimal.findAllMatchIn(it).exists(_.group(1).toInt > 18))
+        raw"(?is)\s+as\s+([a-z_][a-z0-9_]*)\s*$$".r.findFirstMatchIn(it)
+          .map(_.group(1).toLowerCase)
+      else None
+    }.distinct
 
   test("no oracle EMITS a decimal wider than 18 — decimal128 output " +
       "columns are not portable across DuckDB builds at the value/" +
       "hash-serialization layer (r10–r12: q_changepoint red three " +
       "rounds on exact-integer math); wide intermediates are fine, " +
       "wide OUTPUT leaves as a digit string or int64-backed columns") {
-    val offenders = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+    val offenders = SparkEntry.oracleSql.toSeq.flatMap { case (name, raw0) =>
+      // literal contents blanked first: a paren or comma inside a
+      // quoted string must not derail the structural scans
+      val sql = stripLiterals(raw0)
       val items = finalSelectItems(sql)
       val direct = items.collect {
         case it if WideDecimal.findAllMatchIn(it)
@@ -219,7 +302,16 @@ class OracleDisciplineSpec extends AnyFunSuite {
             it.toLowerCase.matches(raw"(?s)([a-z_][a-z0-9_]*\.)?$a")) =>
           s"$name: wide-cast alias emitted bare [${it.take(70)}]"
       }
-      direct ++ bare
+      // a top-level `SELECT *` cannot be typed statically: if any wide
+      // cast is aliased anywhere in the query, star emission may carry
+      // it to the output — conservatively an offender
+      val star = items.collect {
+        case it if aliases.nonEmpty &&
+            it.matches(raw"(?s)([A-Za-z_][A-Za-z0-9_]*\.)?\*") =>
+          s"$name: SELECT * emission with wide-cast aliases in scope " +
+            s"[${aliases.mkString(",")}]"
+      }
+      direct ++ bare ++ star
     }
     assert(offenders.isEmpty,
       "decimal(>18) emitted by oracle SQL:\n" + offenders.mkString("\n"))
@@ -280,5 +372,21 @@ class OracleDisciplineSpec extends AnyFunSuite {
     assert(finalSelectItems("WITH sc AS (SELECT CAST(x AS DECIMAL(38,0))" +
         " AS score FROM t) SELECT r.score FROM sc r")
       .exists(_.toLowerCase.matches(raw"(?s)([a-z_][a-z0-9_]*\.)?score")))
+    // arithmetic OVER wide casts aliased in a CTE is captured too (the
+    // trailing-cast-only regex of the first cut missed this shape)
+    assert(wideCastAliases("WITH sc AS (SELECT CAST(a AS DECIMAL(38,0))" +
+      " - CAST(b AS DECIMAL(38,0)) AS score FROM t) SELECT grp FROM sc")
+      == Seq("score"))
+    // parens inside string literals must not derail the depth scan
+    val withLit = stripLiterals("WITH sc AS (SELECT CAST(x AS " +
+      "DECIMAL(38,0)) AS score, '(label' AS tag FROM t) SELECT score FROM sc")
+    assert(wideCastAliases(withLit) == Seq("score"))
+    assert(finalSelectItems(withLit).exists(_.equalsIgnoreCase("score")))
+    // SELECT * with a wide-cast alias in scope is conservatively wide
+    val star = stripLiterals("WITH sc AS (SELECT CAST(x AS " +
+      "DECIMAL(38,0)) AS score FROM t) SELECT * FROM sc")
+    assert(wideCastAliases(star) == Seq("score"))
+    assert(finalSelectItems(star)
+      .exists(_.matches(raw"(?s)([A-Za-z_][A-Za-z0-9_]*\.)?\*")))
   }
 }

@@ -352,6 +352,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.getLong(3) == 20L)
   }
 
+  test("changepoints raises a NAMED error when a group's |cents| sum " +
+      "exceeds the DECIMAL(18,0) factor domain — in any ANSI mode " +
+      "(non-ANSI would otherwise NULL the score and silently elect a " +
+      "wrong change_day)") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-${d}%02d 12:00:00")
+    // two days at 9e17 cents: abs_total = 1.8e18 > 10^18 - 1
+    val ev = Seq((1L, t(1), "A", 9.0e15), (2L, t(2), "A", 9.0e15))
+    val e = intercept[Exception] {
+      TimeSeries.changepoints(
+        ev.toDF("event_id", "ts", "event_type", "value"),
+        "event_type", "ts", "value").collect()
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t =>
+        Option(t.getMessage).toSeq ++ messages(t.getCause))
+    assert(messages(e).exists(_.contains("factor domain")),
+      s"expected the named domain-guard error, got: $e")
+  }
+
   test("trailing RANGE frame (q_trailing_window semantics): the 1-hour " +
       "frame is inclusive at both bounds and admits variable row " +
       "counts — hand-computed on boundary-spaced events") {
