@@ -26,9 +26,12 @@ object Bench {
     * sum, and `baseline_subset_n` rides BOTH output channels — n < 60
     * means the subset was partial (failures or SPARK_GRAFT_BENCH_ONLY)
     * and the seconds must not be read against the baseline.
-    * Registry-drift guard: retired names are dropped at use site, and
-    * QueriesSpec pins BaselineSubset ⊆ registry, so a retirement that
-    * would silently shrink the denominator fails the build instead.
+    * Registry-drift guard: QueriesSpec is the SOLE guard (it pins
+    * BaselineSubset ⊆ registry AND size == 60, so retiring a subset
+    * member is a hard build failure until this pinned set is edited
+    * with it — silent retirement is not tolerated); the use-site
+    * filter below only handles PARTIAL runs (per-query failures,
+    * SPARK_GRAFT_BENCH_ONLY), which `baseline_subset_n` < 60 flags.
     */
   private[graft] val BaselineSubset: Set[String] = Set(
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",

@@ -285,9 +285,16 @@ object TimeSeries {
     */
   def changepoints(events: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
+    // per-row cents are int64 (exact for money-like doubles), but every
+    // SUM of them runs in DECIMAL(38,0): the guard below reads these
+    // sums, and a BIGINT sum that wrapped before the guard evaluated
+    // could wrap back UNDER the 10^18 bound and pass with corrupted
+    // factors (ADVICE r13) — decimal sums make the guard input itself
+    // un-wrappable (10^38 cents is beyond any physical corpus)
     val daily = events
       .groupBy(col(groupCol).as("grp"), to_date(col(tsCol)).as("day"))
-      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("cents"),
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")
+          .cast("decimal(38,0)")).as("cents"),
         count(lit(1)).as("n_day"))
     val wCum = Window.partitionBy(col("grp")).orderBy(col("day").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -299,7 +306,9 @@ object TimeSeries {
         count(lit(1)).as("n_days"),
         // Σ|cents| bounds EVERY factor below (|c_t| and |s_total| by
         // the triangle inequality, n_t and n_total trivially), so one
-        // broadcast-side guard covers all four casts
+        // broadcast-side guard covers all four casts; summed in
+        // DECIMAL(38,0) (cents is decimal), so the guard input cannot
+        // itself have wrapped in a non-ANSI session
         sum(abs(col("cents"))).as("abs_total"))
     // DECIMAL(18,0) × DECIMAL(18,0) → width-36 exact products and a
     // width-37 subtraction on BOTH engines — strictly UNDER the 38

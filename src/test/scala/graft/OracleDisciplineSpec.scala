@@ -270,14 +270,33 @@ class OracleDisciplineSpec extends AnyFunSuite {
   /** Aliases of ANY select item (any depth) whose expression contains
     * a decimal cast wider than 18 — covers the trailing-cast shape
     * (`CAST(x AS DECIMAL(38,0)) AS score`) AND arithmetic over wide
-    * casts (`CAST(a AS DECIMAL(38,0)) - CAST(b AS ...) AS score`). */
-  private def wideCastAliases(sql: String): Seq[String] =
-    allSelectItems(sql).flatMap { it =>
+    * casts (`CAST(a AS DECIMAL(38,0)) - CAST(b AS ...) AS score`) —
+    * propagated TRANSITIVELY through plain re-aliases: an intermediate
+    * CTE item that is exactly a tracked alias re-aliased
+    * (`score AS s2`, `sc.score AS s2`) inherits wideness, so a
+    * laundering hop cannot take the column out of scope (ADVICE r13). */
+  private def wideCastAliases(sql: String): Seq[String] = {
+    val items = allSelectItems(sql)
+    var tracked = items.flatMap { it =>
       if (WideDecimal.findAllMatchIn(it).exists(_.group(1).toInt > 18))
         raw"(?is)\s+as\s+([a-z_][a-z0-9_]*)\s*$$".r.findFirstMatchIn(it)
           .map(_.group(1).toLowerCase)
       else None
-    }.distinct
+    }.toSet
+    val reAlias =
+      raw"(?is)^\s*(?:[a-z_][a-z0-9_]*\.)?([a-z_][a-z0-9_]*)\s+as\s+([a-z_][a-z0-9_]*)\s*$$".r
+    var grew = true
+    while (grew) {
+      grew = false
+      items.foreach { it =>
+        reAlias.findFirstMatchIn(it).foreach { m =>
+          val (src, dst) = (m.group(1).toLowerCase, m.group(2).toLowerCase)
+          if (tracked(src) && !tracked(dst)) { tracked += dst; grew = true }
+        }
+      }
+    }
+    tracked.toSeq
+  }
 
   test("no oracle EMITS a decimal wider than 18 — decimal128 output " +
       "columns are not portable across DuckDB builds at the value/" +
@@ -388,5 +407,15 @@ class OracleDisciplineSpec extends AnyFunSuite {
     assert(wideCastAliases(star) == Seq("score"))
     assert(finalSelectItems(star)
       .exists(_.matches(raw"(?s)([A-Za-z_][A-Za-z0-9_]*\.)?\*")))
+    // re-alias laundering through an intermediate CTE (`score AS s2`,
+    // then emit s2) inherits wideness transitively — the ADVICE r13
+    // false negative; qualified sources (sc.score AS s2) too
+    val laundered = stripLiterals(
+      "WITH sc AS (SELECT CAST(x AS DECIMAL(38,0)) AS score FROM t), " +
+        "mid AS (SELECT sc.score AS s2 FROM sc) SELECT s2 FROM mid")
+    assert(wideCastAliases(laundered).toSet == Set("score", "s2"))
+    assert(finalSelectItems(laundered).exists(it =>
+      wideCastAliases(laundered).exists(a =>
+        it.toLowerCase.matches(raw"(?s)([a-z_][a-z0-9_]*\.)?$a"))))
   }
 }

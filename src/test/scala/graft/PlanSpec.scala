@@ -626,11 +626,13 @@ class PlanSpec extends AnyFunSuite {
       "back as a BROADCAST hash join, and the wide score never rides " +
       "a shuffle — the emitted column is the digit string") {
     val p = plan("q_changepoint")
-    // two-phase grid collapse (partial + final) below the window
+    // grid collapse below the window (the structural fact; a raw
+    // HashAggregate occurrence count would be a brittle canary —
+    // AQE/codegen relabeling across planner versions flips it with no
+    // semantic change, ADVICE r13)
     val wIdx = p.indexOf("Window")
     assert(wIdx >= 0, p)
     assert(p.indexOf("HashAggregate", wIdx) > wIdx, p)
-    assert("HashAggregate".r.findAllIn(p).length >= 4, p) // grid + totals
     // totals (group cardinality) broadcast back, never a shuffle join
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
