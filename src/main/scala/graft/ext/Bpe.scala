@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,42 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  private def wDoc = Window.partitionBy(col("doc")).orderBy(col("pos").asc)
+
+  /** Corpus → the (doc, pos, tok) token frame every BPE pass runs on. */
+  private def tokenize(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+
+  /** One greedy left-to-right non-overlapping rewrite pass — the
+    * window algebra the object scaladoc derives, shared by both
+    * trainers and [[encode]]: positions whose (tok, nxt) satisfy
+    * `isMatch` merge into `merged`; runs of CONSECUTIVE matches (only
+    * possible for a self-pair when the match set is symbol-disjoint)
+    * keep even offsets. `isMatch`/`merged` see columns `tok` and
+    * `nxt` (nxt is null at doc end — a null match mark reads false).
+    */
+  private def rewriteOnce(toks: DataFrame, isMatch: Column,
+      merged: Column): DataFrame =
+    toks
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .withColumn("m", coalesce(isMatch, lit(false)))
+      // cumulative match count → run key (constant inside a run of
+      // CONSECUTIVE match positions, distinct across runs)
+      .withColumn("rnm", sum(when(col("m"), 1L).otherwise(0L))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("runkey", when(col("m"), col("pos") - col("rnm")))
+      .withColumn("runstart", min(when(col("m"), col("pos")))
+        .over(Window.partitionBy(col("doc"), col("runkey"))))
+      // greedy = even offset within the run
+      .withColumn("take",
+        col("m") && (col("pos") - col("runstart")) % 2 === 0)
+      .withColumn("ptk", lag(col("take"), 1, false).over(wDoc))
+      .filter(!col("ptk")) // the right half of a taken pair drops
+      .select(col("doc"), row_number().over(wDoc).as("pos"),
+        when(col("take"), merged).otherwise(col("tok")).as("tok"))
+
   /** First `steps` merge decisions as (step, lft, rgt, n_pairs) —
     * n_pairs is the corpus-wide adjacent count at selection time.
     * Merged tokens are spelled `left + "+" + right` (the corpus
@@ -48,10 +84,7 @@ object Bpe {
       s"steps must be in [1, 16] (batch disjoint pairs beyond), got $steps")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wDoc = Window.partitionBy(col("doc")).orderBy(col("pos").asc)
-    var toks = materialize(docs
-      .select(col(idCol).as("doc"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok"))))
+    var toks = materialize(tokenize(docs, idCol, textCol))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (step <- 1 to steps if !exhausted) {
@@ -66,26 +99,8 @@ object Bpe {
         val (p1, p2, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step, p1, p2, n))
-        val merged = p1 + "+" + p2
-        val next = toks
-          .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-          .withColumn("m", col("tok") === p1 && col("nxt") === p2)
-          // cumulative match count → run key (constant inside a run of
-          // CONSECUTIVE match positions, distinct across runs)
-          .withColumn("rnm", sum(when(col("m"), 1L).otherwise(0L))
-            .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("runkey", when(col("m"), col("pos") - col("rnm")))
-          .withColumn("runstart", min(when(col("m"), col("pos")))
-            .over(Window.partitionBy(col("doc"), col("runkey"))))
-          // greedy = even offset within the run
-          .withColumn("take",
-            col("m") && (col("pos") - col("runstart")) % 2 === 0)
-          .withColumn("ptk",
-            lag(col("take"), 1, false).over(wDoc))
-          .filter(!col("ptk")) // the right half of a taken pair drops
-          .select(col("doc"), row_number().over(wDoc).as("pos"),
-            when(col("take"), lit(merged)).otherwise(col("tok")).as("tok"))
-        toks = materialize(next)
+        toks = materialize(rewriteOnce(toks,
+          col("tok") === p1 && col("nxt") === p2, lit(p1 + "+" + p2)))
       }
     }
     merges.result()
@@ -131,10 +146,7 @@ object Bpe {
         s"($pairsPerRound)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wDoc = Window.partitionBy(col("doc")).orderBy(col("pos").asc)
-    var toks = materialize(docs
-      .select(col(idCol).as("doc"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok"))))
+    var toks = materialize(tokenize(docs, idCol, textCol))
     val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
     var exhausted = false
     for (round <- 1 to rounds if !exhausted) {
@@ -163,30 +175,92 @@ object Bpe {
         // match predicate + merged spelling as literal CASE chains —
         // pairsPerRound is tiny, so this stays one codegen'd projection
         // (the SQL twin LEFT JOINs its sel CTE; same row semantics)
-        val isMatch = sel.map { case (l, r, _) =>
-          col("tok") === l && col("nxt") === r }.reduce(_ || _)
-        val spelled = sel.foldLeft(col("tok")) { case (acc, (l, r, _)) =>
-          when(col("tok") === l && col("nxt") === r,
-            lit(l + "+" + r)).otherwise(acc) }
-        val next = toks
-          .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-          .withColumn("m", coalesce(isMatch, lit(false)))
-          .withColumn("rnm", sum(when(col("m"), 1L).otherwise(0L))
-            .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("runkey", when(col("m"), col("pos") - col("rnm")))
-          .withColumn("runstart", min(when(col("m"), col("pos")))
-            .over(Window.partitionBy(col("doc"), col("runkey"))))
-          .withColumn("take",
-            col("m") && (col("pos") - col("runstart")) % 2 === 0)
-          .withColumn("ptk", lag(col("take"), 1, false).over(wDoc))
-          .filter(!col("ptk"))
-          .select(col("doc"), row_number().over(wDoc).as("pos"),
-            when(col("take"), spelled).otherwise(col("tok")).as("tok"))
-        toks = materialize(next)
+        toks = materialize(rewriteOnce(toks,
+          matchAny(sel.map { case (l, r, _) => (l, r) }),
+          spellAny(sel.map { case (l, r, _) => (l, r) })))
       }
     }
     merges.result()
       .toDF("merge_round", "ord", "lft", "rgt", "n_pairs")
       .orderBy(col("merge_round"), col("ord"))
+  }
+
+  /** Match predicate + merged spelling for a symbol-disjoint pair SET
+    * as literal CASE chains — the set stays tiny (≤ pairsPerRound /
+    * one encode group), so both remain one codegen'd projection. At
+    * most one pair can match a position under disjointness, so the
+    * chain order is immaterial. */
+  private def matchAny(pairs: Seq[(String, String)]): Column =
+    pairs.map { case (l, r) =>
+      col("tok") === l && col("nxt") === r }.reduce(_ || _)
+  private def spellAny(pairs: Seq[(String, String)]): Column =
+    pairs.foldLeft(col("tok")) { case (acc, (l, r)) =>
+      when(col("tok") === l && col("nxt") === r,
+        lit(l + "+" + r)).otherwise(acc) }
+
+  /** BPE APPLY — the serve side of the train→serve split (the bigram
+    * LM's persistable-model pattern, SURVEY §2.9; VERDICT r13 #2):
+    * tokenizes the corpus and applies a TRAINED merge table in rank
+    * order, each rank the greedy left-to-right non-overlapping rewrite
+    * of [[pairMerges]] — the standard BPE encode (Sennrich et al.
+    * 2016, arXiv:1508.07909 §3). Returns the encoded (doc, pos, tok)
+    * frame; merged tokens spell `left + "+" + right` like the
+    * trainers, so encode∘train reproduces the trainer's own final
+    * token stream exactly (pinned in PropertySpec).
+    *
+    * Scale shape — the 100 TB story: consecutive ranks collapse into
+    * ONE rewrite pass while they stay mutually applicable-in-any-order,
+    * i.e. (a) pairwise symbol-disjoint on their INPUTS (the batched
+    * trainer's invariant: adjacent matches share their middle token,
+    * so disjoint inputs confine runs to a single self-pair — the run
+    * algebra's domain) and (b) non-stacked within the group (no rank
+    * consumes, or is consumed by, a group member's OUTPUT — a stacked
+    * rank must see the previous rank's rewrite, so it starts a new
+    * pass). Under (a)+(b) a group member can neither create nor
+    * destroy another member's matches, so the simultaneous pass equals
+    * the sequential application — a production 30k-merge vocabulary
+    * (mostly-disjoint by construction: each merge introduces a fresh
+    * symbol) applies in far fewer corpus passes than merges, every
+    * pass reusing the same (doc) partitioning. `materialize`
+    * (localCheckpoint in the registered query) cuts per-pass lineage
+    * growth exactly as in the trainers.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)],
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(merges.nonEmpty, "encode needs at least one merge")
+    require(merges.size <= 4096,
+      s"merge table cap 4096 (one broadcast literal set), got " +
+        s"${merges.size}")
+    var toks = materialize(tokenize(docs, idCol, textCol))
+    passGroups(merges).foreach { g =>
+      toks = materialize(rewriteOnce(toks, matchAny(g), spellAny(g)))
+    }
+    toks
+  }
+
+  /** [[encode]]'s greedy rank-order pass grouping under (a)+(b) —
+    * conservative: any violation flushes the group (sequential
+    * semantics are the contract; grouping only saves passes).
+    * Package-visible so specs (and oracle authors, who unroll one CTE
+    * chain per GROUP) can pin the exact split for a given table. */
+  private[graft] def passGroups(merges: Seq[(String, String)])
+      : Seq[Seq[(String, String)]] = {
+    val groups = Seq.newBuilder[Seq[(String, String)]]
+    var cur = Vector.empty[(String, String)]
+    var ins = Set.empty[String]
+    var outs = Set.empty[String]
+    def flush(): Unit = if (cur.nonEmpty) {
+      groups += cur; cur = Vector.empty; ins = Set.empty; outs = Set.empty
+    }
+    merges.foreach { case (l, r) =>
+      val out = l + "+" + r
+      if (cur.nonEmpty && (ins(l) || ins(r) || outs(l) || outs(r) ||
+          ins(out) || outs(out)))
+        flush()
+      cur :+= ((l, r)); ins = ins + l + r; outs += out
+    }
+    flush()
+    groups.result()
   }
 }

@@ -315,6 +315,28 @@ object PipelineQueries {
         rounds = 2, pairsPerRound = 4, candidatePool = 64,
         materialize = _.localCheckpoint())),
 
+    // BPE APPLY (round 14 — the serve side of the train→serve split,
+    // VERDICT r13 #2): encode the corpus with an INLINED literal merge
+    // table exercising every rewrite case — a frequent pair, two
+    // self-pairs (run algebra), a disjoint co-group pair, and a
+    // STACKED rank consuming rank 1's output (forces the second
+    // rewrite pass; Bpe.encode groups ranks {1,2,3} and {4,5} into two
+    // passes, provably equal to sequential application). The gate
+    // pins the ENTIRE encoded corpus: per-doc token count plus the
+    // md5 of the position-ordered encoded stream — one flipped token
+    // anywhere changes a digest. The oracle unrolls the identical
+    // passes over the same literal table (string algebra only, so the
+    // digests are engine-exact at every scale).
+    "q_bpe_encode" -> ((s, d) =>
+      Bpe.encode(Tables.documents(s, d), "doc_id", "text",
+          EncodeMergeTable, materialize = _.localCheckpoint())
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            t => t.getField("tok")), " ")).as("enc_md5"))
+        .orderBy(col("doc_id"))),
+
     // per-doc OOV rate vs the corpus top-1000 vocabulary (tokenizer
     // coverage); vocab top-k is deterministic via (count desc, token)
     "q_vocab_oov" -> ((s, d) =>
@@ -750,7 +772,65 @@ object PipelineQueries {
        |  FROM bn$r WHERE ptk = 0)""".stripMargin
   }
 
+  /** q_bpe_encode's inlined merge table, rank-ordered. Chosen to hit
+    * every rewrite case on the fixture corpus at all three scales:
+    * (order, fast) is a frequent pair, (sort, sort) and (value, value)
+    * are self-pairs (run algebra), (data, slow) shares the first
+    * group, and (order+fast, merge) is STACKED on rank 1's output —
+    * Bpe.encode splits the table into passes {1,2,3} and {4,5}. */
+  private[graft] val EncodeMergeTable: Seq[(String, String)] = Seq(
+    ("order", "fast"), ("sort", "sort"), ("data", "slow"),
+    ("order+fast", "merge"), ("value", "value"))
+
+  /** One encode pass in the oracle — [[graft.ext.Bpe.encode]]'s
+    * grouped rewrite mirrored exactly: the pass's literal pair set as
+    * a VALUES selection, then the identical run algebra of
+    * [[bpeBatchRoundSql]] (match via LEFT JOIN against the selection,
+    * cumulative-count run keys, even-offset greedy selection,
+    * right-half drop, renumber). Emits `et$p` (rewritten state). */
+  private def bpeEncodePassSql(p: Int, prev: String,
+      pairs: Seq[(String, String)]): String = {
+    val vals = pairs.map { case (l, r) => s"('$l', '$r')" }.mkString(", ")
+    s"""esel$p AS (SELECT * FROM (VALUES $vals) AS v(lft, rgt)),
+       |ep$p AS MATERIALIZED (SELECT doc, pos, tok,
+       |    LEAD(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt
+       |  FROM $prev),
+       |emm$p AS (SELECT t.doc, t.pos, t.tok, s.lft, s.rgt,
+       |    CASE WHEN s.lft IS NOT NULL THEN 1 ELSE 0 END AS m
+       |  FROM ep$p t LEFT JOIN esel$p s
+       |    ON t.tok = s.lft AND t.nxt = s.rgt),
+       |er$p AS (SELECT *, SUM(m) OVER (PARTITION BY doc ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rnm
+       |  FROM emm$p),
+       |ek$p AS (SELECT *, CASE WHEN m = 1 THEN pos - rnm END AS runkey
+       |  FROM er$p),
+       |es$p AS (SELECT *, MIN(CASE WHEN m = 1 THEN pos END)
+       |    OVER (PARTITION BY doc, runkey) AS runstart FROM ek$p),
+       |etk$p AS (SELECT doc, pos, tok, lft, rgt,
+       |    CASE WHEN m = 1 AND (pos - runstart) % 2 = 0 THEN 1 ELSE 0 END
+       |      AS tk
+       |  FROM es$p),
+       |en$p AS (SELECT doc, pos, tok, tk, lft, rgt,
+       |    COALESCE(LAG(tk) OVER (PARTITION BY doc ORDER BY pos), 0) AS ptk
+       |  FROM etk$p),
+       |et$p AS MATERIALIZED (SELECT doc,
+       |    ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS pos,
+       |    CASE WHEN tk = 1 THEN lft || '+' || rgt ELSE tok END AS tok
+       |  FROM en$p WHERE ptk = 0)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+
+    "q_bpe_encode" ->
+      (s"""WITH et0 AS (SELECT doc_id AS doc,
+          |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+          |    unnest(string_split(text, ' ')) AS tok FROM documents),
+          |""".stripMargin +
+        bpeEncodePassSql(1, "et0", EncodeMergeTable.take(3)) + ",\n" +
+        bpeEncodePassSql(2, "et1", EncodeMergeTable.drop(3)) + "\n" +
+        """SELECT doc AS doc_id, COUNT(*) AS n_tokens,
+          |  md5(string_agg(tok, ' ' ORDER BY pos)) AS enc_md5
+          |FROM et2 GROUP BY doc ORDER BY doc""".stripMargin),
 
     "q_bpe_merges_batch" ->
       (s"""WITH bt0 AS (SELECT doc_id AS doc,

@@ -640,6 +640,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: Bpe.encode matches a driver-side rank-sequential " +
+      "reference on random corpora and random merge tables (stacked " +
+      "ranks and self-pairs included) — so pass grouping is " +
+      "observationally invisible; and encode∘train reproduces the " +
+      "trainer's own rewrite stream") {
+    // reference: one greedy left-to-right non-overlapping pass PER
+    // RANK, in rank order — the BPE apply spec
+    def refApply(ts: Vector[String], l: String, r: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
+          out += l + "+" + r; i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.result()
+    }
+    def refEncode(docs: Seq[(Long, String)],
+        merges: Seq[(String, String)]): Map[Long, Vector[String]] =
+      docs.map { case (id, t) =>
+        id -> merges.foldLeft(t.split(" ").toVector) {
+          case (ts, (l, r)) => refApply(ts, l, r) }
+      }.toMap
+    def sparkEncode(docs: Seq[(Long, String)],
+        merges: Seq[(String, String)]): Map[Long, Vector[String]] =
+      graft.ext.Bpe.encode(docs.toDF("doc_id", "text"),
+          "doc_id", "text", merges)
+        .orderBy(col("doc"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    val letters = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.listOfN(3,
+      Gen.chooseNum(4, 24).flatMap(n => Gen.listOfN(n, letters)))
+    // base pairs over the alphabet, then one STACKED rank appended:
+    // its left is rank 1's output — exercises the flush-and-new-pass
+    // path on every sample
+    val tableGen = for {
+      base <- Gen.listOfN(3, Gen.zip(letters, letters))
+      tailR <- letters
+    } yield base :+ (base.head._1 + "+" + base.head._2, tailR)
+    forAllSampled(Gen.zip(docGen, tableGen), 8) { case (docLists, table) =>
+      val docs = docLists.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      assert(sparkEncode(docs, table) == refEncode(docs, table),
+        s"docs=$docs table=$table")
+      // encode ∘ train: the trained table re-applied via encode equals
+      // the trainer's rewrite stream (= the sequential reference —
+      // pairMerges IS rank-sequential greedy application)
+      val trained = graft.ext.Bpe.pairMerges(
+          docs.toDF("doc_id", "text"), "doc_id", "text", steps = 3)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      if (trained.nonEmpty)
+        assert(sparkEncode(docs, trained) == refEncode(docs, trained),
+          s"docs=$docs trained=$trained")
+    }
+  }
+
   test("property: groupPercentilesCont matches a driver-side reference " +
       "interpolation on random value sets") {
     import graft.ext.Profiling

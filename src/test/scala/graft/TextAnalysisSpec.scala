@@ -328,4 +328,49 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(2), r.getString(3)))
     assert(tiny.toSeq == Seq((1, "a", "b")), tiny.toSeq.toString)
   }
+
+  test("bpe encode: rank-ordered application of a trained table — " +
+      "stacked ranks see earlier rewrites, self-pair runs stay greedy, " +
+      "a no-match rank is a no-op, and disjoint ranks group into one " +
+      "pass without changing the sequential result") {
+    def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
+      graft.ext.Bpe.encode(Seq((0L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", merges)
+        .orderBy(col("pos")).select(col("tok")).collect()
+        .map(_.getString(0)).toSeq
+    // stacked: rank 2 consumes rank 1's output
+    assert(enc("a b c x", Seq(("a", "b"), ("a+b", "c"))) ==
+      Seq("a+b+c", "x"))
+    // self-pair run: greedy even offsets, 5 a's → [a+a, a+a, a]
+    assert(enc("a a a a a", Seq(("a", "a"))) == Seq("a+a", "a+a", "a"))
+    // a merge that matches nothing is a no-op in place (rank order
+    // preserved around it)
+    assert(enc("a b c", Seq(("q", "z"), ("b", "c"))) == Seq("a", "b+c"))
+    // rank order matters: (b,c) first starves (a,b)
+    assert(enc("a b c", Seq(("b", "c"), ("a", "b"))) == Seq("a", "b+c"))
+    assert(enc("a b c", Seq(("a", "b"), ("b", "c"))) == Seq("a+b", "c"))
+    intercept[IllegalArgumentException] {
+      graft.ext.Bpe.encode(Seq((0L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq.empty)
+    }
+  }
+
+  test("bpe encode pass grouping: disjoint non-stacked ranks share a " +
+      "pass, a stacked or symbol-sharing rank flushes — and the " +
+      "registered q_bpe_encode table splits exactly as its oracle " +
+      "unrolls it ({1,2,3}, {4,5})") {
+    import graft.ext.Bpe.passGroups
+    val t = graft.queries.PipelineQueries.EncodeMergeTable
+    assert(passGroups(t) == Seq(t.take(3), t.drop(3)),
+      passGroups(t).toString)
+    // symbol sharing flushes: (a,b) then (b,c) cannot share a pass
+    assert(passGroups(Seq(("a", "b"), ("b", "c"))).size == 2)
+    // stacking flushes: (a,b) then (a+b,c)
+    assert(passGroups(Seq(("a", "b"), ("a+b", "c"))).size == 2)
+    // reverse stacking flushes: (a+b,c) then (a,b) — the later rank
+    // PRODUCES an earlier member's input symbol
+    assert(passGroups(Seq(("a+b", "c"), ("a", "b"))).size == 2)
+    // fully disjoint table = one pass
+    assert(passGroups(Seq(("a", "b"), ("c", "c"), ("d", "e"))).size == 1)
+  }
 }
