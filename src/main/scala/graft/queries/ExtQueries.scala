@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ext.{Clustering, Dedup, Pca, Similarity, TextAnalysis}
+import graft.functions.ArrayMath.dotF
 
 /** North-star LLM-data-pipeline queries (SURVEY.md §2.9, §7 step 4):
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
@@ -181,7 +182,8 @@ object ExtQueries {
     // Jacobi eigen-solve, broadcast-literal codegen'd projection —
     // rows-only at the driver gate (eigen-solve isn't SQL); model
     // invariants (orthonormality, variance = eigenvalue, Parseval)
-    // pinned in PcaSpec.
+    // pinned in PcaSpec, and the eigen-SPECTRUM is hash-exact via the
+    // q_embed_pca_spectrum companion below (round 14).
     "q_embed_pca" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = Pca.fit(emb, "embedding", k = 8, dim = 64)
@@ -197,6 +199,64 @@ object ExtQueries {
           (0 until 8).map(i =>
             bround(element_at(col("proj"), i + 1), 6).as(s"proj_$i")): _*)
         .orderBy(col("vec_id"))
+    }),
+
+    // PCA eigen-SPECTRUM, hash-exact (round 14 — VERDICT r13 #1): the
+    // projections stay rows-only above (partition-order float Gram
+    // sums jitter eigenvector signs/rotations), but the spectrum is
+    // perturbation-stable where eigenvectors are not (Weyl: eigenvalue
+    // movement ≤ ||ΔC||; measured jitter across partitionings ≤ 2e-16
+    // vs a ≥ 2e-8 distance to the nearest bround(…,5) midpoint at all
+    // three scales — an 10^8 safety factor, pinned structurally in
+    // PcaSpec). Emits per-component eigenvalue + explained-variance
+    // ratio through bround(…,5) plus integer invariant flags computed
+    // honestly engine-side (orthonormality+ordering from the model;
+    // variance==eigenvalue per projected coordinate and
+    // trace==totalVariance from ONE corpus agg pass — the PcaSpec
+    // checks, gate-faced). Oracle = pinned constants keyed on the
+    // embeddings fingerprint (the q_similarity_ann pattern).
+    "q_embed_pca_spectrum" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val k = 8
+      val model = Pca.fit(emb, "embedding", k = k, dim = 64)
+      def ddot(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val orthResid = (for (i <- 0 until k; j <- i until k) yield
+        math.abs(ddot(model.components(i), model.components(j)) -
+          (if (i == j) 1.0 else 0.0))).max
+      val ordered = model.eigenvalues.sliding(2).forall(p => p(0) >= p(1))
+      val muF = model.mean.map(_.toFloat)
+      val mu2 = ddot(model.mean, model.mean)
+      val aggCols = (0 until k).flatMap(j => Seq(
+        avg(element_at(col("proj"), j + 1)).as(s"m$j"),
+        avg(pow(element_at(col("proj"), j + 1), 2)).as(s"s$j"))) :+
+        // |v−μ|² = v·v − 2 v·μ + |μ|² — no per-row centering array
+        avg(dotF(col("embedding"), col("embedding")) -
+          lit(2.0) * dotF(col("embedding"), lit(muF)) + lit(mu2)).as("sq")
+      val r = Pca.project(emb, "embedding", model)
+        .agg(aggCols.head, aggCols.tail: _*).head()
+      val varResid = (0 until k).map { j =>
+        val mean = r.getDouble(2 * j); val sq = r.getDouble(2 * j + 1)
+        math.abs((sq - mean * mean) - model.eigenvalues(j)) /
+          math.max(1.0, model.eigenvalues(j))
+      }.max
+      val traceResid =
+        math.abs(r.getDouble(2 * k) - model.totalVariance) /
+          model.totalVariance
+      // thresholds carry PcaSpec's tolerances (measured: orth ~1e-14,
+      // var ~5e-10, trace float-dot-limited ~1e-7)
+      val okOrth = if (orthResid < 1e-9 && ordered) 1L else 0L
+      val okVar = if (varResid < 1e-4) 1L else 0L
+      val okTrace = if (traceResid < 1e-5) 1L else 0L
+      import s.implicits._
+      (0 until k).map(j => (j + 1, model.eigenvalues(j),
+          model.eigenvalues(j) / model.totalVariance,
+          okOrth, okVar, okTrace))
+        .toDF("component", "eigenvalue", "evr",
+          "ok_orthonormal", "ok_variance", "ok_trace")
+        .withColumn("eigenvalue", bround(col("eigenvalue"), 5))
+        .withColumn("evr", bround(col("evr"), 5))
+        .orderBy(col("component"))
     }),
 
     // A4: HLL++ approximate distinct. Promoted from rows-only to a
@@ -635,6 +695,50 @@ object ExtQueries {
         |      THEN CAST(19522 AS BIGINT)
         |    END AS approx_parts
         |FROM f""".stripMargin,
+
+    // Pinned-constant oracle (q_similarity_ann pattern): the PCA
+    // eigen-spectrum is a deterministic function of the embeddings SET
+    // up to ≤2e-16 partition-order jitter, 10^8 under the bround(…,5)
+    // midpoint distance (PcaSpec pins the margin structurally) — so
+    // the rounded spectrum is a per-scale fixture constant, keyed on
+    // the same embeddings fingerprint as ANN/IVF. The invariant flags
+    // are computed honestly on the engine side (a broken fit turns a
+    // flag 0 → value mismatch); an unrecognized fixture yields NULLs →
+    // loud mismatch. PcaSpec double-pins the sf0.001/sf0.01 spectra so
+    // fixture drift breaks spec and oracle together.
+    "q_embed_pca_spectrum" ->
+      """WITH f AS (SELECT COUNT(*) AS n,
+        |  BIT_XOR(xor(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |    AS BIGINT), vec_id)) AS fp FROM embeddings),
+        |v AS (SELECT * FROM (VALUES
+        |  (1, 0.02889, 0.02894, 0.02751, 0.02758, 0.02093, 0.02094),
+        |  (2, 0.02693, 0.02697, 0.02717, 0.02723, 0.02057, 0.02058),
+        |  (3, 0.02583, 0.02587, 0.02662, 0.02668, 0.02038, 0.02039),
+        |  (4, 0.02526, 0.02531, 0.02559, 0.02565, 0.01998, 0.01999),
+        |  (5, 0.02466, 0.02470, 0.02537, 0.02543, 0.01984, 0.01985),
+        |  (6, 0.02453, 0.02457, 0.02508, 0.02514, 0.01964, 0.01965),
+        |  (7, 0.02398, 0.02402, 0.02394, 0.02400, 0.01923, 0.01924),
+        |  (8, 0.02313, 0.02317, 0.02317, 0.02322, 0.01910, 0.01911))
+        |  AS t(component, ev1, er1, ev2, er2, ev3, er3))
+        |SELECT CAST(component AS INTEGER) AS component,
+        |  CAST(CASE WHEN n = 500 AND fp = -33196 THEN ev1
+        |    WHEN n = 500 AND fp = 229470 THEN ev2
+        |    WHEN n = 2000 AND fp = -289852 THEN ev3 END AS DOUBLE)
+        |    AS eigenvalue,
+        |  CAST(CASE WHEN n = 500 AND fp = -33196 THEN er1
+        |    WHEN n = 500 AND fp = 229470 THEN er2
+        |    WHEN n = 2000 AND fp = -289852 THEN er3 END AS DOUBLE)
+        |    AS evr,
+        |  CASE WHEN (n = 500 AND fp IN (-33196, 229470))
+        |      OR (n = 2000 AND fp = -289852)
+        |    THEN CAST(1 AS BIGINT) END AS ok_orthonormal,
+        |  CASE WHEN (n = 500 AND fp IN (-33196, 229470))
+        |      OR (n = 2000 AND fp = -289852)
+        |    THEN CAST(1 AS BIGINT) END AS ok_variance,
+        |  CASE WHEN (n = 500 AND fp IN (-33196, 229470))
+        |      OR (n = 2000 AND fp = -289852)
+        |    THEN CAST(1 AS BIGINT) END AS ok_trace
+        |FROM v, f ORDER BY component""".stripMargin,
 
     "q_similarity_ann" ->
       """WITH f AS (SELECT COUNT(*) AS n,

@@ -336,6 +336,52 @@ class OracleDisciplineSpec extends AnyFunSuite {
       "decimal(>18) emitted by oracle SQL:\n" + offenders.mkString("\n"))
   }
 
+  test("pinned-constant oracles key every scale branch on a CONTENT " +
+      "fingerprint, not the row count alone — counts collide across " +
+      "fixtures (sf0.001 and sf0.01 both have 500 docs/embeddings), " +
+      "so a count-only key could silently bless a regenerated fixture " +
+      "with stale constants; the fingerprint must be content-derived " +
+      "(BIT_XOR / SUM(LENGTH)). Was convention; structural since r14") {
+    def offendersIn(oracles: Seq[(String, String)]): Seq[String] = {
+      val whenCond = raw"(?is)\bwhen\b(.*?)\bthen\b".r
+      val nKey = raw"(?i)\bn\s*(?:=\s*(\d+)|in\s*\(\s*(\d+))".r
+      val fpKey = raw"(?i)\b(fp|tl)\s*(=|in\b)".r
+      val contentAgg = raw"(?i)(bit_xor|sum\s*\(\s*length)".r
+      oracles.flatMap { case (name, raw0) =>
+        val sql = stripLiterals(raw0)
+        whenCond.findAllMatchIn(sql).map(_.group(1)).toSeq.flatMap { cond =>
+          nKey.findFirstMatchIn(cond).flatMap { m =>
+            val lit = Option(m.group(1)).getOrElse(m.group(2)).toLong
+            // a comparison of n against a fixture-sized literal
+            // (≥ 100) is a scale key; smaller literals are data logic
+            // (e.g. q_quantile_norm's single-row group case)
+            if (lit < 100) None
+            else if (fpKey.findFirstIn(cond).isEmpty)
+              Some(s"$name: count-only scale key [${cond.trim.take(60)}]")
+            else if (contentAgg.findFirstIn(sql).isEmpty)
+              Some(s"$name: fingerprint is not content-derived " +
+                s"[${cond.trim.take(60)}]")
+            else None
+          }
+        }
+      }
+    }
+    assert(offendersIn(SparkEntry.oracleSql.toSeq).isEmpty,
+      "count-only pinned-constant keying:\n" +
+        offendersIn(SparkEntry.oracleSql.toSeq).mkString("\n"))
+    // self-check: a count-only key IS caught, the keyed shape passes,
+    // and a non-content 'fingerprint' is caught
+    val red = "WITH f AS (SELECT COUNT(*) AS n FROM t) " +
+      "SELECT CASE WHEN n = 500 THEN 7 END AS x FROM f"
+    assert(offendersIn(Seq("synthetic" -> red)).nonEmpty)
+    val green = "WITH f AS (SELECT COUNT(*) AS n, BIT_XOR(h) AS fp " +
+      "FROM t) SELECT CASE WHEN n = 500 AND fp = 3 THEN 7 END AS x FROM f"
+    assert(offendersIn(Seq("synthetic" -> green)).isEmpty)
+    val fake = "WITH f AS (SELECT COUNT(*) AS n, MAX(id) AS fp FROM t) " +
+      "SELECT CASE WHEN n = 500 AND fp = 3 THEN 7 END AS x FROM f"
+    assert(offendersIn(Seq("synthetic" -> fake)).nonEmpty)
+  }
+
   test("regression canary: the r11 red constructs ARE what these rules " +
       "catch (spec self-check on synthetic offenders)") {
     // the q_anomaly_zscore r11 shape

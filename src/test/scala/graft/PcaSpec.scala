@@ -79,6 +79,47 @@ class PcaSpec extends AnyFunSuite {
       m.eigenvalues(0) * m.eigenvalues(1)))
   }
 
+  test("spectrum digest stability is STRUCTURAL, not probabilistic: " +
+      "every emitted bround(…,5) value sits ≥ 1e-9 from its rounding " +
+      "midpoint while partition-order jitter is ≤ 1e-12 — so the " +
+      "q_embed_pca_spectrum pinned constants cannot flip across runs; " +
+      "and the sf0.001/sf0.01 spectra double-pin the oracle constants " +
+      "so fixture drift breaks spec and oracle together") {
+    // midpoint distance at the 1e-5 grid (bround scale 5)
+    def mid5(x: Double): Double = {
+      val s = x * 100000.0
+      math.abs((s - math.floor(s)) - 0.5) / 100000.0
+    }
+    def spectrum(dir: String): (Seq[Double], Seq[Double]) = {
+      val emb = graft.model.Tables.embeddings(spark, dir)
+      val fits = Seq(1, 32).map(p =>
+        Pca.fit(emb.repartition(p), "embedding", k = 8, dim = 64))
+      val jitter = (0 until 8).map { j =>
+        math.abs(fits(0).eigenvalues(j) - fits(1).eigenvalues(j)) }.max
+      assert(jitter <= 1e-12, s"$dir eigenvalue jitter $jitter")
+      val m = fits.head
+      val evr = m.eigenvalues.map(_ / m.totalVariance).toSeq
+      val margin = (m.eigenvalues.toSeq ++ evr).map(mid5).min
+      assert(margin >= 1e-9,
+        s"$dir bround(…,5) midpoint margin $margin — re-pin the oracle " +
+          "constants at a different scale before they can flip")
+      def r5(x: Double) =
+        BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_EVEN)
+          .toDouble
+      (m.eigenvalues.map(r5).toSeq, evr.map(r5))
+    }
+    val (ev1, er1) = spectrum(TestSpark.Sf0001)
+    assert(ev1 == Seq(0.02889, 0.02693, 0.02583, 0.02526, 0.02466,
+      0.02453, 0.02398, 0.02313), ev1.toString)
+    assert(er1 == Seq(0.02894, 0.02697, 0.02587, 0.02531, 0.02470,
+      0.02457, 0.02402, 0.02317), er1.toString)
+    val (ev2, er2) = spectrum("/root/testdata/sf0.01")
+    assert(ev2 == Seq(0.02751, 0.02717, 0.02662, 0.02559, 0.02537,
+      0.02508, 0.02394, 0.02317), ev2.toString)
+    assert(er2 == Seq(0.02758, 0.02723, 0.02668, 0.02565, 0.02543,
+      0.02514, 0.02400, 0.02322), er2.toString)
+  }
+
   test("truncation reconstruction error shrinks as k grows and equals " +
       "the discarded eigenvalue mass") {
     val emb = graft.model.Tables.embeddings(spark, TestSpark.Sf0001)
