@@ -15,6 +15,29 @@ import graft.ops.Archive
   */
 object PipelineQueries {
 
+  /** Plain 3-shard staged copy of `events`, SHARED by q_ohlc_stream
+    * and q_stream_archive (r14 — VERDICT r13 #3): both stage the
+    * identical `eventsNative.repartition(3)` parquet tree, and both
+    * are arrival-order-free (complete-mode agg / stateless sink), so
+    * in a Verify/Bench JVM that runs every query the second stream
+    * reuses the first's staging instead of paying the write again.
+    * Keyed by scale dir; deleted at JVM exit (a per-query `finally`
+    * can no longer delete it — the other query still needs it). The
+    * ORDERED streams (q_stream_join, q_stream_dedup) keep their own
+    * trees: their slice counts and mtime sequencing differ.
+    */
+  private val plainStage3 =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedEvents3(s: SparkSession, d: String): String =
+    plainStage3.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_stage3").toString
+      Tables.eventsNative(s, d).repartition(3)
+        .write.mode("overwrite").parquet(tmp)
+      sys.addShutdownHook(Tables.rmrf(tmp))
+      tmp
+    })
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // LSH candidates → hashed-Jaccard prefilter → Levenshtein verify;
@@ -104,10 +127,8 @@ object PipelineQueries {
     // the final table independent of file arrival order, so the
     // q_ohlc_bars oracle applies verbatim.
     "q_ohlc_stream" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ohlc_stream").toString
-      Tables.eventsNative(s, d).repartition(3)
-        .write.mode("overwrite").parquet(tmp)
+      // staged input shared with q_stream_archive (see stagedEvents3)
+      val tmp = stagedEvents3(s, d)
       val sink = "graft_ohlc_stream_sink"
       // fresh session (ADVICE r11): the 4-partition state-store pin
       // lives and dies with this stream — the caller's session conf is
@@ -120,18 +141,14 @@ object PipelineQueries {
       s2.conf.set("spark.sql.shuffle.partitions", "4")
       s2.conf.set("spark.sql.session.timeZone",
         s.conf.get("spark.sql.session.timeZone"))
-      try {
-        val q = graft.streaming.Streaming.ohlcBars(
-            graft.streaming.Streaming.readEventsStream(s2, tmp,
-              maxFilesPerTrigger = 1))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally
-        // the memory sink holds the rows; the staged input is dead
-        // weight — delete it (in finally: failed runs must not leak
-        // disk either) so repeated runs accumulate nothing
-        Tables.rmrf(tmp)
+      val q = graft.streaming.Streaming.ohlcBars(
+          graft.streaming.Streaming.readEventsStream(s2, tmp,
+            maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      // the memory sink holds the rows; the SHARED staged input stays
+      // for q_stream_archive and is deleted at JVM exit
       s2.table(sink)
         .select(col("event_type").as("grp"),
           to_date(col("bucket_start")).as("bucket"),
@@ -261,25 +278,24 @@ object PipelineQueries {
     // incremental write path lands byte-equivalent data where the
     // reference's batch rerun would. Stateless sink ⇒ no watermark, so
     // arrival order is free (plain re-shard; 4→3 files in r13 — one
-    // less micro-batch of fixed trigger cost, result identical).
+    // less micro-batch of fixed trigger cost, result identical; the
+    // staged tree is shared with q_ohlc_stream since r14).
     "q_stream_archive" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_archive_in").toString
+      val tmp = stagedEvents3(s, d)
       val out = java.nio.file.Files
         .createTempDirectory("graft_stream_archive_out").toString
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_stream_archive_ckpt").toString
-      Tables.eventsNative(s, d).repartition(3)
-        .write.mode("overwrite").parquet(tmp)
       try {
         val q = graft.streaming.Streaming.archiveSink(
           graft.streaming.Streaming.readEventsStream(s, tmp,
             maxFilesPerTrigger = 1), out, ckpt).start()
         q.awaitTermination()
         // materialize the per-partition rollup (a handful of rows) so
-        // the staged input, the archive dir, and the checkpoint can all
-        // be deleted before returning — repeated runs (including FAILED
-        // ones, hence the finally) leak nothing
+        // the archive dir and the checkpoint can be deleted before
+        // returning — repeated runs (including FAILED ones, hence the
+        // finally) leak nothing; the SHARED staged input stays for
+        // q_ohlc_stream and is deleted at JVM exit
         s.read.parquet(out)
           .groupBy(col("year").cast("long").as("year"),
             col("month").cast("long").as("month"))
@@ -288,7 +304,7 @@ object PipelineQueries {
             max(unix_micros(col("timestamp"))).as("max_us"))
           .orderBy(col("year"), col("month"))
           .localCheckpoint()
-      } finally Tables.rmrf(tmp, out, ckpt)
+      } finally Tables.rmrf(out, ckpt)
     }),
 
     // last-touch attribution: purchases attributed to the same user's
