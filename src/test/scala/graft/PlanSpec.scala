@@ -621,6 +621,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pca spectrum machinery: the Gram pass is ONE typed aggregation " +
+      "(ObjectHashAggregate partials, no corpus shuffle-by-key), and " +
+      "the invariant pass is a joinless map-side aggregate over the " +
+      "codegen'd dot_f32 projection") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Pca
+    import graft.model.Tables
+    val emb = Tables.embeddings(spark, d)
+    val gram = {
+      import spark.implicits._
+      emb.select(col("embedding")).as[Array[Float]]
+        .select(new Pca.MomentsAgg(64).toColumn)
+    }
+    val gp = gram.queryExecution.executedPlan.toString
+    assert(gp.contains("ObjectHashAggregate"), gp)
+    // the only exchange is the SinglePartition gather of ~17 KB
+    // partial buffers — never a hashpartitioning of corpus rows
+    assert(!gp.contains("hashpartitioning"), gp)
+    val model = Pca.fit(emb, "embedding", k = 8, dim = 64)
+    val inv = Pca.project(emb, "embedding", model)
+      .agg(avg(element_at(col("proj"), 1)).as("m0"))
+    val ip = inv.queryExecution.executedPlan.toString
+    assert(ip.contains("dot_f32"), ip)
+    assert(ip.contains("partial_avg"), ip) // two-phase, map-side first
+    assert(!ip.contains("Join") && !ip.contains("Window"), ip)
+  }
+
+  test("bpe encode: a rewrite pass is doc-windowed algebra with no " +
+      "join and no pair-count aggregate (the apply path never counts " +
+      "or collects candidates)") {
+    import graft.ext.Bpe
+    import graft.model.Tables
+    val pass = Bpe.encode(Tables.documents(spark, d), "doc_id", "text",
+      Seq(("order", "fast")))
+    val p = pass.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("HashAggregate"), p) // no counting on apply
+  }
+
   test("changepoint: the corpus collapses to the daily grid in a " +
       "two-phase agg BELOW the cumulative window, group totals come " +
       "back as a BROADCAST hash join, and the wide score never rides " +
