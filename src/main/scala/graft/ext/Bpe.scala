@@ -239,11 +239,20 @@ object Bpe {
     toks
   }
 
+  /** A pass's match/spelling CASE chains must stay ONE codegen'd
+    * projection: past ~10² branches Janino's 64 KB method limit forces
+    * interpreted fallback and per-row cost goes O(pairs) per token —
+    * so groups are additionally size-capped (splitting a disjoint
+    * group into rank-ordered sub-passes is semantics-free: sequential
+    * equals simultaneous for ANY subset split). */
+  private[graft] val MaxPassPairs = 16
+
   /** [[encode]]'s greedy rank-order pass grouping under (a)+(b) —
-    * conservative: any violation flushes the group (sequential
-    * semantics are the contract; grouping only saves passes).
-    * Package-visible so specs (and oracle authors, who unroll one CTE
-    * chain per GROUP) can pin the exact split for a given table. */
+    * conservative: any violation (or the [[MaxPassPairs]] codegen cap)
+    * flushes the group (sequential semantics are the contract;
+    * grouping only saves passes). Package-visible so specs (and oracle
+    * authors, who unroll one CTE chain per GROUP) can pin the exact
+    * split for a given table. */
   private[graft] def passGroups(merges: Seq[(String, String)])
       : Seq[Seq[(String, String)]] = {
     val groups = Seq.newBuilder[Seq[(String, String)]]
@@ -255,7 +264,8 @@ object Bpe {
     }
     merges.foreach { case (l, r) =>
       val out = l + "+" + r
-      if (cur.nonEmpty && (ins(l) || ins(r) || outs(l) || outs(r) ||
+      if (cur.nonEmpty && (cur.size >= MaxPassPairs ||
+          ins(l) || ins(r) || outs(l) || outs(r) ||
           ins(out) || outs(out)))
         flush()
       cur :+= ((l, r)); ins = ins + l + r; outs += out

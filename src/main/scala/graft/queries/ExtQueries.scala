@@ -24,6 +24,18 @@ object ExtQueries {
     Tables.embeddings(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
+  /** Fitted PCA model shared by q_embed_pca and q_embed_pca_spectrum
+    * (review r14 — the stagedEvents3 pattern): both fit the identical
+    * (k = 8, dim = 64) model over the same fixture, so in a
+    * Verify/Bench JVM that runs every query the second pays neither
+    * the corpus Gram pass nor the Jacobi solve again. Keyed by scale
+    * dir; a model is ~5 KB of driver memory. */
+  private val pcaModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.Model]()
+  private def pcaModel(s: SparkSession, d: String): Pca.Model =
+    pcaModelCache.computeIfAbsent(d, _ =>
+      Pca.fit(Tables.embeddings(s, d), "embedding", k = 8, dim = 64))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Matryoshka truncation eval (round 11): recall@10 of cosine top-k
@@ -186,7 +198,7 @@ object ExtQueries {
     // q_embed_pca_spectrum companion below (round 14).
     "q_embed_pca" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = Pca.fit(emb, "embedding", k = 8, dim = 64)
+      val model = pcaModel(s, d)
       // Flattened to scalar proj_0..proj_7 (not the ArrayType `proj`):
       // the driver's pandas comparator cannot sort/hash an ndarray cell
       // (r10 harness error), and rows-only still needs a countable,
@@ -218,7 +230,7 @@ object ExtQueries {
     "q_embed_pca_spectrum" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val k = 8
-      val model = Pca.fit(emb, "embedding", k = k, dim = 64)
+      val model = pcaModel(s, d)
       def ddot(a: Array[Double], b: Array[Double]): Double =
         a.zip(b).map { case (x, y) => x * y }.sum
       val orthResid = (for (i <- 0 until k; j <- i until k) yield

@@ -25,6 +25,13 @@ object PipelineQueries {
     * can no longer delete it — the other query still needs it). The
     * ORDERED streams (q_stream_join, q_stream_dedup) keep their own
     * trees: their slice counts and mtime sequencing differ.
+    *
+    * Bench semantics note: the one-time staging write is absorbed by
+    * whichever of the two queries the bench times FIRST (the other
+    * runs warm) — a bounded, direction-safe order coupling (before
+    * r14 each query paid its own write every run), but a per-query
+    * A/B against pre-r14 BENCH_DETAIL history must read the PAIR's
+    * sum, not either query alone.
     */
   private val plainStage3 =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -32,9 +39,12 @@ object PipelineQueries {
     plainStage3.computeIfAbsent(d, _ => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_stream_stage3").toString
+      // hook BEFORE the write: a mid-flight write failure must not
+      // leak the partial tree (the mapping function throws, the map
+      // stays empty, the hook still reaps the directory at exit)
+      sys.addShutdownHook(Tables.rmrf(tmp))
       Tables.eventsNative(s, d).repartition(3)
         .write.mode("overwrite").parquet(tmp)
-      sys.addShutdownHook(Tables.rmrf(tmp))
       tmp
     })
 

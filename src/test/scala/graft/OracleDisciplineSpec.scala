@@ -274,7 +274,12 @@ class OracleDisciplineSpec extends AnyFunSuite {
     * propagated TRANSITIVELY through plain re-aliases: an intermediate
     * CTE item that is exactly a tracked alias re-aliased
     * (`score AS s2`, `sc.score AS s2`) inherits wideness, so a
-    * laundering hop cannot take the column out of scope (ADVICE r13). */
+    * laundering hop cannot take the column out of scope (ADVICE r13).
+    * Deliberately NAME-GLOBAL across CTE scopes (no scope resolution):
+    * a narrow column that merely shares a tracked alias's name in an
+    * unrelated CTE inherits wideness spuriously — the lint errs
+    * strict, and the escape is renaming the clashing column, never
+    * weakening the scan. */
   private def wideCastAliases(sql: String): Seq[String] = {
     val items = allSelectItems(sql)
     var tracked = items.flatMap { it =>

@@ -83,7 +83,7 @@ class PcaSpec extends AnyFunSuite {
       "every emitted bround(…,5) value sits ≥ 1e-9 from its rounding " +
       "midpoint while partition-order jitter is ≤ 1e-12 — so the " +
       "q_embed_pca_spectrum pinned constants cannot flip across runs; " +
-      "and the sf0.001/sf0.01 spectra double-pin the oracle constants " +
+      "and ALL THREE scales' spectra double-pin the oracle constants " +
       "so fixture drift breaks spec and oracle together") {
     // midpoint distance at the 1e-5 grid (bround scale 5)
     def mid5(x: Double): Double = {
@@ -118,6 +118,14 @@ class PcaSpec extends AnyFunSuite {
       0.02508, 0.02394, 0.02317), ev2.toString)
     assert(er2 == Seq(0.02758, 0.02723, 0.02668, 0.02565, 0.02543,
       0.02514, 0.02400, 0.02322), er2.toString)
+    // sf0.1 too — the oracle pins ev3/er3 for n=2000, and the largest
+    // fixture has the most partitions, i.e. the most ways for the
+    // Gram merge order to vary (review r14: margin was unpinned here)
+    val (ev3, er3) = spectrum("/root/testdata/sf0.1")
+    assert(ev3 == Seq(0.02093, 0.02057, 0.02038, 0.01998, 0.01984,
+      0.01964, 0.01923, 0.01910), ev3.toString)
+    assert(er3 == Seq(0.02094, 0.02058, 0.02039, 0.01999, 0.01985,
+      0.01965, 0.01924, 0.01911), er3.toString)
   }
 
   test("truncation reconstruction error shrinks as k grows and equals " +

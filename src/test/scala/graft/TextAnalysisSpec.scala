@@ -372,5 +372,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(passGroups(Seq(("a+b", "c"), ("a", "b"))).size == 2)
     // fully disjoint table = one pass
     assert(passGroups(Seq(("a", "b"), ("c", "c"), ("d", "e"))).size == 1)
+    // ... up to the codegen cap: a large fully-disjoint table chunks
+    // into rank-ordered MaxPassPairs-sized passes (one CASE chain per
+    // pass stays a single codegen'd projection)
+    val big = (0 until 40).map(i => (s"l$i", s"r$i"))
+    val gs = passGroups(big)
+    assert(gs.map(_.size) ==
+      Seq.fill(40 / graft.ext.Bpe.MaxPassPairs)(graft.ext.Bpe.MaxPassPairs)
+        :+ (40 % graft.ext.Bpe.MaxPassPairs), gs.map(_.size).toString)
+    assert(gs.flatten == big) // rank order preserved across chunks
   }
 }
