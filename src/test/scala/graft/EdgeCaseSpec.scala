@@ -358,4 +358,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.model.Tables.rmrf(outside.toString) // cleanup (legit tmp path)
     assert(!Files.exists(outside))
   }
+
+  test("bpe encode degenerate docs: empty text is one empty token " +
+      "(split semantics, same in DuckDB), a single-token doc passes " +
+      "through unchanged, an empty corpus returns empty, and a merge " +
+      "table that matches nothing is the identity") {
+    import org.apache.spark.sql.functions.col
+    def enc(docs: Seq[(Long, String)], merges: Seq[(String, String)]) =
+      graft.ext.Bpe.encode(docs.toDF("doc_id", "text"),
+          "doc_id", "text", merges)
+        .orderBy(col("doc"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSeq
+    // pos is 1-based after any pass (the rewrite renumbers with
+    // row_number; the 0-based posexplode origin only ever ORDERS, so
+    // the base never reaches an output digest)
+    assert(enc(Seq((0L, "")), Seq(("a", "b"))) == Seq((0L, 1, "")))
+    assert(enc(Seq((1L, "solo")), Seq(("a", "b"))) == Seq((1L, 1, "solo")))
+    assert(graft.ext.Bpe.encode(emptyDocs, "doc_id", "text",
+      Seq(("a", "b"))).isEmpty)
+    assert(enc(Seq((2L, "x y z")), Seq(("a", "b"), ("q", "q"))) ==
+      Seq((2L, 1, "x"), (2L, 2, "y"), (2L, 3, "z")))
+  }
 }
