@@ -349,6 +349,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     // rank order matters: (b,c) first starves (a,b)
     assert(enc("a b c", Seq(("b", "c"), ("a", "b"))) == Seq("a", "b+c"))
     assert(enc("a b c", Seq(("a", "b"), ("b", "c"))) == Seq("a+b", "c"))
+    // a >MaxPassPairs disjoint table chunks into two passes and still
+    // applies every rank (the cap changes pass structure, never the
+    // result)
+    val wide = (0 until 20).map(i => (s"l$i", s"r$i"))
+    val text20 = (0 until 20).map(i => s"l$i r$i").mkString(" ")
+    assert(enc(text20, wide) == (0 until 20).map(i => s"l$i+r$i"))
     intercept[IllegalArgumentException] {
       graft.ext.Bpe.encode(Seq((0L, "a b")).toDF("doc_id", "text"),
         "doc_id", "text", Seq.empty)
