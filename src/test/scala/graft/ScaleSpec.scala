@@ -547,6 +547,34 @@ class ScaleSpec extends AnyFunSuite {
       s"picks invariant under doubling, counts exactly 2x")
   }
 
+  test("BPE encode is doc-local and driver-free: doubling the corpus " +
+      "(disjoint ids, same text) exactly doubles every merged-token " +
+      "count, and the pass count is a pure function of the merge " +
+      "table — corpus-independent (no counting, no collect on the " +
+      "apply path)") {
+    import graft.ext.Bpe
+    val table = graft.queries.PipelineQueries.EncodeMergeTable
+    // pass structure is table-determined before any data is touched
+    assert(Bpe.passGroups(table).size == 2)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(docs.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    def mergedCounts(df: org.apache.spark.sql.DataFrame) =
+      Bpe.encode(df, "doc_id", "text", table,
+          materialize = _.localCheckpoint())
+        .filter(col("tok").contains("+"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val c1 = mergedCounts(docs)
+    val c2 = mergedCounts(doubled)
+    assert(c1.nonEmpty && c1.keySet == c2.keySet, s"$c1 vs $c2")
+    assert(c1.forall { case (t, n) => c2(t) == 2 * n },
+      s"doc-local rewrite must scale exactly linearly: $c1 vs $c2")
+    info(s"merged-token counts 1x=$c1, exactly doubled at 2x; " +
+      s"${Bpe.passGroups(table).size} passes at both scales")
+  }
+
   test("GraftExtensions injects dot_f32 into a session function registry") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
