@@ -278,16 +278,79 @@ object Similarity {
       nprobe: Int, centroids: Option[DataFrame] = None,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(nprobe >= 1 && nprobe <= cells, "need 1 <= nprobe <= cells")
+    val (cents, indexed) = ivfIndex(corpus, cells, centroids, materialize)
+    ivfProbe(cents, indexed, queries, k, nprobe)
+  }
+
+  /** The TRAIN half of the IVF train→serve split (round 15 — the
+    * q_dedup_incremental / bigram-LM / BPE symmetry): Lloyd-trained
+    * centroids plus the corpus assigned to them, as two plain frames —
+    * `centroids` (cell_id, centroid) and `postings` (vec_id, cell_id,
+    * embedding, nrm, …passthrough). Both are persistable
+    * ([[writeIvfIndex]]/[[readIvfIndex]]); [[ivfProbe]] serves top-k
+    * from them without ever touching corpus×corpus — and
+    * [[ivfTopK]] IS ivfProbe∘ivfIndex, so the served answer equals the
+    * one-shot answer by construction (round-trip parity pinned in
+    * SimilaritySpec; every value involved — float vectors, long ids,
+    * double norms — round-trips parquet bit-exactly).
+    */
+  def ivfIndex(corpus: DataFrame, cells: Int,
+      centroids: Option[DataFrame] = None,
+      materialize: DataFrame => DataFrame = identity)
+      : (DataFrame, DataFrame) = {
     val cents = centroids.getOrElse(
       Clustering.lloyd(corpus, cells, iters = 2, materialize = materialize))
     val indexed = ivfAssign(
       corpus.withColumn("nrm", norm(col("embedding"))), "embedding", cents)
+    (cents, indexed)
+  }
+
+  /** Persist a fitted IVF index: `dir/centroids` (k rows, one file) +
+    * `dir/postings` partitioned by cell_id — the serve-side layout
+    * where a probe's nprobe cells map to directory prunes. At 100 TB
+    * write postings with `.bucketBy(nCells, "cell_id")` into a catalog
+    * table instead (DEPLOY.md "Persisted IVF index") so each cell is a
+    * bounded file set and probes schedule shuffle-free.
+    */
+  def writeIvfIndex(centroids: DataFrame, postings: DataFrame,
+      dir: String): Unit = {
+    centroids.coalesce(1).write.mode("overwrite")
+      .option("compression", "snappy").parquet(s"$dir/centroids")
+    postings.write.mode("overwrite").partitionBy("cell_id")
+      .option("compression", "snappy").parquet(s"$dir/postings")
+  }
+
+  /** Load a persisted IVF index for serving. The partition-directory
+    * round trip narrows cell_id (partition-column type inference), so
+    * it is cast back to the long ivfAssign emits — probe join keys and
+    * the parity pin stay type-exact.
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val posts = spark.read.parquet(s"$dir/postings")
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    (cents, posts)
+  }
+
+  /** The SERVE half: top-k cosine over a fitted index — each query
+    * ranks the `nprobe` nearest cells against the (tiny, broadcast)
+    * centroid frame, then scores ONLY the postings of those cells.
+    * Never corpus×corpus, never a corpus shuffle: the postings scan is
+    * the only big input and the probe side broadcasts. Incremental
+    * corpus growth appends rows to `postings` via [[ivfAssign]] with
+    * the FROZEN centroids (the standard IVF serve contract — re-train
+    * when drift warrants, not per batch).
+    */
+  def ivfProbe(centroids: DataFrame, postings: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     // nprobe nearest cells per query, by the same metric ivfAssign
     // uses: slice(array_sort(...), 1, nprobe) over the packed centroid
     // array — ascending lexicographic struct order = the (cdist,
     // cell_id) window rank it replaced, with ZERO exchange (the window
     // formulation shuffled the query set per execution)
-    val packed = cents
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    val packed = centroids
       .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))
         .as("cells"))
     val probes = queries
@@ -301,7 +364,7 @@ object Similarity {
             c.getField("cell_id").as("cell_id")))), 1, nprobe)).as("p"))
       .select(col("query_id"), col("query_vec"), col("qnrm"),
         col("p.cell_id").as("cell_id"))
-    val scored = indexed.as("c")
+    val scored = postings.as("c")
       .join(broadcast(probes.as("q")),
         col("q.cell_id") === col("c.cell_id") &&
           col("q.query_id") =!= col("c.vec_id"))

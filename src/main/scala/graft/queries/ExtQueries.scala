@@ -219,8 +219,9 @@ object ExtQueries {
     // perturbation-stable where eigenvectors are not (Weyl: eigenvalue
     // movement ≤ ||ΔC||; measured jitter across partitionings ≤ 2e-16
     // vs a ≥ 2e-8 distance to the nearest bround(…,5) midpoint at all
-    // three scales — an 10^8 safety factor, pinned structurally in
-    // PcaSpec). Emits per-component eigenvalue + explained-variance
+    // three scales — ~10^8 of headroom, of which PcaSpec ENFORCES
+    // jitter ≤ 1e-15 and margin ≥ 1e-8, a 10^7 structural floor over
+    // three partitionings). Emits per-component eigenvalue + EVR
     // ratio through bround(…,5) plus integer invariant flags computed
     // honestly engine-side (orthonormality+ordering from the model;
     // variance==eigenvalue per projected coordinate and
@@ -645,7 +646,37 @@ object ExtQueries {
           materialize = _.localCheckpoint())
         .agg(count(lit(1)).as("n_rows"),
           bit_xor(xxhash64(col("query_id"), col("rank"), col("vec_id")))
-            .as("xor_digest")))
+            .as("xor_digest"))),
+
+    // IVF train→serve split (round 15 — VERDICT r14 #2, the last
+    // pipeline family without the q_dedup_incremental / bigram-LM /
+    // BPE shape): train the index ONCE (Lloyd centroids + cell-assigned
+    // postings), persist it to parquet (postings partitioned by
+    // cell_id — the serve layout), reload, and answer top-k from the
+    // RELOADED frames via ivfProbe — which never touches corpus×corpus
+    // (broadcast probe into the postings scan). ivfTopK IS
+    // ivfProbe∘ivfIndex and every persisted value (float vectors, long
+    // ids, double norms) round-trips parquet bit-exactly, so the served
+    // digest EQUALS q_similarity_ivf's pinned constants — the
+    // self-consistency probe(index(c)) ≡ ivfTopK(c) is checked at the
+    // gate itself, and again structurally in SimilaritySpec. The digest
+    // is localCheckpoint'd before the index directory is deleted
+    // (the q_stream_archive pattern), so failed runs leak nothing.
+    "q_similarity_serve" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      try {
+        val (cents, posts) = Similarity.ivfIndex(Tables.embeddings(s, d),
+          cells = 8, materialize = _.localCheckpoint())
+        Similarity.writeIvfIndex(cents, posts, dir)
+        val (c2, p2) = Similarity.readIvfIndex(s, dir)
+        Similarity.ivfProbe(c2, p2, queryVecs(s, d), k = 10, nprobe = 3)
+          .agg(count(lit(1)).as("n_rows"),
+            bit_xor(xxhash64(col("query_id"), col("rank"), col("vec_id")))
+              .as("xor_digest"))
+          .localCheckpoint()
+      } finally Tables.rmrf(dir)
+    })
   )
 
   private[queries] val ShingleCte =
@@ -710,8 +741,9 @@ object ExtQueries {
 
     // Pinned-constant oracle (q_similarity_ann pattern): the PCA
     // eigen-spectrum is a deterministic function of the embeddings SET
-    // up to ≤2e-16 partition-order jitter, 10^8 under the bround(…,5)
-    // midpoint distance (PcaSpec pins the margin structurally) — so
+    // up to ≤2e-16 measured partition-order jitter, ~10^8 under the
+    // bround(…,5) midpoint distance (PcaSpec enforces jitter ≤ 1e-15
+    // vs margin ≥ 1e-8 — a 10^7 structural floor) — so
     // the rounded spectrum is a per-scale fixture constant, keyed on
     // the same embeddings fingerprint as ANN/IVF. The invariant flags
     // are computed honestly on the engine side (a broken fit turns a
@@ -769,6 +801,29 @@ object ExtQueries {
         |FROM f""".stripMargin,
 
     "q_similarity_ivf" ->
+      """WITH f AS (SELECT COUNT(*) AS n,
+        |  BIT_XOR(xor(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |    AS BIGINT), vec_id)) AS fp FROM embeddings)
+        |SELECT
+        |  CASE WHEN n IN (500, 2000) AND fp IN (-33196, 229470, -289852)
+        |    THEN CAST(50 AS BIGINT) END AS n_rows,
+        |  CASE WHEN n = 500 AND fp = -33196
+        |      THEN CAST(2786292923094074110 AS BIGINT)
+        |    WHEN n = 500 AND fp = 229470
+        |      THEN CAST(2651920947355102651 AS BIGINT)
+        |    WHEN n = 2000 AND fp = -289852
+        |      THEN CAST(5118600368501737980 AS BIGINT)
+        |    END AS xor_digest
+        |FROM f""".stripMargin,
+
+    // DELIBERATELY the q_similarity_ivf constants, not a fresh pin:
+    // q_similarity_serve is the write→read→probe round trip of the
+    // SAME (cells=8, nprobe=3, k=10) index, and the serve contract is
+    // probe(reload(index(c))) ≡ ivfTopK(c) exactly — so the gate checks
+    // the self-consistency itself (a round-trip that flipped ONE token
+    // anywhere would diverge from these constants). SimilaritySpec pins
+    // the same equality structurally at two scales.
+    "q_similarity_serve" ->
       """WITH f AS (SELECT COUNT(*) AS n,
         |  BIT_XOR(xor(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
         |    AS BIGINT), vec_id)) AS fp FROM embeddings)

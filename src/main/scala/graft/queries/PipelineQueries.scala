@@ -41,10 +41,14 @@ object PipelineQueries {
         .createTempDirectory("graft_stream_stage3").toString
       // hook BEFORE the write: a mid-flight write failure must not
       // leak the partial tree (the mapping function throws, the map
-      // stays empty, the hook still reaps the directory at exit)
+      // stays empty, the hook still reaps the directory at exit);
+      // the catch ALSO reaps eagerly (review r15) so a long-lived
+      // Verify JVM that retries after a failed staging write doesn't
+      // accumulate one abandoned tree + hook per attempt
       sys.addShutdownHook(Tables.rmrf(tmp))
-      Tables.eventsNative(s, d).repartition(3)
+      try Tables.eventsNative(s, d).repartition(3)
         .write.mode("overwrite").parquet(tmp)
+      catch { case e: Throwable => Tables.rmrf(tmp); throw e }
       tmp
     })
 
@@ -315,6 +319,50 @@ object PipelineQueries {
           .orderBy(col("year"), col("month"))
           .localCheckpoint()
       } finally Tables.rmrf(out, ckpt)
+    }),
+
+    // Native session windows through the ACTUAL incremental path
+    // (round 15 — VERDICT r14 #1, the last §2.10 surface without a
+    // driver-gated query): the shared 3-shard staged tree file-streamed
+    // one file per micro-batch through Streaming.sessionCounts
+    // (session_window + watermark), complete-mode memory sink. Complete
+    // mode retains and MERGES session state across micro-batches (the
+    // watermark never evicts) — but unlike the plain aggregation
+    // q_ohlc_stream rides, the SESSION operator still FILTERS
+    // watermark-late input rows in every output mode (measured here:
+    // 3-shard random arrival + a 1 h delay dropped ~40% of events). So
+    // the gate widens the delay beyond the fixture's whole time span,
+    // making "late" impossible — the complete-mode state it feeds is
+    // unbounded by definition, so the wide delay costs nothing — and
+    // the final per-(user, session) table after processAllAvailable is
+    // arrival-order-free. That is what lets this query share the
+    // order-free staged tree with q_ohlc_stream/q_stream_archive and
+    // what makes the plain batch lag-algebra oracle apply. Production
+    // append-mode sessionization keeps the tight default delay and
+    // time-ordered arrival instead. The gate rolls the sink up to the
+    // q_sessionize grain (per-user session + event counts): a session
+    // split, merged, or dropped anywhere in the streaming state
+    // machine shifts n_sessions and fails the oracle.
+    "q_stream_sessions" -> ((s, d) => {
+      val tmp = stagedEvents3(s, d)
+      val sink = "graft_stream_sessions_sink"
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone"))
+      val q = graft.streaming.Streaming.sessionCounts(
+          graft.streaming.Streaming.readEventsStream(s2, tmp,
+            maxFilesPerTrigger = 1), watermark = "3650 days")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      // the SHARED staged input stays for the other two order-free
+      // streams and is deleted at JVM exit
+      s2.table(sink)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
     }),
 
     // last-touch attribution: purchases attributed to the same user's
@@ -816,7 +864,13 @@ object PipelineQueries {
     * right-half drop, renumber). Emits `et$p` (rewritten state). */
   private def bpeEncodePassSql(p: Int, prev: String,
       pairs: Seq[(String, String)]): String = {
-    val vals = pairs.map { case (l, r) => s"('$l', '$r')" }.mkString(", ")
+    // tokens are spliced into single-quoted SQL literals — escape the
+    // one character that can break out (review r15: EncodeMergeTable
+    // is a fixed quote-free literal today, but this helper invites
+    // reuse with corpus-derived tables)
+    def esc(t: String): String = t.replace("'", "''")
+    val vals = pairs.map { case (l, r) => s"('${esc(l)}', '${esc(r)}')" }
+      .mkString(", ")
     s"""esel$p AS (SELECT * FROM (VALUES $vals) AS v(lft, rgt)),
        |ep$p AS MATERIALIZED (SELECT doc, pos, tok,
        |    LEAD(tok) OVER (PARTITION BY doc ORDER BY pos) AS nxt
@@ -1043,6 +1097,15 @@ object PipelineQueries {
         |  COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
         |  CAST(MIN(us) AS BIGINT) AS min_us, CAST(MAX(us) AS BIGINT) AS max_us
         |FROM a GROUP BY year, month ORDER BY year, month""".stripMargin,
+
+    // VERBATIM the q_sessionize oracle (referenced, not copied, so the
+    // two can never drift): a 30-min-gap session is the same object
+    // whether found by the lag algebra or by the streaming
+    // session_window state machine, and the complete-mode sink after
+    // processAllAvailable is deterministic — so the batch
+    // sessionization SQL gates the incremental run at the per-user
+    // grain (the q_ohlc_stream pattern).
+    "q_stream_sessions" -> RelationalQueries.oracles("q_sessionize"),
 
     // the batch twin of the watermarked stream-stream join: purchases
     // to same-user signups within 7 days BEFORE the purchase —

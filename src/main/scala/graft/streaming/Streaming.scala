@@ -120,6 +120,14 @@ object Streaming {
 
   /** Session windows (30-min inactivity gap) — native session_window,
     * the streaming twin of the batch q_sessionize query.
+    *
+    * Output-mode semantics (measured, r15): unlike plain windowed
+    * aggregation, the session operator filters watermark-LATE input
+    * rows in EVERY output mode, complete included — complete mode only
+    * stops state eviction, not the late filter. Time-ordered arrival
+    * (append mode, production) keeps the tight default delay; an
+    * arrival-order-free complete-mode run (q_stream_sessions) must
+    * widen `watermark` past the data's time span so nothing is late.
     */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =

@@ -80,8 +80,8 @@ class PcaSpec extends AnyFunSuite {
   }
 
   test("spectrum digest stability is STRUCTURAL, not probabilistic: " +
-      "every emitted bround(…,5) value sits ≥ 1e-9 from its rounding " +
-      "midpoint while partition-order jitter is ≤ 1e-12 — so the " +
+      "every emitted bround(…,5) value sits ≥ 1e-8 from its rounding " +
+      "midpoint while partition-order jitter is ≤ 1e-15 — so the " +
       "q_embed_pca_spectrum pinned constants cannot flip across runs; " +
       "and ALL THREE scales' spectra double-pin the oracle constants " +
       "so fixture drift breaks spec and oracle together") {
@@ -92,15 +92,24 @@ class PcaSpec extends AnyFunSuite {
     }
     def spectrum(dir: String): (Seq[Double], Seq[Double]) = {
       val emb = graft.model.Tables.embeddings(spark, dir)
-      val fits = Seq(1, 32).map(p =>
+      // three partitionings, not two (review r15): 1 and 32 bracket the
+      // serial and max-parallel Gram merge orders, 7 is a ragged
+      // middle — so the jitter bound is no longer a two-point sample
+      val fits = Seq(1, 7, 32).map(p =>
         Pca.fit(emb.repartition(p), "embedding", k = 8, dim = 64))
       val jitter = (0 until 8).map { j =>
-        math.abs(fits(0).eigenvalues(j) - fits(1).eigenvalues(j)) }.max
-      assert(jitter <= 1e-12, s"$dir eigenvalue jitter $jitter")
+        val evs = fits.map(_.eigenvalues(j))
+        evs.max - evs.min }.max
+      // enforced bounds match the measured ones (review r15; the r14
+      // asserts left 10^3 of unused slack while comments claimed the
+      // measured 10^8): jitter ≤ 1e-15 (measured ≤ 2e-16 at all three
+      // scales), margin ≥ 1e-8 (measured ≥ 2e-8) — a 10^7 structural
+      // floor between them, so a pinned constant cannot flip
+      assert(jitter <= 1e-15, s"$dir eigenvalue jitter $jitter")
       val m = fits.head
       val evr = m.eigenvalues.map(_ / m.totalVariance).toSeq
       val margin = (m.eigenvalues.toSeq ++ evr).map(mid5).min
-      assert(margin >= 1e-9,
+      assert(margin >= 1e-8,
         s"$dir bround(…,5) midpoint margin $margin — re-pin the oracle " +
           "constants at a different scale before they can flip")
       def r5(x: Double) =
@@ -126,6 +135,52 @@ class PcaSpec extends AnyFunSuite {
       0.01964, 0.01923, 0.01910), ev3.toString)
     assert(er3 == Seq(0.02094, 0.02058, 0.02039, 0.01999, 0.01985,
       0.01965, 0.01924, 0.01911), er3.toString)
+  }
+
+  test("model persistence round trip: load∘save is the identity and " +
+      "projections through a reloaded model are bit-identical") {
+    val emb = graft.model.Tables.embeddings(spark, TestSpark.Sf0001)
+    val m = Pca.fit(emb, "embedding", k = 8, dim = 64)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pca_model").toString
+    try {
+      Pca.saveModel(spark, m, dir)
+      val m2 = Pca.loadModel(spark, dir)
+      // exact equality, not tolerance: doubles round-trip parquet
+      // bit-exactly, so the reloaded model IS the fitted model
+      assert(m2.mean.toSeq == m.mean.toSeq)
+      assert(m2.eigenvalues.toSeq == m.eigenvalues.toSeq)
+      assert(m2.totalVariance == m.totalVariance)
+      assert(m2.components.map(_.toSeq).toSeq ==
+        m.components.map(_.toSeq).toSeq)
+      // and therefore so are the projections (the serve-side contract:
+      // a cluster that loads the persisted frame projects exactly what
+      // the training JVM would have)
+      val a = Pca.project(emb, "embedding", m)
+        .select(col("vec_id"), col("proj"))
+        .as[(Long, Seq[Double])].collect().toMap
+      val b = Pca.project(emb, "embedding", m2)
+        .select(col("vec_id"), col("proj"))
+        .as[(Long, Seq[Double])].collect().toMap
+      assert(a.keySet == b.keySet)
+      a.foreach { case (id, p) =>
+        assert(p.map(java.lang.Double.doubleToLongBits) ==
+          b(id).map(java.lang.Double.doubleToLongBits), s"vec $id")
+      }
+    } finally graft.model.Tables.rmrf(dir)
+  }
+
+  test("loadModel fails loudly on a truncated or foreign frame") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pca_bad").toString
+    try {
+      // a frame missing the mean row (components only)
+      Seq(("component", 0, Array(1.0, 0.0), Option(1.0)))
+        .toDF("kind", "idx", "vals", "scalar")
+        .write.mode("overwrite").parquet(dir)
+      val e = intercept[IllegalStateException](Pca.loadModel(spark, dir))
+      assert(e.getMessage.contains("mean"))
+    } finally graft.model.Tables.rmrf(dir)
   }
 
   test("truncation reconstruction error shrinks as k grows and equals " +

@@ -244,6 +244,53 @@ class SimilaritySpec extends AnyFunSuite {
       ivfSql.contains("2651920947355102651"))
   }
 
+  test("IVF train→serve parity: probe over the parquet-round-tripped " +
+      "index equals ivfTopK exactly, scores bit-for-bit") {
+    // The serve contract (round 15): ivfTopK IS ivfProbe∘ivfIndex, and
+    // every persisted value (float vectors, long ids, double norms)
+    // round-trips parquet bit-exactly — so the reloaded index must
+    // reproduce the one-shot answer including the float scores, not
+    // just the id sets. Run at both scales so a cell-boundary change
+    // can't hide in the tiny fixture.
+    for (sf <- Seq(TestSpark.Sf0001, "/root/testdata/sf0.01")
+         if new java.io.File(sf).isDirectory) {
+      val corpus = Tables.embeddings(spark, sf)
+      val q = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val oneShot = Similarity.ivfTopK(corpus, q, k = 10, cells = 8,
+          nprobe = 3, materialize = _.localCheckpoint())
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          col("score")).as[(Long, Int, Long, Double)].collect()
+        .map { case (a, b, c, s) =>
+          (a, b, c, java.lang.Double.doubleToLongBits(s)) }.toSet
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_parity").toString
+      try {
+        val (cents, posts) = Similarity.ivfIndex(corpus, cells = 8,
+          materialize = _.localCheckpoint())
+        Similarity.writeIvfIndex(cents, posts, dir)
+        val (c2, p2) = Similarity.readIvfIndex(spark, dir)
+        val served = Similarity.ivfProbe(c2, p2, q, k = 10, nprobe = 3)
+          .select(col("query_id"), col("rank"), col("vec_id"),
+            col("score")).as[(Long, Int, Long, Double)].collect()
+          .map { case (a, b, c, s) =>
+            (a, b, c, java.lang.Double.doubleToLongBits(s)) }.toSet
+        assert(served == oneShot)
+      } finally Tables.rmrf(dir)
+    }
+    // registry-level self-consistency: the served digest equals the
+    // one-shot digest, which is why q_similarity_serve's oracle pins
+    // the SAME constants as q_similarity_ivf's
+    val serveRow = SparkEntry.queries("q_similarity_serve")(
+      spark, TestSpark.Sf0001).collect()(0)
+    val ivfRow = SparkEntry.queries("q_similarity_ivf")(
+      spark, TestSpark.Sf0001).collect()(0)
+    assert((serveRow.getLong(0), serveRow.getLong(1)) ==
+      ((ivfRow.getLong(0), ivfRow.getLong(1))))
+    assert(SparkEntry.oracleSql("q_similarity_serve")
+      .contains("2786292923094074110"))
+  }
+
   test("int8 quantization: codes in [-127,127], max element hits ±127, " +
     "reconstruction error bounded by scale/2") {
     val (scaleC, codesC) = Similarity.quantizeInt8(col("embedding"))

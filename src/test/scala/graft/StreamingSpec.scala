@@ -135,6 +135,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(native == lagBased)
   }
 
+  test("STREAMED session windows (complete mode, unordered micro-batches) " +
+      "equal the batch session_window run and the lag-based oracle grain") {
+    // The q_stream_sessions contract (round 15): complete mode merges
+    // session state across micro-batches and never evicts, but the
+    // session operator still FILTERS watermark-late input — so the
+    // registered query widens the delay beyond the fixture's time span
+    // and arrival order stops mattering. This pin drives the same
+    // transform over UNORDERED 2-file micro-batches and asserts the
+    // final (user, session_start, n_events) set equals the one-batch
+    // run's, which the test above ties to the lag algebra.
+    val dir = eventsDir
+    val q = Streaming.sessionCounts(
+        Streaming.readEventsStream(spark, dir, maxFilesPerTrigger = 1),
+        watermark = "3650 days")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_out")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val batch = Streaming.sessionCounts(Tables.events(spark, TestSpark.Sf0001))
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream purchase-signup join equals the batch join") {
     val dir = eventsDir
     val stream = Streaming.readEventsStream(spark, dir)
