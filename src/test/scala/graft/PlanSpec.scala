@@ -161,6 +161,50 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "recompute not two-phase:\n" + p)
   }
 
+  test("ivf serve probe over the RELOADED index: postings join the " +
+      "broadcast probe frame by cell_id as a hash join — no corpus " +
+      "shuffle, no cartesian, codegen'd dot_f32 (the q_similarity_serve " +
+      "scale shape: at 100 TB the postings scan is the only big input)") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_plan").toString
+    try {
+      val (c0, p0) = graft.ext.Similarity.ivfIndex(emb, cells = 8,
+        materialize = _.localCheckpoint())
+      graft.ext.Similarity.writeIvfIndex(c0, p0, dir)
+      val (c2, p2) = graft.ext.Similarity.readIvfIndex(spark, dir)
+      val p = graft.ext.Similarity.ivfProbe(c2, p2, q, k = 10, nprobe = 3)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p)
+      // the only nested-loop is the constant 1-row packed-centroid
+      // broadcast (the kmeans-step pattern) — it prints twice because
+      // the postings scan's DPP subquery embeds a copy of the probe
+      // side; the postings↔probe join itself must be an equi hash join
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 2, p)
+      assert(p.contains("BroadcastHashJoin"),
+        "postings probe is not a broadcast hash join:\n" + p)
+      // THE serve-layout payoff: dynamic partition pruning reaches the
+      // postings scan, so a probe READS only its nprobe cells'
+      // partition directories — at 100 TB this is the difference
+      // between scanning the corpus and scanning a few cells
+      assert(p.contains("dynamicpruning"),
+        "postings scan lost dynamic partition pruning:\n" + p)
+      assert(p.contains("dot_f32"), "scoring not the native expression:\n" + p)
+      assert(!p.contains("ScalaUDF"), p)
+      // serve-side shuffles are probe-proportional, never corpus-
+      // proportional: the packed-centroid agg (8 rows; printed again
+      // inside the DPP subquery copy) and the per-query rank window
+      // are the only plain exchanges
+      val plainExchanges = "Exchange".r.findAllIn(p).length -
+        "BroadcastExchange".r.findAllIn(p).length -
+        "ReusedExchange".r.findAllIn(p).length
+      assert(plainExchanges == 3, "probe added a corpus shuffle:\n" + p)
+    } finally graft.model.Tables.rmrf(dir)
+  }
+
   test("chunking and quantization are pure scans: only the output sort " +
       "exchanges") {
     Seq("q_doc_chunks", "q_embed_quantize").foreach { q =>

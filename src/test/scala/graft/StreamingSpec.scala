@@ -142,17 +142,26 @@ class StreamingSpec extends AnyFunSuite {
     // session operator still FILTERS watermark-late input — so the
     // registered query widens the delay beyond the fixture's time span
     // and arrival order stops mattering. This pin drives the same
-    // transform over UNORDERED 2-file micro-batches and asserts the
+    // transform over the registered query's exact staging shape
+    // (3 unordered shards, one file per trigger) and asserts the
     // final (user, session_start, n_events) set equals the one-batch
     // run's, which the test above ties to the lag algebra.
-    val dir = eventsDir
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sess_stage").toString
+    Tables.eventsRawNanos(spark, TestSpark.Sf0001).repartition(3)
+      .write.mode("overwrite").parquet(dir)
     val q = Streaming.sessionCounts(
         Streaming.readEventsStream(spark, dir, maxFilesPerTrigger = 1),
         watermark = "3650 days")
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("complete").start()
     q.processAllAvailable()
+    // the gate's evidence is REAL incremental execution: three data
+    // micro-batches, not one batch wearing a streaming hat
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
+    assert(dataBatches == 3,
+      s"expected 3 data micro-batches (one per staged shard), got $dataBatches")
     val streamed = spark.table("sess_out")
       .select("user_id", "session_start", "n_events")
       .as[(Long, java.sql.Timestamp, Long)].collect().toSet
