@@ -320,10 +320,13 @@ object Similarity {
       .option("compression", "snappy").parquet(s"$dir/postings")
   }
 
-  /** Load a persisted IVF index for serving. The partition-directory
-    * round trip narrows cell_id (partition-column type inference), so
-    * it is cast back to the long ivfAssign emits — probe join keys and
-    * the parity pin stay type-exact.
+  /** Load a persisted IVF index for serving. Postings cell_id is
+    * NORMALIZED to long on read: the partition-directory round trip
+    * re-infers the type, and centroid sources disagree to begin with
+    * (seedCentroids/lloyd emit int, ivfCentroids long) — a fixed long
+    * makes the reloaded index's join key independent of both, and the
+    * probe side aligns by implicit cast (the parity pin in
+    * SimilaritySpec holds score-bit-exact either way).
     */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -331,6 +334,24 @@ object Similarity {
     val posts = spark.read.parquet(s"$dir/postings")
       .withColumn("cell_id", col("cell_id").cast("long"))
     (cents, posts)
+  }
+
+  /** Incremental serve-side growth: assign a new vector batch with the
+    * index's FROZEN persisted centroids and append its postings — no
+    * retraining, no touch of existing postings, work proportional to
+    * the batch (the q_dedup_incremental band-index contract; re-train
+    * when drift warrants, not per batch). Using the PERSISTED
+    * centroids also keeps the appended cell_id type identical to the
+    * original write whatever centroid source built the index.
+    * SimilaritySpec pins probe(after append) ≡ ivfTopK over the grown
+    * corpus under the same frozen centroids, score-bit-exact.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, dir: String): Unit = {
+    val cents = newVecs.sparkSession.read.parquet(s"$dir/centroids")
+    ivfAssign(newVecs.withColumn("nrm", norm(col("embedding"))),
+        "embedding", cents)
+      .write.mode("append").partitionBy("cell_id")
+      .option("compression", "snappy").parquet(s"$dir/postings")
   }
 
   /** The SERVE half: top-k cosine over a fitted index — each query

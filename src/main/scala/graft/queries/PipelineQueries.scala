@@ -15,23 +15,24 @@ import graft.ops.Archive
   */
 object PipelineQueries {
 
-  /** Plain 3-shard staged copy of `events`, SHARED by q_ohlc_stream
-    * and q_stream_archive (r14 — VERDICT r13 #3): both stage the
-    * identical `eventsNative.repartition(3)` parquet tree, and both
-    * are arrival-order-free (complete-mode agg / stateless sink), so
-    * in a Verify/Bench JVM that runs every query the second stream
-    * reuses the first's staging instead of paying the write again.
-    * Keyed by scale dir; deleted at JVM exit (a per-query `finally`
-    * can no longer delete it — the other query still needs it). The
-    * ORDERED streams (q_stream_join, q_stream_dedup) keep their own
-    * trees: their slice counts and mtime sequencing differ.
+  /** Plain 3-shard staged copy of `events`, SHARED by the three
+    * arrival-order-free streams — q_ohlc_stream, q_stream_archive
+    * (r14 — VERDICT r13 #3), and q_stream_sessions (r15): all stage
+    * the identical `eventsNative.repartition(3)` parquet tree and
+    * none depends on arrival order (complete-mode aggs / stateless
+    * sink), so in a Verify/Bench JVM that runs every query only the
+    * FIRST pays the staging write. Keyed by scale dir; deleted at JVM
+    * exit (a per-query `finally` can no longer delete it — the other
+    * consumers still need it). The ORDERED streams (q_stream_join,
+    * q_stream_dedup) keep their own trees: their slice counts and
+    * mtime sequencing differ.
     *
     * Bench semantics note: the one-time staging write is absorbed by
-    * whichever of the two queries the bench times FIRST (the other
-    * runs warm) — a bounded, direction-safe order coupling (before
-    * r14 each query paid its own write every run), but a per-query
-    * A/B against pre-r14 BENCH_DETAIL history must read the PAIR's
-    * sum, not either query alone.
+    * whichever consumer the bench times FIRST (the rest run warm) —
+    * a bounded, direction-safe order coupling (before r14 each query
+    * paid its own write every run), but a per-query A/B against
+    * pre-r14 BENCH_DETAIL history must read the GROUP's sum, not any
+    * single query alone.
     */
   private val plainStage3 =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -141,7 +142,8 @@ object PipelineQueries {
     // the final table independent of file arrival order, so the
     // q_ohlc_bars oracle applies verbatim.
     "q_ohlc_stream" -> ((s, d) => {
-      // staged input shared with q_stream_archive (see stagedEvents3)
+      // staged input shared with q_stream_archive and q_stream_sessions
+      // (see stagedEvents3)
       val tmp = stagedEvents3(s, d)
       val sink = "graft_ohlc_stream_sink"
       // fresh session (ADVICE r11): the 4-partition state-store pin
@@ -162,7 +164,7 @@ object PipelineQueries {
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
       // the memory sink holds the rows; the SHARED staged input stays
-      // for q_stream_archive and is deleted at JVM exit
+      // for the other order-free streams and is deleted at JVM exit
       s2.table(sink)
         .select(col("event_type").as("grp"),
           to_date(col("bucket_start")).as("bucket"),
@@ -309,7 +311,7 @@ object PipelineQueries {
         // the archive dir and the checkpoint can be deleted before
         // returning — repeated runs (including FAILED ones, hence the
         // finally) leak nothing; the SHARED staged input stays for
-        // q_ohlc_stream and is deleted at JVM exit
+        // the other order-free streams and is deleted at JVM exit
         s.read.parquet(out)
           .groupBy(col("year").cast("long").as("year"),
             col("month").cast("long").as("month"))

@@ -291,6 +291,41 @@ class SimilaritySpec extends AnyFunSuite {
       .contains("2786292923094074110"))
   }
 
+  test("incremental IVF serve: a new batch appends postings under the " +
+      "FROZEN persisted centroids; probes over the grown index equal " +
+      "the one-shot answer over the grown corpus, score-bit-exact") {
+    // the serve-side growth contract (DEPLOY.md): index half the
+    // corpus, append the other half via appendToIvfIndex (assignment
+    // only — no retraining, no touch of existing postings), and the
+    // served top-k must equal ivfTopK over the WHOLE corpus under the
+    // same frozen centroids
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val incr = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_incr").toString
+    try {
+      val (c0, p0) = Similarity.ivfIndex(base, cells = 8,
+        materialize = _.localCheckpoint())
+      Similarity.writeIvfIndex(c0, p0, dir)
+      Similarity.appendToIvfIndex(incr, dir)
+      val (c2, p2) = Similarity.readIvfIndex(spark, dir)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+          .as[(Long, Int, Long, Double)].collect()
+          .map { case (a, b, c, s) =>
+            (a, b, c, java.lang.Double.doubleToLongBits(s)) }.toSet
+      val served = rows(Similarity.ivfProbe(c2, p2, queries, k = 10,
+        nprobe = 3))
+      val oneShot = rows(Similarity.ivfTopK(emb, queries, k = 10,
+        cells = 8, nprobe = 3,
+        centroids = Some(spark.read.parquet(s"$dir/centroids"))))
+      assert(served == oneShot)
+      // the appended batch is genuinely probed: odd ids reach the top-k
+      assert(served.exists(_._3 % 2 == 1),
+        "no appended (odd-id) vector ever surfaced in a probe result")
+    } finally Tables.rmrf(dir)
+  }
+
   test("int8 quantization: codes in [-127,127], max element hits ±127, " +
     "reconstruction error bounded by scale/2") {
     val (scaleC, codesC) = Similarity.quantizeInt8(col("embedding"))
