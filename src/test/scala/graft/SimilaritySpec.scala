@@ -291,6 +291,47 @@ class SimilaritySpec extends AnyFunSuite {
       .contains("2786292923094074110"))
   }
 
+  test("IVF serve probe is RUNTIME-pruned: the postings scan reads " +
+      "exactly the probed cells' partitions, not the index") {
+    // PlanSpec pins the dynamicpruning expression statically; this pin
+    // EXECUTES the probe and reads the scan's own metrics — the number
+    // of partition directories actually read must equal the distinct
+    // cells the query probes (nprobe per query), at every nprobe
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_dpp").toString
+    try {
+      val (c0, p0) = Similarity.ivfIndex(emb, cells = 8,
+        materialize = _.localCheckpoint())
+      Similarity.writeIvfIndex(c0, p0, dir)
+      val (c2, p2) = Similarity.readIvfIndex(spark, dir)
+      val oneQuery = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      // AQE off for the measurement only: the adaptive plan hides the
+      // scan inside leaf QueryStageExec nodes `collect` can't enter;
+      // DPP itself is independent of AQE (the registered query keeps
+      // AQE on — PlanSpec pins its dynamicpruning expression there)
+      def partitionsRead(nprobe: Int): Long = {
+        val df = Similarity.ivfProbe(c2, p2, oneQuery, k = 10, nprobe)
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains("postings")) => f
+        }.head
+        scan.metrics("numPartitions").value
+      }
+      val key = "spark.sql.adaptive.enabled"
+      val saved = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "false")
+        assert(partitionsRead(1) == 1L)
+        assert(partitionsRead(3) == 3L)
+        assert(partitionsRead(8) == 8L)
+      } finally spark.conf.set(key, saved)
+    } finally Tables.rmrf(dir)
+  }
+
   test("incremental IVF serve: a new batch appends postings under the " +
       "FROZEN persisted centroids; probes over the grown index equal " +
       "the one-shot answer over the grown corpus, score-bit-exact") {
