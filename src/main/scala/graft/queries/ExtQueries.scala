@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ext.{Clustering, Dedup, Pca, Similarity, TextAnalysis}
+import graft.ext.{Clustering, Dedup, Pca, Pq, Similarity, TextAnalysis}
 import graft.functions.ArrayMath.dotF
 
 /** North-star LLM-data-pipeline queries (SURVEY.md §2.9, §7 step 4):
@@ -693,6 +693,30 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_rows"),
           bit_xor(xxhash64(col("query_id"), col("rank"), col("vec_id")))
             .as("xor_digest"))
+    }),
+
+    // Product quantization (round 15, Jégou et al. 2011): the (8×16)
+    // codebook trains per-subspace k-means from deterministic seeds,
+    // the corpus encodes to 8 nibble codes per vector in ONE zero-
+    // shuffle scan (64× smaller than the float vectors — the
+    // FAISS-style compression layer next to IVF and int8). Training
+    // and the argmin tie-break are deterministic, so the whole code
+    // table is a fixture constant — the gate pins n_rows + an
+    // order-independent digest of every (vec_id, codes) row (the
+    // q_similarity_ann pattern; DuckDB cannot re-run k-means). ADC
+    // search semantics (shortlist recall, reconstruction bound,
+    // partition invariance) are pinned in PqSpec.
+    "q_embed_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // train's per-iteration materialize hook already checkpoints the
+      // final 128-row codebook — no second cut needed
+      val cb = Pq.train(emb, m = 8, dsub = 8, k = 16,
+        materialize = _.localCheckpoint())
+      Pq.encode(emb, cb, m = 8, dsub = 8)
+        .agg(count(lit(1)).as("n_rows"),
+          bit_xor(xxhash64(col("vec_id"),
+            array_join(col("codes").cast("array<string>"), ",")))
+            .as("xor_digest"))
     })
   )
 
@@ -853,6 +877,33 @@ object ExtQueries {
         |      THEN CAST(2651920947355102651 AS BIGINT)
         |    WHEN n = 2000 AND fp = -289852
         |      THEN CAST(5118600368501737980 AS BIGINT)
+        |    END AS xor_digest
+        |FROM f""".stripMargin,
+
+    // Pinned-constant oracle (q_similarity_ann pattern): PQ training
+    // (deterministic seeds + one Lloyd step per subspace) and the
+    // argmin encode are pure functions of the embeddings SET, so the
+    // whole code table reduces to a per-scale digest constant, keyed
+    // on the same embeddings content fingerprint as ANN/IVF/spectrum.
+    // PqSpec pins the identical digests at two scales plus the code
+    // semantics (shape, partition invariance, reconstruction bound,
+    // ADC shortlist recall) — fixture drift breaks spec and oracle
+    // together; an unrecognized fixture yields NULLs → loud mismatch.
+    "q_embed_pq" ->
+      """WITH f AS (SELECT COUNT(*) AS n,
+        |  BIT_XOR(xor(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |    AS BIGINT), vec_id)) AS fp FROM embeddings)
+        |SELECT
+        |  CASE WHEN n = 500 AND fp IN (-33196, 229470)
+        |      THEN CAST(500 AS BIGINT)
+        |    WHEN n = 2000 AND fp = -289852
+        |      THEN CAST(2000 AS BIGINT) END AS n_rows,
+        |  CASE WHEN n = 500 AND fp = -33196
+        |      THEN CAST(4525462998173035698 AS BIGINT)
+        |    WHEN n = 500 AND fp = 229470
+        |      THEN CAST(-4903249396871208138 AS BIGINT)
+        |    WHEN n = 2000 AND fp = -289852
+        |      THEN CAST(9620592553800329 AS BIGINT)
         |    END AS xor_digest
         |FROM f""".stripMargin,
 
