@@ -145,12 +145,34 @@ object Graph {
     * everywhere, and community boundaries move ≤ k hops anyway.
     *
     * Scale shape: per round one edge⋈label join keyed by node + one
-    * (node, label) count agg + one per-node rank window — all on the
-    * PAIR graph; label frames are node-sized and lineage is cut per
-    * round. Isolated nodes never appear (a pair list has none).
+    * (node, label) count agg + one per-node argmax agg — all on the
+    * PAIR graph; label frames are node-sized. Isolated nodes never
+    * appear (a pair list has none).
+    *
+    * Lineage: `materialize` cuts each round's label frame — the
+    * library default keeps the per-round `localCheckpoint` (the CC
+    * discipline, right when `iterations` is large or the graph is
+    * big). Callers with a FIXED small iteration count and a tiny
+    * graph pass `identity` (the registered q_label_prop does): each
+    * label frame feeds exactly ONE downstream join, so nothing
+    * recomputes, the plan depth is bounded by 2·iterations tiny
+    * stages, and the per-round eager jobs were pure scheduling
+    * overhead (the r6 pagerank lesson; measured r15: 3.7 s → 2.1 s
+    * same-window at sf0.1 with identical output).
+    *
+    * The per-round argmax is a two-level aggregation
+    * (max_by-style `min(struct(-n, lbl))` over the (v, lbl) counts),
+    * NOT a rank window: the agg keeps map-side partial aggregation
+    * and skips the window's per-partition sort; ties break toward
+    * the SMALLEST label exactly as the `row_number` over
+    * (n desc, lbl asc) it replaced — `min` on struct(-n, lbl) is
+    * lexicographic, so highest n wins first, then lowest lbl
+    * (GraphSpec pins the tie cases; counts are bounded by degree,
+    * so the negate cannot overflow).
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
-      iterations: Int = 5, partitions: Int = 0): DataFrame = {
+      iterations: Int = 5, partitions: Int = 0,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     def shrink(df: DataFrame): DataFrame =
       if (partitions > 0) df.coalesce(partitions) else df
@@ -163,11 +185,11 @@ object Graph {
       val votes = edges
         .join(labels.select(col("node").as("u"), col("lbl")), "u")
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("v"))
-        .orderBy(col("n").desc, col("lbl").asc)
-      labels = shrink(votes.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("v").as("node"), col("lbl"))).localCheckpoint()
+      labels = materialize(shrink(votes
+        .groupBy(col("v"))
+        .agg(min(struct((-col("n")).as("neg_n"), col("lbl").as("lbl")))
+          .as("m"))
+        .select(col("v").as("node"), col("m.lbl").as("lbl"))))
     }
     labels.orderBy(col("node"))
   }

@@ -188,8 +188,11 @@ object CorpusQueries {
         "doc_id", n = 3).localCheckpoint()
       val pairs = Dedup.ngramJaccardPairsFromHashedSets(hsets, threshold = 0.6)
         .coalesce(1).localCheckpoint()
+      // identity materialize: 5 FIXED iterations over a tiny pair
+      // graph, each label frame consumed exactly once — lazy chains
+      // beat 5 eager checkpoint jobs (see labelPropagation scaladoc)
       Graph.labelPropagation(pairs, "a_id", "b_id", iterations = 5,
-          partitions = 1)
+          partitions = 1, materialize = identity)
         .select(col("node").as("doc_id"), col("lbl").as("community"))
     }),
 
