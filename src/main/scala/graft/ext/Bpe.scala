@@ -57,13 +57,18 @@ object Bpe {
     toks
       .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
       .withColumn("m", coalesce(isMatch, lit(false)))
-      // cumulative match count → run key (constant inside a run of
-      // CONSECUTIVE match positions, distinct across runs)
-      .withColumn("rnm", sum(when(col("m"), 1L).otherwise(0L))
-        .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("runkey", when(col("m"), col("pos") - col("rnm")))
-      .withColumn("runstart", min(when(col("m"), col("pos")))
-        .over(Window.partitionBy(col("doc"), col("runkey"))))
+      // a run of CONSECUTIVE match positions starts where the previous
+      // position did not match; a match row's run start is then the
+      // LATEST start at-or-before it — a running max over the SAME
+      // (doc, pos) window spec as every other expression here, so the
+      // whole pass plans as ONE WindowExec on ONE doc-keyed exchange.
+      // (The r14 formulation grouped runs by a derived runkey and took
+      // min(pos) over (doc, runkey) — a second exchange per pass for
+      // the same value; r15 optimization, output bit-identical.)
+      .withColumn("pm", lag(col("m"), 1, false).over(wDoc))
+      .withColumn("runstart",
+        max(when(col("m") && !col("pm"), col("pos")))
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
       // greedy = even offset within the run
       .withColumn("take",
         col("m") && (col("pos") - col("runstart")) % 2 === 0)

@@ -429,8 +429,15 @@ object PipelineQueries {
     // passes over the same literal table (string algebra only, so the
     // digests are engine-exact at every scale).
     "q_bpe_encode" -> ((s, d) =>
+      // identity materialize (r15): unlike the TRAINERS (whose state
+      // feeds both the pair-count collect and the rewrite), every
+      // encode pass has exactly ONE consumer — the next pass — so the
+      // lazy chain recomputes nothing and the per-pass eager
+      // checkpoint jobs (3 at the registered table) were pure
+      // scheduling + block-manager overhead; pass count stays a pure
+      // function of the merge table either way
       Bpe.encode(Tables.documents(s, d), "doc_id", "text",
-          EncodeMergeTable, materialize = _.localCheckpoint())
+          EncodeMergeTable, materialize = identity)
         .groupBy(col("doc").as("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           md5(array_join(transform(
