@@ -21,15 +21,12 @@ import graft.functions.ArrayMath.l2sqF
   * bit-stable under any partitioning). Centroid frames are always ≤k
   * rows, so every iteration coalesces them to one partition — centroid
   * stages are single tasks instead of `shuffle.partitions` mostly-empty
-  * ones. Lineage control is the caller's via `materialize`: the default
-  * (identity) keeps the whole training lazy — for a FIXED small iteration
-  * count that is strictly cheaper than eager per-iteration jobs (r7
-  * measured the 3-localCheckpoint version at 6.3 s driver-conditions for
-  * ~1 s of work, the same eager-tiny-job class as the r6 pagerank bug) —
-  * while many-iteration callers pass `_.localCheckpoint()` to cut the
-  * per-round lineage the lazy form otherwise compounds (the plan embeds
-  * the previous centroids twice per round: the assignment broadcast and
-  * the empty-cell fallback).
+  * ones. Lineage control is structural since r15: [[lloyd]] collects
+  * the ≤k-row centroid set to the driver per iteration and re-broadcasts
+  * it as a literal frame, so training lineage never grows, nothing can
+  * recompute per broadcast (the r7 6.3 s lazy-training regression), and
+  * no per-round eager checkpoint jobs exist to pay for (the r6
+  * eager-tiny-job class).
   */
 object Clustering {
 
@@ -111,26 +108,41 @@ object Clustering {
     * loses every member keeps its previous centroid (standard empty-
     * cluster fallback — dropping it would shrink k mid-run).
     *
-    * Lazy by default (see class doc): the caller decides where lineage
-    * is cut — per iteration (`materialize = _.localCheckpoint()`, the
-    * right call when `iters` is large) or once around the returned
-    * frame (what [[Similarity.ivfTopK]]'s registered query does for the
-    * fixed iters=2 case).
+    * The reduce step COLLECTS: centroids are k·dim floats — driver-tiny
+    * whatever the corpus size — so each iteration ends with a bounded
+    * ≤k-row collect (the k-means reduce every production implementation
+    * uses, and the codebase's established bounded-collect pattern: PQ
+    * seed vectors, the BPE candidate pool) and the next iteration's
+    * assignment broadcasts them back as a literal frame. That removes
+    * the per-iteration materialize/left-join machinery this replaced
+    * (r15 optimization): each iteration is exactly ONE corpus-scan agg
+    * job, lineage never grows (the returned frame is a LocalTableScan),
+    * and the old failure modes — lazy training re-running per broadcast
+    * (r7, 6.3 s), eager per-round checkpoint jobs — are impossible by
+    * construction. Values are bit-identical: the same decimal-mean
+    * recompute, argmin tie-break, and keep-previous fallback, just
+    * coalesced on the driver (ClusteringSpec determinism/monotonicity
+    * pins, PqSpec's per-subspace equality pin, and the pinned IVF
+    * digests all hold unchanged).
     */
   def lloyd(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      materialize: DataFrame => DataFrame = identity): DataFrame = {
-    var cents = seedCentroids(corpus, k, idCol, vecCol).coalesce(1)
-    for (_ <- 0 until iters) {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def asFrame(cur: Seq[(Int, Array[Float])]): DataFrame =
+      cur.toDF("cell_id", "centroid")
+        .select(col("cell_id"), col("centroid").cast("array<float>")
+          .as("centroid"))
+    var cur: Seq[(Int, Array[Float])] =
+      seedCentroids(corpus, k, idCol, vecCol)
+        .as[(Int, Array[Float])].collect().toSeq // bounded: ≤ k rows
+    for (_ <- 0 until iters if cur.nonEmpty) {
       val next = packCentroids(
-        centroidStats(assign(corpus, cents, idCol, vecCol), vecCol))
-      cents = materialize(cents.select(col("cell_id"), col("centroid").as("prev"))
-        .join(next.select(col("cell_id"), col("centroid").as("nxt")),
-          Seq("cell_id"), "left")
-        .select(col("cell_id"), coalesce(col("nxt"), col("prev")).as("centroid"))
-        .coalesce(1))
+          centroidStats(assign(corpus, asFrame(cur), idCol, vecCol), vecCol))
+        .as[(Int, Array[Float])].collect().toMap // bounded: ≤ k rows
+      cur = cur.map { case (c, prev) => (c, next.getOrElse(c, prev)) }
     }
-    cents
+    asFrame(cur).coalesce(1)
   }
 
   /** Total within-cluster squared distance — the monotone objective

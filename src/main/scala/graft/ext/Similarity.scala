@@ -263,22 +263,19 @@ object Similarity {
     * with no data movement. Approximate — recall vs [[topKCosine]]
     * asserted in SimilaritySpec.
     *
-    * Centroid training ([[Clustering.lloyd]]) runs with `materialize` as
-    * its per-iteration lineage cut; the trained k-row frame feeds BOTH
-    * the corpus assignment and the probe ranking, so callers that
-    * execute the query should pass `materialize = _.localCheckpoint()`
-    * (each iteration's assignment scan then runs exactly once) or hand
-    * in pre-trained `centroids` (whose materialization the caller then
-    * owns). Fully lazy training re-runs per broadcast of the centroid
-    * frame — measured SLOWER than the per-iteration cut even
-    * single-node, and the r7 3-checkpoint variant (an extra eager job
-    * on the seed frame) hit 6.3 s driver-conditions for ~1 s of work.
+    * Centroid training ([[Clustering.lloyd]]) collects the ≤cells-row
+    * centroid set to the driver per iteration (the k-means reduce —
+    * see lloyd's scaladoc, r15), so the trained frame is a literal:
+    * the corpus assignment and the probe ranking both broadcast it
+    * with no recompute and no caller-side materialization — the old
+    * materialize hook (per-iteration localCheckpoint, r7-r14) is gone
+    * because the recompute hazard it guarded against is structurally
+    * impossible now.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int,
-      nprobe: Int, centroids: Option[DataFrame] = None,
-      materialize: DataFrame => DataFrame = identity): DataFrame = {
+      nprobe: Int, centroids: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= cells, "need 1 <= nprobe <= cells")
-    val (cents, indexed) = ivfIndex(corpus, cells, centroids, materialize)
+    val (cents, indexed) = ivfIndex(corpus, cells, centroids)
     ivfProbe(cents, indexed, queries, k, nprobe)
   }
 
@@ -295,11 +292,10 @@ object Similarity {
     * double norms — round-trips parquet bit-exactly).
     */
   def ivfIndex(corpus: DataFrame, cells: Int,
-      centroids: Option[DataFrame] = None,
-      materialize: DataFrame => DataFrame = identity)
+      centroids: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     val cents = centroids.getOrElse(
-      Clustering.lloyd(corpus, cells, iters = 2, materialize = materialize))
+      Clustering.lloyd(corpus, cells, iters = 2))
     val indexed = ivfAssign(
       corpus.withColumn("nrm", norm(col("embedding"))), "embedding", cents)
     (cents, indexed)

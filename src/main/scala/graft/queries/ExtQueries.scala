@@ -55,7 +55,7 @@ object ExtQueries {
       sys.addShutdownHook(Tables.rmrf(tmp))
       try {
         val (cents, posts) = Similarity.ivfIndex(Tables.embeddings(s, d),
-          cells = 8, materialize = _.localCheckpoint())
+          cells = 8)
         Similarity.writeIvfIndex(cents, posts, tmp)
       } catch { case e: Throwable => Tables.rmrf(tmp); throw e }
       tmp
@@ -655,10 +655,11 @@ object ExtQueries {
 
     // IVF top-k over Lloyd-trained cells (rows-only: multi-iteration
     // k-means has no tractable SQL twin; recall vs the exact baseline
-    // asserted in SimilaritySpec). Training is materialized ONCE via the
-    // hook — the k-row centroid frame feeds both the corpus assignment
-    // and the probe ranking, and without the cut the lazy training plan
-    // would re-run per broadcast (the r7 6.3 s regression).
+    // asserted in SimilaritySpec). Training collects the ≤cells-row
+    // centroid set per iteration (lloyd's driver reduce, r15) — the
+    // trained frame is a literal, so the corpus assignment and the
+    // probe ranking broadcast it with no recompute (the r7 6.3 s
+    // lazy-training regression is structurally impossible).
     // Same digest promotion as q_similarity_ann (VERDICT r10 #5): IVF
     // training is deterministic (decimal-mean centroid recompute is
     // order-independent; assignment l2 scores are per-row), so the
@@ -667,8 +668,7 @@ object ExtQueries {
     // digests pinned at two scales in SimilaritySpec.
     "q_similarity_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), queryVecs(s, d),
-          k = 10, cells = 8, nprobe = 3,
-          materialize = _.localCheckpoint())
+          k = 10, cells = 8, nprobe = 3)
         .agg(count(lit(1)).as("n_rows"),
           bit_xor(xxhash64(col("query_id"), col("rank"), col("vec_id")))
             .as("xor_digest"))),

@@ -172,8 +172,7 @@ class PlanSpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivf_plan").toString
     try {
-      val (c0, p0) = graft.ext.Similarity.ivfIndex(emb, cells = 8,
-        materialize = _.localCheckpoint())
+      val (c0, p0) = graft.ext.Similarity.ivfIndex(emb, cells = 8)
       graft.ext.Similarity.writeIvfIndex(c0, p0, dir)
       val (c2, p2) = graft.ext.Similarity.readIvfIndex(spark, dir)
       val p = graft.ext.Similarity.ivfProbe(c2, p2, q, k = 10, nprobe = 3)

@@ -35,7 +35,7 @@ class PqSpec extends AnyFunSuite {
       Clustering.lloyd(
           emb.select(col("vec_id"),
             slice(col("embedding"), j * Dsub + 1, Dsub).as("embedding")),
-          K, iters = 1, materialize = _.localCheckpoint())
+          K, iters = 1)
         .select(lit(j).as("subspace"), col("cell_id"), col("centroid"))
     }.reduce(_.unionByName(_))
       .as[(Int, Int, Seq[Float])].collect()

@@ -258,7 +258,7 @@ class SimilaritySpec extends AnyFunSuite {
       val q = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val oneShot = Similarity.ivfTopK(corpus, q, k = 10, cells = 8,
-          nprobe = 3, materialize = _.localCheckpoint())
+          nprobe = 3)
         .select(col("query_id"), col("rank"), col("vec_id"),
           col("score")).as[(Long, Int, Long, Double)].collect()
         .map { case (a, b, c, s) =>
@@ -266,8 +266,7 @@ class SimilaritySpec extends AnyFunSuite {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ivf_parity").toString
       try {
-        val (cents, posts) = Similarity.ivfIndex(corpus, cells = 8,
-          materialize = _.localCheckpoint())
+        val (cents, posts) = Similarity.ivfIndex(corpus, cells = 8)
         Similarity.writeIvfIndex(cents, posts, dir)
         val (c2, p2) = Similarity.readIvfIndex(spark, dir)
         val served = Similarity.ivfProbe(c2, p2, q, k = 10, nprobe = 3)
@@ -300,8 +299,7 @@ class SimilaritySpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivf_dpp").toString
     try {
-      val (c0, p0) = Similarity.ivfIndex(emb, cells = 8,
-        materialize = _.localCheckpoint())
+      val (c0, p0) = Similarity.ivfIndex(emb, cells = 8)
       Similarity.writeIvfIndex(c0, p0, dir)
       val (c2, p2) = Similarity.readIvfIndex(spark, dir)
       val oneQuery = emb.filter(col("vec_id") === 0)
@@ -345,8 +343,7 @@ class SimilaritySpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivf_incr").toString
     try {
-      val (c0, p0) = Similarity.ivfIndex(base, cells = 8,
-        materialize = _.localCheckpoint())
+      val (c0, p0) = Similarity.ivfIndex(base, cells = 8)
       Similarity.writeIvfIndex(c0, p0, dir)
       Similarity.appendToIvfIndex(incr, dir)
       val (c2, p2) = Similarity.readIvfIndex(spark, dir)
