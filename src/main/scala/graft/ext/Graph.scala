@@ -62,18 +62,26 @@ object Graph {
     if (n == 0)
       return deg.select(col("node"), lit(0.0).as("pagerank")).limit(0)
     val base = (1.0 - damping) / n
+    // carry the TARGET's degree on the edge (r15): the per-iteration
+    // "join ranks back to deg" disappears — the contribution agg emits
+    // deg(v) alongside the sum (max over per-v-identical values), so
+    // each iteration is exactly one edge⋈rank join + one keyed agg.
+    // deg broadcasts once into this lazy enrichment (the subtree is
+    // identical across iterations, so the exchange is built once and
+    // reused); every node keeps deg >= 1 in an undirected pair graph,
+    // so the groupBy(v) emits the same node set the deg-join did.
+    val edgesD = edges.join(
+      broadcast(deg.select(col("node").as("v"), col("deg").as("deg_v"))),
+      "v")
     var ranks = deg.select(col("node"), col("deg"), (lit(1.0) / n).as("r"))
     for (_ <- 0 until iterations) {
-      val contrib = edges
+      ranks = edgesD
         .join(ranks, col("u") === col("node"))
         .groupBy(col("v"))
         .agg(sum(bround(col("r") / col("deg"), 15)
-          .cast("decimal(28,15)")).as("s"))
-      // every node has deg >= 1 in an undirected pair graph, so the
-      // inner join back to deg loses nothing
-      ranks = deg
-        .join(contrib, col("node") === col("v"))
-        .select(col("node"), col("deg"),
+            .cast("decimal(28,15)")).as("s"),
+          max(col("deg_v")).as("degn"))
+        .select(col("v").as("node"), col("degn").as("deg"),
           (lit(base) + lit(damping) * col("s").cast("double")).as("r"))
     }
     ranks.select(col("node"), col("r").as("pagerank"))
