@@ -332,10 +332,27 @@ object TpchQueries {
     // decorrelates to a per-part window — one pass over the pairs, no
     // re-scan per part. Region restricts via broadcast nation dim.
     "q2_min_cost_supplier" -> ((s, d) => {
-      val pairs = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
       val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
       val n = Tables.nation(s, d).filter(col("n_regionkey") === 0)
+      // pre-filter the fact-side pair stream with the SELECTIVE
+      // dimension keys BEFORE the distinct exchange (guide §3.2): the
+      // p_type predicate keeps ~1/6 of parts and region 0 ~1/5 of
+      // nations, so the broadcast semi-joins run map-side ahead of the
+      // shuffle and the distinct carries only rows the inner joins
+      // below would keep anyway — identical output, ~10x fewer
+      // exchanged rows (at 100 TB this is the semi-join/Bloom
+      // pre-filter shape for any selective dimension predicate).
+      val regionSupp = Tables.supplier(s, d)
+        .join(broadcast(n.select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"), "leftsemi")
+        .select(col("s_suppkey"))
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(p.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "leftsemi")
+        .join(broadcast(regionSupp),
+          col("l_suppkey") === col("s_suppkey"), "leftsemi")
+        .distinct()
       val w = Window.partitionBy(col("p_partkey"))
       pairs
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
