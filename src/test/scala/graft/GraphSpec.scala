@@ -68,6 +68,23 @@ class GraphSpec extends AnyFunSuite {
     assert(lpa(Seq((1L, 2L)), 2) == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("labelPropagation: the lazy chain (materialize = identity, what " +
+      "q_label_prop registers) equals the per-round checkpoint default " +
+      "on a tie-heavy graph — the r15 argmax/lazy rewrite changed the " +
+      "schedule, not the algorithm") {
+    // triangle + pendant + 2-cycle component: exercises majority votes,
+    // (n desc, lbl asc) ties, and the odd/even oscillation together
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (10L, 11L))
+    for (iters <- 1 to 4) {
+      val eager = Graph.labelPropagation(g.toDF("a_id", "b_id"),
+        "a_id", "b_id", iters).as[(Long, Long)].collect().toMap
+      val lazyR = Graph.labelPropagation(g.toDF("a_id", "b_id"),
+        "a_id", "b_id", iters, materialize = identity)
+        .as[(Long, Long)].collect().toMap
+      assert(eager == lazyR, s"iters=$iters: $eager vs $lazyR")
+    }
+  }
+
   private def tris(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
     Graph.triangleCounts(pairs.toDF("a_id", "b_id"), "a_id", "b_id")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap

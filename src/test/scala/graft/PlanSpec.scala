@@ -549,12 +549,22 @@ class PlanSpec extends AnyFunSuite {
 
   test("q2: the correlated per-part MIN decorrelates to a window over " +
       "ONE distinct (part,supplier) pass — no second lineitem scan, " +
-      "all dims broadcast") {
+      "all dims broadcast, and the selective dimension keys semi-filter " +
+      "the pair stream BEFORE its distinct exchange (r15)") {
     val p = plan("q2_min_cost_supplier")
-    assert("Scan parquet".r.findAllIn(p).length == 4, // l+p+s+n once each
-      "expected exactly 4 scans:\n" + p)
+    // the fact table is scanned exactly once; the r15 pre-filter
+    // re-scans only dimension KEY projections (part/supplier/nation are
+    // dimension-sized at any scale factor)
+    assert(p.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains("lineitem.parquet")) == 1,
+      "expected exactly one lineitem scan:\n" + p)
     assert(p.contains("Window"), p)
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 5, p) // 3 inner + 2 semi
+    // both semi-filters sit below the distinct's exchange
+    val ex = p.indexOf("Exchange hashpartitioning(l_partkey")
+    assert(ex >= 0, p)
+    assert("LeftSemi".r.findAllIn(p.substring(ex)).size >= 2,
+      "semi pre-filters must be below the distinct exchange:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -725,5 +735,19 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StringType, schema.treeString)
     assert(!schema.fields.exists(_.dataType.typeName.startsWith("decimal")),
       schema.treeString)
+  }
+
+  test("BPE encode rides ONE doc-keyed exchange end to end: the " +
+      "run-start cummax shares every pass's (doc, pos) window spec, " +
+      "passes chain lazily, and window output partitioning satisfies " +
+      "the next pass and the final per-doc digest agg — only the " +
+      "display sort repartitions (r15; the runkey formulation " +
+      "re-exchanged every pass)") {
+    val p = plan("q_bpe_encode")
+    val hashEx = "hashpartitioning\\(doc".r.findAllIn(p).size
+    val rangeEx = "rangepartitioning\\(".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected ONE doc-keyed exchange, plan:\n$p")
+    assert(rangeEx == 1, s"expected only the display sort's range exchange, plan:\n$p")
+    assert(!p.contains("runkey"), p) // the second-exchange key is gone
   }
 }
