@@ -210,9 +210,21 @@ object TimeSeries {
     val daily = grid.groupBy(col("day"))
       .agg(countDistinct(col("u")).as("dau"))
     val spine = grid.select(col("day")).distinct()
-    val rolling = spine.as("s")
-      .join(grid.as("g"),
-        datediff(col("s.day"), col("g.day")).between(0, windowDays - 1))
+    // band-explode → EQUI join (r15): the day-sized spine fans out to
+    // its windowDays candidate days, so the grid joins on an exact
+    // date key — the raw `datediff BETWEEN` condition had no equi key
+    // at all and planned as a nested-loop join (every grid row scanned
+    // the whole spine; at 100 TB the grid is corpus-sized and that is
+    // a scan-multiplier scale bug, not just local cost). Each matched
+    // (spine day, grid day) pair corresponds to exactly ONE offset, so
+    // the match multiset — and therefore the rolling distinct — is
+    // identical.
+    val rolling = spine
+      .select(col("day"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(col("day"), date_sub(col("day"), col("off")).as("gday"))
+      .as("s")
+      .join(grid.as("g"), col("s.gday") === col("g.day"))
       .groupBy(col("s.day").as("day"))
       .agg(countDistinct(col("g.u")).as("wau"))
     daily.join(rolling, Seq("day"))
@@ -249,9 +261,24 @@ object TimeSeries {
       to_date(col(tsCol)).as("day"), col(valueCol).as("v"),
       col(idCol).as("tie"))
     val spine = rows.select(col("grp"), col("day")).distinct()
-    val joined = spine.as("s")
+    // band-explode → EQUI join (r15, the activeUsers treatment): the
+    // spine fans out to its windowDays candidate days so the join key
+    // is the exact (grp, day) pair. The raw `grp == grp AND datediff
+    // BETWEEN` form was keyed on grp ALONE — a handful of distinct
+    // values, so a handful of tasks carried the whole quadratic
+    // day-scan (measured: the join dominated this query's exec); at
+    // 100 TB a low-cardinality join key is a skew wall. Each matched
+    // (spine day, row day) pair corresponds to exactly ONE offset, so
+    // the joined multiset — and the rank-selected median — is
+    // identical.
+    val joined = spine
+      .select(col("grp"), col("day"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(col("grp"), col("day"),
+        date_sub(col("day"), col("off")).as("gday"))
+      .as("s")
       .join(rows.as("g"), col("s.grp") === col("g.grp") &&
-        datediff(col("s.day"), col("g.day")).between(0, windowDays - 1))
+        col("s.gday") === col("g.day"))
       .select(col("s.grp").as("grp"), col("s.day").as("day"),
         col("g.v").as("v"), col("g.tie").as("tie"))
     val w = Window.partitionBy(col("grp"), col("day"))
