@@ -97,43 +97,107 @@ object Similarity {
     val bucketCols = array(tables.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("table_id"), lshBucket(col("embedding"), planes).as("bucket"))
     }: _*)
-    // `banded` (L·r dot products per vector) feeds BOTH self-join sides,
-    // and AQE does not reuse the identical exchanges (measured round 6)
-    // — callers that can materialize pass `_.localCheckpoint()` (the
-    // registered q_neardup_cosine does; default stays lazy).
+    // Guide §8.4 shape (r16): decide with SMALL rows, move the big rows
+    // once. The self-join sides carry NO embedding — only the vec id,
+    // the (table_id, bucket) join key, and the row's OTHER-table bucket
+    // ids bit-packed into `nWords` longs (`pw0..`, prefix-masked per
+    // exploded table — plus the constant mask `mk0..` for the filter).
+    // A pair colliding in several tables is kept only in its FIRST
+    // colliding table: an earlier same-table bucket collision shows up
+    // as a zero b-bit field in (a.pwJ XOR b.pwJ) | ~mkJ, tested with a
+    // literal per-field mask chain — all plain codegen'd long ops (an
+    // arrays_overlap over tag arrays measured interpreted-HOF-slow on
+    // the ~6M collision rows this filter sees at sf0.1). The in-join
+    // dedup means each candidate pair is scored exactly once and no
+    // pre-scoring distinct of the collision set is ever shuffled (the
+    // r8 measurement that sank the naive skinny-first shape). Embeddings
+    // are then attached once per side from a plain (vec_id, embedding,
+    // nrm) projection of the corpus: at bench scale both attaches
+    // auto-broadcast; at 100 TB they degrade to TWO corpus-keyed
+    // shuffles total, versus the previous shape's 2·L corpus-sized
+    // embedding-laden exchange sides.
+    val bBits = planesPerTable // bucket of table t occupies b bits
+    val fieldsPerWord = math.max(1, 63 / bBits)
+    val nWords = (numTables + fieldsPerWord - 1) / fieldsPerWord
+    // fields [0, nf(j,t)) of word j are "earlier than table t"
+    def nf(j: Int, t: Int): Int = {
+      val lo = j * fieldsPerWord
+      val cap = math.min(fieldsPerWord, numTables - lo)
+      math.max(0, math.min(cap, t - lo))
+    }
+    def maskConst(j: Int, t: Int): Long = {
+      val bits = nf(j, t) * bBits
+      if (bits == 0) 0L else (1L << bits) - 1
+    }
+    val bkCols = tables.zipWithIndex.map { case (planes, t) =>
+      lshBucket(col("embedding"), planes).as(s"bk$t") }
+    val wordCols = (0 until nWords).map { j =>
+      val lo = j * fieldsPerWord
+      val hi = math.min(lo + fieldsPerWord, numTables)
+      (lo until hi).map(t => shiftleft(col(s"bk$t"), bBits * (t - lo)))
+        .reduce(_ + _) // fields are disjoint bit ranges, so + == OR
+    }
+    val tbCol = explode(array((0 until numTables).map { t =>
+      struct(Seq(lit(t).as("table_id"), col(s"bk$t").as("bucket")) ++
+        (0 until nWords).flatMap(j => Seq(
+          wordCols(j).bitwiseAND(lit(maskConst(j, t))).as(s"pw$j"),
+          lit(maskConst(j, t)).as(s"mk$j"))): _*)
+    }: _*))
     val banded = materialize(corpus
-      .withColumn("nrm", norm(col("embedding")))
-      .withColumn("tb", explode(bucketCols))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("tb.table_id"), col("tb.bucket")))
-    // SHUFFLE_HASH: sorting the embedding-laden banded rows for a
-    // sort-merge join dominated this query's cost (3-4x measured at
-    // sf0.1); a shuffled hash join skips the sort entirely. Per-bucket
-    // hash maps stay bounded as long as r keeps buckets bounded (the
-    // same condition LSH already needs), and AQE's skew-split handles
-    // hot buckets for SHJ as it does for SMJ.
-    banded.as("a").hint("SHUFFLE_HASH").join(banded.as("b").hint("SHUFFLE_HASH"),
+      .select((col("vec_id") +: bkCols): _*)
+      .withColumn("tb", tbCol)
+      .select(Seq(col("vec_id"), col("tb.table_id"), col("tb.bucket")) ++
+        (0 until nWords).flatMap(j =>
+          Seq(col(s"tb.pw$j"), col(s"tb.mk$j"))): _*))
+    // collision in an EARLIER table == some prefix field of some word
+    // zeroes out under XOR; field masks are literals, everything codegen
+    val earlierCollision = (0 until nWords).flatMap { j =>
+      val y = col(s"a.pw$j").bitwiseXOR(col(s"b.pw$j"))
+        .bitwiseOR(bitwise_not(col(s"a.mk$j")))
+      (0 until math.min(fieldsPerWord, numTables - j * fieldsPerWord))
+        .map { f =>
+          val fieldMask = ((1L << bBits) - 1) << (f * bBits)
+          y.bitwiseAND(lit(fieldMask)) === lit(0L)
+        }
+    }.reduce(_ || _)
+    // EXPLICIT repartition by the join key with a pinned partition
+    // count (the q_triangles lesson, re-measured here r16): the skinny
+    // banded rows are only a few MB, so AQE would coalesce the
+    // self-join's exchanges to ~1 partition and run the O(Σ|bucket|²)
+    // collision enumeration single-threaded (measured 3.2 s vs 1.1 s at
+    // sf0.1). The pinned N keeps it at full parallelism, and the
+    // self-join reuses the ONE exchange for both sides.
+    val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val byBucket = banded.repartition(nPart, col("table_id"), col("bucket"))
+    // SHUFFLE_HASH (r8, re-affirmed on the skinny rows): skips the
+    // per-partition sort; per-bucket hash maps stay bounded as long as
+    // r keeps buckets bounded (the same condition LSH already needs),
+    // and AQE's skew-split handles hot buckets for SHJ as for SMJ.
+    val cand = byBucket.as("a").hint("SHUFFLE_HASH")
+      .join(byBucket.as("b").hint("SHUFFLE_HASH"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        (dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm"))).as("score"))
-      // threshold BEFORE distinct: the dot product is deterministic per
-      // pair, so filtering first is equivalent — and the dedup shuffle
-      // then carries only surviving near-dup pairs instead of every
-      // candidate collision (a ~1000x reduction on dense corpora).
-      // Measured (r8): the candidates-first alternative — skinny
-      // (vec_id, table_id, bucket) self-join, distinct id-pairs, THEN
-      // attach embeddings and score once per pair — is 1.8x SLOWER at
-      // the registered (L=24, r=3): r=3 leaves only 8 buckets/table, so
-      // nearly every pair collides somewhere and the pre-scoring
-      // distinct shuffles the ~50M-row collision set, where this shape
-      // pipelines scoring inside the join stage and shuffles only the
-      // ~1k survivors. Duplicate dot products across tables are cheap
-      // codegen'd flops; a wide pre-score shuffle is not.
+      .filter(!earlierCollision)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    // the attach side deliberately re-reads the (column-pruned) corpus
+    // per side rather than checkpointing it — guide §8.4 step 4; the
+    // scan is the cheap part, the exchange is what the shape removes
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        col("nrm").as("na")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
+      // first-collision dedup makes each (a_id, b_id) unique already,
+      // so the old post-filter `.distinct()` would dedupe nothing —
+      // dropped with its exchange; the score is deterministic per pair
+      // (same left-to-right dot fold), so the surviving SET is
+      // identical to the score-per-collision-then-distinct shape.
       .filter(col("score") >= threshold)
-      .distinct()
   }
 
   /** Deterministic pseudo-random unit hyperplanes (fixed seed — no

@@ -90,6 +90,24 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), "expected an equi-join on (table_id, bucket):\n" + p)
   }
 
+  test("near-dup cosine LSH self-join shuffles SKINNY rows (r16, guide " +
+      "§8.4): no embedding column rides a (table_id, bucket) exchange") {
+    val p = SparkEntry.queries("q_neardup_cosine")(spark, d)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // every formatted Exchange block keyed on (table_id, bucket) — the
+    // LSH self-join sides — must not carry the embedding payload; the
+    // scoring happens after the candidate pairs re-attach embeddings
+    // (broadcast at this scale, one corpus-keyed shuffle per side at
+    // 100 TB) instead of shuffling vectors 2·L times
+    val blocks = p.split("\n\n").filter(b =>
+      b.contains(") Exchange") && b.contains("hashpartitioning(table_id"))
+    assert(blocks.nonEmpty, "expected (table_id, bucket) exchanges:\n" + p)
+    blocks.foreach(b =>
+      assert(!b.contains("embedding"),
+        "LSH self-join exchange carries the embedding payload:\n" + b))
+  }
+
   test("as-of join is a window formulation, not a nested-loop join") {
     val p = plan("q_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
