@@ -620,9 +620,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    // edges is LAZY-marked (r16): the initial labels checkpoint below
+    // computes through it and persists both in one job (labels is the
+    // first and only consumer until round 1, which then reads persisted
+    // blocks). labels itself stays EAGER: round 1 consumes it twice in
+    // one job (the neighbor-min join AND the left-join spine), so a
+    // lazy mark would race-compute it.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint()
     var converged = false
@@ -630,17 +636,20 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, col("v") === col("node"))
         .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
-      // the changed flag rides INSIDE the checkpointed frame, so the
-      // convergence check below is a filter over already-materialized
-      // rows — not a second join job per round
+      // the changed flag rides INSIDE the round's state frame, and the
+      // frame is LAZY-marked (r16): the changed-count the loop needs
+      // anyway materializes it in the same job (the count scans every
+      // partition, so the persist is complete) — one job per round
+      // where eager-checkpoint-then-isEmpty took two. The next round's
+      // two consumers read persisted blocks.
       val next = labels.join(nbrMin, col("node") === col("u"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
           (coalesce(col("nbr_min"), col("component")) < col("component"))
             .as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("changed")).count() == 0L
       labels = next.drop("changed")
       i += 1
     }

@@ -53,11 +53,19 @@ object Graph {
       if (partitions > 0) df.coalesce(partitions) else df
     // edges feed the degree agg AND every iteration's join; coalesce
     // folds into distinct's reduce side (no extra shuffle)
+    // LAZY-marked checkpoints (r16): the node-count action the
+    // algorithm needs anyway materializes BOTH frames in one job —
+    // deg's compute flows through edges, persisting each as it goes —
+    // replacing two eager checkpoint jobs + a count with a single job.
+    // Safe because nothing consumes either frame before count()
+    // returns; every later consumer (the per-iteration joins, the
+    // broadcast degree enrichment) reads persisted blocks.
     val edges = shrink(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()).localCheckpoint()
+      .distinct()).localCheckpoint(eager = false)
     val deg = shrink(edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .select(col("u").as("node"), col("deg"))).localCheckpoint()
+      .select(col("u").as("node"), col("deg")))
+      .localCheckpoint(eager = false)
     val n = deg.count()
     if (n == 0)
       return deg.select(col("node"), lit(0.0).as("pagerank")).limit(0)
@@ -109,11 +117,21 @@ object Graph {
       maxIterations: Int = 100,
       onConverged: Int => Unit = _ => ()): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // LAZY-marked checkpoint + count (r16): the convergence count each
+    // round is unavoidable (data-driven peeling), but the separate
+    // eager materialization job is not — localCheckpoint(eager=false)
+    // marks the round's edge list for persist-on-first-compute and the
+    // count() that the loop needs ANYWAY materializes it in the same
+    // job (the count scans every partition, so the persist is
+    // complete). Single-consumer-at-materialization makes this safe:
+    // nothing else touches the marked RDD until count() returns, after
+    // which every later consumer (the next round's degree agg legs and
+    // semi-joins) reads persisted blocks.
     var edges = pairs.select(
         least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") < col("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var n = edges.count()
     var iter = 0
     var stable = n == 0L
@@ -124,12 +142,17 @@ object Graph {
       val deg = edges.select(col("u").as("n"))
         .union(edges.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      // keep feeds BOTH semi-join broadcasts, but needs no
+      // materialization: the two broadcast children canonicalize
+      // identically, so AQE's exchange/stage cache builds the degree
+      // aggregation ONCE and reuses it (measured r16: an explicit
+      // localCheckpoint here ADDED ~1 job/round for nothing)
       val keep = deg.filter(col("c") >= k).select(col("n"))
       val next = edges
         .join(broadcast(keep.select(col("n").as("u"))), Seq("u"), "leftsemi")
         .join(broadcast(keep.select(col("n").as("v"))), Seq("v"), "leftsemi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val m = next.count()
       stable = m == n
       edges = next
@@ -253,6 +276,12 @@ object Graph {
         when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"))).localCheckpoint()
+    // ^ kept EAGER (r16 re-audit): dropping it makes the wedge
+    // self-join sides two full copies of the orientation subtree whose
+    // runtime dedup would hang on AQE's stage cache, and the planner
+    // loses the materialized size — the degree joins flipped from
+    // broadcast to SortMergeJoin in the static plan. Measured −1 job
+    // and wall-neutral at sf0.1: not worth the at-scale risk.
     // wedges: two out-edges of the same apex, deduped by dst order.
     // EXPLICIT repartition by apex with a pinned partition count: the
     // edge list is small (~20 MB at E=1.2M), so AQE would coalesce the
