@@ -44,6 +44,19 @@ object Bpe {
     docs.select(col(idCol).as("doc"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
 
+  /** Attach the successor token (`nxt` = lead(tok) over the doc
+    * window) when the frame doesn't already carry it. The TRAINERS
+    * carry `nxt` THROUGH their materialized state (r16): a
+    * checkpointed frame comes back with unknown partitioning, so a
+    * per-round `lead` in the pair-count pass would re-shuffle the
+    * corpus by doc every round — storing the successor at rewrite time
+    * makes the pair count a pure map-side partial aggregation over the
+    * persisted state, no window, no doc exchange.
+    */
+  private def withNext(toks: DataFrame): DataFrame =
+    if (toks.columns.contains("nxt")) toks
+    else toks.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+
   /** One greedy left-to-right non-overlapping rewrite pass — the
     * window algebra the object scaladoc derives, shared by both
     * trainers and [[encode]]: positions whose (tok, nxt) satisfy
@@ -51,11 +64,15 @@ object Bpe {
     * possible for a self-pair when the match set is symbol-disjoint)
     * keep even offsets. `isMatch`/`merged` see columns `tok` and
     * `nxt` (nxt is null at doc end — a null match mark reads false).
+    * With `emitNext` the output ALSO carries the REWRITTEN stream's
+    * successor token (one more window expression on the same spec —
+    * no extra exchange), which is what lets the trainers' next
+    * pair-count ride the materialized state without a window.
     */
   private def rewriteOnce(toks: DataFrame, isMatch: Column,
-      merged: Column): DataFrame =
-    toks
-      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      merged: Column, emitNext: Boolean = false): DataFrame = {
+    val newTok = when(col("take"), merged).otherwise(col("tok"))
+    val kept = withNext(toks)
       .withColumn("m", coalesce(isMatch, lit(false)))
       // a run of CONSECUTIVE match positions starts where the previous
       // position did not match; a match row's run start is then the
@@ -74,8 +91,13 @@ object Bpe {
         col("m") && (col("pos") - col("runstart")) % 2 === 0)
       .withColumn("ptk", lag(col("take"), 1, false).over(wDoc))
       .filter(!col("ptk")) // the right half of a taken pair drops
-      .select(col("doc"), row_number().over(wDoc).as("pos"),
-        when(col("take"), merged).otherwise(col("tok")).as("tok"))
+    if (emitNext)
+      kept.select(col("doc"), row_number().over(wDoc).as("pos"),
+        newTok.as("tok"), lead(newTok, 1).over(wDoc).as("nxt"))
+    else
+      kept.select(col("doc"), row_number().over(wDoc).as("pos"),
+        newTok.as("tok"))
+  }
 
   /** First `steps` merge decisions as (step, lft, rgt, n_pairs) —
     * n_pairs is the corpus-wide adjacent count at selection time.
@@ -89,12 +111,14 @@ object Bpe {
       s"steps must be in [1, 16] (batch disjoint pairs beyond), got $steps")
     val spark = docs.sparkSession
     import spark.implicits._
-    var toks = materialize(tokenize(docs, idCol, textCol))
+    // state carries `nxt` (r16): the per-step pair count is then a pure
+    // two-phase aggregation over the materialized frame — no window, no
+    // per-step doc-keyed exchange (see withNext)
+    var toks = materialize(withNext(tokenize(docs, idCol, textCol)))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (step <- 1 to steps if !exhausted) {
       val top = toks
-        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
         .filter(col("nxt").isNotNull)
         .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok").asc, col("nxt").asc)
@@ -104,8 +128,12 @@ object Bpe {
         val (p1, p2, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step, p1, p2, n))
-        toks = materialize(rewriteOnce(toks,
-          col("tok") === p1 && col("nxt") === p2, lit(p1 + "+" + p2)))
+        // the LAST step's rewrite is dead work — nothing reads the
+        // final token stream (the merge table is the output); skip it
+        // instead of materializing it (r16)
+        if (step < steps) toks = materialize(rewriteOnce(toks,
+          col("tok") === p1 && col("nxt") === p2, lit(p1 + "+" + p2),
+          emitNext = true))
       }
     }
     merges.result()
@@ -151,12 +179,14 @@ object Bpe {
         s"($pairsPerRound)")
     val spark = docs.sparkSession
     import spark.implicits._
-    var toks = materialize(tokenize(docs, idCol, textCol))
+    // state carries `nxt` (r16): the per-round pair count is then a
+    // pure two-phase aggregation over the materialized frame — no
+    // window, no per-round doc-keyed exchange (see withNext)
+    var toks = materialize(withNext(tokenize(docs, idCol, textCol)))
     val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
     var exhausted = false
     for (round <- 1 to rounds if !exhausted) {
       val pool = toks
-        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
         .filter(col("nxt").isNotNull)
         .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok").asc, col("nxt").asc)
@@ -179,10 +209,14 @@ object Bpe {
           merges += ((round, i + 1, l, r, n)) }
         // match predicate + merged spelling as literal CASE chains —
         // pairsPerRound is tiny, so this stays one codegen'd projection
-        // (the SQL twin LEFT JOINs its sel CTE; same row semantics)
-        toks = materialize(rewriteOnce(toks,
+        // (the SQL twin LEFT JOINs its sel CTE; same row semantics).
+        // The LAST round's rewrite is dead work — nothing reads the
+        // final token stream (the merge table is the output); skip it
+        // instead of materializing it (r16)
+        if (round < rounds) toks = materialize(rewriteOnce(toks,
           matchAny(sel.map { case (l, r, _) => (l, r) }),
-          spellAny(sel.map { case (l, r, _) => (l, r) })))
+          spellAny(sel.map { case (l, r, _) => (l, r) }),
+          emitNext = true))
       }
     }
     merges.result()
