@@ -11,12 +11,19 @@ import org.apache.spark.sql.execution.ExplainMode
 object DumpPlan {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_NO_AUTO_BROADCAST=1 disables size-based broadcast
+    // selection (threshold -1) so a plan diff against the default run
+    // reveals exactly which joins RELY on auto-broadcast at bench scale
+    // versus carrying an explicit broadcast()/hint — the r16
+    // 100 TB-planner audit. Builder tool knob; the bench never sets it.
+    if (sys.env.get("SPARK_GRAFT_NO_AUTO_BROADCAST").contains("1"))
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "-1"): Unit
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val mode = ExplainMode.fromString("formatted")

@@ -544,7 +544,10 @@ object Similarity {
       labelCol: String = "label"): DataFrame = {
     val nbrs = topKCosine(corpus, queries, k)
       .select(col("query_id"), col("vec_id"))
-    val votes = nbrs
+    // nbrs is queries × k rows — provably bounded — while the label
+    // table is corpus-sized: broadcast EXPLICITLY (r16) so the label
+    // attach never shuffles the corpus on a size-estimate flip
+    val votes = broadcast(nbrs)
       .join(corpus.select(col("vec_id"), col(labelCol)), "vec_id")
       .groupBy(col("query_id"), col(labelCol))
       .agg(count(lit(1)).as("votes"))

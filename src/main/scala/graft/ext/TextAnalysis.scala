@@ -133,12 +133,24 @@ object TextAnalysis {
       .groupBy(col("doc_id") +: (carryCols ++
         Seq(col("w1"), col("w2"))): _*)
       .agg(count(lit(1)).as("k"))
-    val wBg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("w1"), col("w2"))
-    val wW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    // BOTH model statistics ride ONE (w1)-keyed exchange (r16): c_bg
+    // is a peer-range frame (RANGE CURRENT ROW..CURRENT ROW over
+    // orderBy(w2) sums exactly the rows sharing this (w1, w2)) and
+    // c_w1 the unbounded frame of the same spec — one WindowExec, one
+    // exchange, one sort, where the (w1, w2)-keyed window plus the
+    // (w1)-keyed window cost two exchanges of the doc-grain frame.
+    // Integer sums, so frame evaluation order cannot change a value;
+    // the skew bound (docs containing the hot w1) is the one the (w1)
+    // window already had.
+    val wModel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("w2"))
     dk
-      .withColumn("c_bg", sum(col("k")).over(wBg))
-      .withColumn("c_w1", sum(col("k")).over(wW1))
+      .withColumn("c_bg", sum(col("k")).over(wModel.rangeBetween(
+        org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("c_w1", sum(col("k")).over(wModel.rangeBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .select(col("doc_id") +: (carryCols ++ Seq(col("k"),
         log(col("c_bg").cast("double") / col("c_w1").cast("double"))
           .cast("decimal(18,9)").as("lp"))): _*)
@@ -288,9 +300,15 @@ object TextAnalysis {
       .groupBy(col("a.tok").as("t1"), col("b.tok").as("t2"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
+    // the unigram table is vocab-bounded while the pair stream is
+    // vocab²-scale — broadcast the attach joins EXPLICITLY (r16) so
+    // the already-(t1,t2)-partitioned pair stream is never re-shuffled
+    // by a size-estimate flip to sort-merge
     pairs
-      .join(dfs.select(col("tok").as("t1"), col("n_t").as("n_a")), "t1")
-      .join(dfs.select(col("tok").as("t2"), col("n_t").as("n_b")), "t2")
+      .join(broadcast(dfs.select(col("tok").as("t1"),
+        col("n_t").as("n_a"))), "t1")
+      .join(broadcast(dfs.select(col("tok").as("t2"),
+        col("n_t").as("n_b"))), "t2")
       .crossJoin(broadcast(nDocs))
       .select(col("t1"), col("t2"), col("n_ab"),
         log((col("n_ab") * col("n_docs")).cast("double") /

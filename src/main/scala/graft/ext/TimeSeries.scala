@@ -219,10 +219,15 @@ object TimeSeries {
     // (spine day, grid day) pair corresponds to exactly ONE offset, so
     // the match multiset — and therefore the rolling distinct — is
     // identical.
-    val rolling = spine
+    // the exploded spine is PROVABLY bounded (days-in-span × w rows)
+    // while the grid is corpus-scale — broadcast it EXPLICITLY (r16):
+    // the auto-broadcast threshold happens to pick it at bench scale,
+    // but a 100 TB planner working from estimates could silently flip
+    // this to a sort-merge join that shuffles the whole grid
+    val rolling = broadcast(spine
       .select(col("day"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
-      .select(col("day"), date_sub(col("day"), col("off")).as("gday"))
+      .select(col("day"), date_sub(col("day"), col("off")).as("gday")))
       .as("s")
       .join(grid.as("g"), col("s.gday") === col("g.day"))
       .groupBy(col("s.day").as("day"))
@@ -271,11 +276,16 @@ object TimeSeries {
     // (spine day, row day) pair corresponds to exactly ONE offset, so
     // the joined multiset — and the rank-selected median — is
     // identical.
-    val joined = spine
+    // the exploded spine is PROVABLY bounded (groups × days-in-span ×
+    // w) while `rows` is the raw corpus — broadcast it EXPLICITLY
+    // (r16, the activeUsers reasoning): threshold-independent, so a
+    // 100 TB planner can't flip this into shuffling every raw row by
+    // (grp, gday) for a sort-merge join
+    val joined = broadcast(spine
       .select(col("grp"), col("day"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
       .select(col("grp"), col("day"),
-        date_sub(col("day"), col("off")).as("gday"))
+        date_sub(col("day"), col("off")).as("gday")))
       .as("s")
       .join(rows.as("g"), col("s.grp") === col("g.grp") &&
         col("s.gday") === col("g.day"))

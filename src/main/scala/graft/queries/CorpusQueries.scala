@@ -108,7 +108,9 @@ object CorpusQueries {
           col("user_id"))
         .groupBy(col("cohort_wk"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
-        .join(sizes, "cohort_wk")
+        // sizes is weeks-cardinality — say so with an explicit hint
+        // (r16) instead of relying on the size estimate
+        .join(broadcast(sizes), "cohort_wk")
         .select(col("cohort_wk").cast("date").as("cohort_week"),
           col("week_offset"), col("n_active"), col("n_cohort"),
           (col("n_active").cast("double") / col("n_cohort")).as("retention"))

@@ -108,6 +108,28 @@ class PlanSpec extends AnyFunSuite {
         "LSH self-join exchange carries the embedding payload:\n" + b))
   }
 
+  test("bounded-side joins survive a size-estimate flip (r16): with " +
+      "auto-broadcast DISABLED the hinted joins stay broadcast") {
+    // a 100 TB planner works from estimates that can silently flip an
+    // unhinted broadcast to SMJ-with-skew; every join whose small side
+    // is PROVABLY bounded (day spines, week-cardinality cohort sizes,
+    // vocab unigram tables, queries×k neighbor lists, per-item counts)
+    // carries an explicit hint — pinned here by planning with
+    // autoBroadcastJoinThreshold = -1
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def bhj(q: String): Int = {
+      val p = SparkEntry.queries(q)(s2, d).queryExecution.executedPlan.toString
+      "BroadcastHashJoin".r.findAllIn(p).length
+    }
+    assert(bhj("q_active_users") >= 1, "day spine lost its broadcast")
+    assert(bhj("q_rolling_median") >= 1, "grp/day spine lost its broadcast")
+    assert(bhj("q_cohort_retention") >= 1, "cohort sizes lost their broadcast")
+    assert(bhj("q_token_pmi") >= 2, "unigram attach lost its broadcasts")
+    assert(bhj("q_knn_classify") >= 1, "neighbor votes lost their broadcast")
+    assert(bhj("q_basket_pairs") >= 2, "item-count attach lost its broadcasts")
+  }
+
   test("as-of join is a window formulation, not a nested-loop join") {
     val p = plan("q_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
