@@ -56,7 +56,7 @@ object PipelineQueries {
       catch { case e: Throwable => Tables.rmrf(tmp); throw e }
       tmp
     })
-  private def stagedEvents3(s: SparkSession, d: String): String =
+  private[graft] def stagedEvents3(s: SparkSession, d: String): String =
     stagedTree("stage3", d) { tmp =>
       Tables.eventsNative(s, d).repartition(3)
         .write.mode("overwrite").parquet(tmp)
@@ -76,7 +76,7 @@ object PipelineQueries {
     * the repartitionByRange write + rename/stamp pass — the mtime
     * ORDER (all that matters to the source) is preserved on reuse.
     */
-  private def stagedRangeSlices(s: SparkSession, d: String, slices: Int,
+  private[graft] def stagedRangeSlices(s: SparkSession, d: String, slices: Int,
       dupEachFile: Boolean): String =
     stagedTree(s"range${slices}dup$dupEachFile", d) { tmp =>
       val staging = java.nio.file.Files
