@@ -108,6 +108,14 @@ object Clustering {
     * loses every member keeps its previous centroid (standard empty-
     * cluster fallback — dropping it would shrink k mid-run).
     *
+    * EAGER AT CALL TIME (ADVICE r15, stated plainly): this runs
+    * 1 + iters full-corpus Spark jobs when CALLED — before any action
+    * on the returned frame — and so do [[Similarity.ivfIndex]] /
+    * [[Similarity.ivfTopK]], which call it during construction. Don't
+    * construct speculatively; training failures surface here, not at
+    * the first downstream action. The returned frame itself is a
+    * driver-local literal (LocalTableScan) and costs nothing to reuse.
+    *
     * The reduce step COLLECTS: centroids are k·dim floats — driver-tiny
     * whatever the corpus size — so each iteration ends with a bounded
     * ≤k-row collect (the k-means reduce every production implementation

@@ -74,13 +74,18 @@ object Graph {
     // "join ranks back to deg" disappears — the contribution agg emits
     // deg(v) alongside the sum (max over per-v-identical values), so
     // each iteration is exactly one edge⋈rank join + one keyed agg.
-    // deg broadcasts once into this lazy enrichment (the subtree is
-    // identical across iterations, so the exchange is built once and
-    // reused); every node keeps deg >= 1 in an undirected pair graph,
-    // so the groupBy(v) emits the same node set the deg-join did.
+    // The broadcast hint on deg is GATED on the caller declaring the
+    // graph tiny (partitions > 0 — every registered near-dup caller
+    // passes 1); with the default 0 ("graph of unknown size") the
+    // planner keeps its choice, so a node-sized frame is never forced
+    // through the driver-collect broadcast wall (ADVICE r15). Either
+    // way the enrichment subtree is identical across iterations, so
+    // its exchange is built once and reused; every node keeps
+    // deg >= 1 in an undirected pair graph, so the groupBy(v) emits
+    // the same node set the deg-join did.
+    val degV = deg.select(col("node").as("v"), col("deg").as("deg_v"))
     val edgesD = edges.join(
-      broadcast(deg.select(col("node").as("v"), col("deg").as("deg_v"))),
-      "v")
+      if (partitions > 0) broadcast(degV) else degV, "v")
     var ranks = deg.select(col("node"), col("deg"), (lit(1.0) / n).as("r"))
     for (_ <- 0 until iterations) {
       ranks = edgesD

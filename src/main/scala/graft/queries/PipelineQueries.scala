@@ -45,6 +45,13 @@ object PipelineQueries {
     * catch ALSO reaps eagerly (review r15) so a long-lived Verify JVM
     * that retries after a failed staging write doesn't accumulate one
     * abandoned tree + hook per attempt.
+    *
+    * Concurrency contract (ADVICE r15): the Spark staging write runs
+    * INSIDE computeIfAbsent, holding the bin lock for its duration —
+    * fine here because query execution is single-threaded by contract
+    * (Bench/Verify/TimeQ run queries serially) and no build is
+    * re-entrant; a caller that parallelizes queries must first move
+    * the build outside the map (per-key futures).
     */
   private def stagedTree(kind: String, d: String)(
       build: String => Unit): String =
