@@ -113,9 +113,16 @@ object Similarity {
     // r8 measurement that sank the naive skinny-first shape). Embeddings
     // are then attached once per side from a plain (vec_id, embedding,
     // nrm) projection of the corpus: at bench scale both attaches
-    // auto-broadcast; at 100 TB they degrade to TWO corpus-keyed
-    // shuffles total, versus the previous shape's 2·L corpus-sized
-    // embedding-laden exchange sides.
+    // auto-broadcast, so no vector ever rides an exchange here. At
+    // 100 TB (corpus too big to broadcast) the attaches are two
+    // corpus-keyed shuffles plus ONE pass of the deduped candidate
+    // stream carrying a single attached vector, versus the previous
+    // shape's 2·L corpus-sized embedding-laden exchange sides — a win
+    // exactly when per-bucket occupancy is bounded (deduped candidates
+    // ≾ 2·L·corpus), which is the operating condition LSH needs anyway
+    // and what raising r with the corpus maintains; with fat buckets
+    // (candidates ≫ L·corpus) score-in-join moves fewer bytes and
+    // [[semDedupPairs]] keeps that shape for its by-design-fat cells.
     val bBits = planesPerTable // bucket of table t occupies b bits
     val fieldsPerWord = math.max(1, 63 / bBits)
     val nWords = (numTables + fieldsPerWord - 1) / fieldsPerWord
@@ -500,7 +507,12 @@ object Similarity {
     // SHUFFLE_HASH for the same reason as the LSH self-join: sorting
     // embedding-laden rows dominates SMJ; per-cell hash maps stay
     // bounded as long as cells bound membership (which SemDeDup
-    // already requires).
+    // already requires). Deliberately NOT the skinny-attach shape
+    // cosineNearDupPairsLsh moved to in r16: one vector has exactly
+    // ONE cell, so each embedding already moves ONCE per side here,
+    // while SemDeDup's cells are fat by design (Σ|cell|² candidate
+    // pairs ≫ corpus rows) — deferring the embeddings onto the pair
+    // stream was measured +50% locally and moves MORE bytes at scale.
     assigned.as("a").hint("SHUFFLE_HASH")
       .join(assigned.as("b").hint("SHUFFLE_HASH"),
         col("a.cell_id") === col("b.cell_id") &&
