@@ -338,15 +338,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "span dedup must not join:\n" + p)
   }
 
-  test("lm perplexity: one corpus tokenize; both model windows " +
-      "((w1,w2) and (w1)) share a single w1-keyed exchange") {
+  test("lm perplexity: one corpus tokenize; both model statistics ride " +
+      "ONE Window node on ONE w1-keyed exchange (r16)") {
     val p = plan("q_lm_perplexity")
     assert("Generate".r.findAllIn(p).length == 1, p)
     assert("split\\(text".r.findAllIn(p).length == 1, p) // tokenize once
-    assert("Window".r.findAllIn(p).length == 2, p)
-    // doc-grain agg exchange, ONE window exchange (hash(w1) satisfies
-    // the (w1,w2) clustering too), doc nll agg exchange, output sort:
-    // 3 hash exchanges total — the second window re-sorts in place
+    // r16: c_bg (peer-range frame over orderBy(w2)) and c_w1 (unbounded
+    // frame) share one window spec — a single Window node and a single
+    // sort where the previous ((w1,w2)-then-(w1)) pair planned two
+    assert("Window".r.findAllIn(p).length == 1, p)
+    // doc-grain agg exchange, ONE window exchange, doc nll agg
+    // exchange: 3 hash exchanges total
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p)
   }
 
