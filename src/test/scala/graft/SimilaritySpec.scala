@@ -117,6 +117,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("r16 first-collision dedup: the LSH candidate set equals the " +
+      "any-table-collision set, each pair exactly once, across (L, r) " +
+      "word-packing shapes") {
+    // threshold -1.0 keeps EVERY candidate pair (cosine >= -1 always),
+    // so the output IS the candidate set — compare it against ground
+    // truth derived from the ENGINE's own bucket values (collected via
+    // lshBucket, so no driver float-reproduction risk), for parameter
+    // shapes that exercise the packed-word filter: single word, exact
+    // word fill, two words (the registered (24, 3)), one table (empty
+    // prefixes everywhere), and wide buckets (few fields per word).
+    val small = emb.filter(col("vec_id") < 120)
+    for ((ll, rr) <- Seq((1, 3), (8, 4), (24, 3), (5, 5), (13, 2), (3, 31))) {
+      val tables = (0 until ll).map(t =>
+        Similarity.hyperplanes(rr, 64, seed = 1042L + t))
+      val bucketRows = small.select(col("vec_id") +:
+          tables.zipWithIndex.map { case (p, t) =>
+            Similarity.lshBucket(col("embedding"), p).as(s"b$t") }: _*)
+        .collect()
+      val buckets = bucketRows.map(r =>
+        r.getLong(0) -> (0 until ll).map(t => r.getLong(t + 1))).toMap
+      val ids = buckets.keys.toSeq.sorted
+      val expected = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        a = ids(i); b = ids(j)
+        if (0 until ll).exists(t => buckets(a)(t) == buckets(b)(t))
+      } yield (a, b)).toSet
+      val got = Similarity.cosineNearDupPairsLsh(small, threshold = -1.0,
+          numTables = ll, planesPerTable = rr)
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"(L=$ll, r=$rr): a pair was emitted more than once")
+      assert(got.toSet == expected,
+        s"(L=$ll, r=$rr): candidate set mismatch " +
+          s"(got ${got.length}, expected ${expected.size})")
+    }
+  }
+
   test("IVF assigns every vector to exactly one cell") {
     val cents = Similarity.ivfCentroids(emb, 8)
     val assigned = Similarity.ivfAssign(
